@@ -1,0 +1,55 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference's config defaults:
+- chunk_size=512, chunk_overlap=64   (config/setconfig.rs:1177-1182)
+- min_chunk_size=50                  (config/setconfig.rs:1183-1185)
+- entity min_confidence=0.6          (config/setconfig.rs:1450-1452)
+- relationship confidence=0.5        (config/setconfig.rs:1884)
+- linking min_similarity=0.85, max_edit_distance=2
+                                     (entity/string_similarity_linker.rs:40-52)
+- leiden resolution=1.0, max_levels=5, max_iterations bounded
+                                     (graph/leiden.rs:429-463)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # chunking (reference text/mod.rs:141-186)
+    chunk_size: int = 512
+    chunk_overlap: int = 64
+    min_chunk_size: int = 50
+
+    # entity extraction (reference entity/mod.rs:114-173)
+    min_confidence: float = 0.6
+    entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
+    allowed_patterns: tuple[str, ...] = ()
+    excluded_patterns: tuple[str, ...] = ()
+
+    # relationships (reference graphrag/build.rs:557-624)
+    extract_relationships: bool = True
+    relationship_confidence: float = 0.5
+
+    # entity linking (reference entity/string_similarity_linker.rs:17-52)
+    link_min_similarity: float = 0.85
+    link_max_edit_distance: int = 2
+    link_fuzzy_matching: bool = True
+    link_use_phonetic: bool = False
+
+    # communities (reference graph/leiden.rs:429-463)
+    community_max_iterations: int = 20
+    community_seed: int = 42
+
+    # distributed-execution knobs (no analog in the single-process reference)
+    shuffle_partitions: int = 32
+    arrow_max_records_per_batch: int = 256
+    cc_checkpoint_every: int = 3      # localCheckpoint cadence for iterative kernels
+    salt_buckets: int = 8             # skew salting for hot keys in two-phase aggs
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,149 @@
+"""Deterministic synthetic corpora (FIXTURES.md §4; seed-stable, ASCII-only).
+
+Generates the (repo, path, commit, lang, content) input table of the north
+rule (BASELINE.json input_hint). Recipes mirror the reference's bench
+generators (/root/reference/benches/graph_construction.rs:98-256) and test
+fixtures so golden outputs are reproducible — but the generator itself is
+original code (the reference's is Rust + uuid-based; ours derives every id
+deterministically from (seed, row index)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+PEOPLE = [
+    "Dr. John Smith", "Alice Johnson", "Prof. Robert Brown", "Ms. Sarah Wilson",
+    "Mr. David Lee", "Dr. Emily Chen", "Prof. Michael Davis", "Jane Anderson",
+]
+ORGANIZATIONS = [
+    "Microsoft Corporation", "Google Inc", "Stanford University", "Acme Corp",
+    "Globex Company", "Initech LLC", "Wayne Technologies", "Stark Solutions",
+]
+LOCATIONS = [
+    "Seattle, Washington", "New York", "Boston", "California",
+    "London", "Paris", "Tokyo", "Berlin",
+]
+FILLER = (
+    "research development innovation technology science collaboration project "
+    "study analysis implementation algorithm system platform framework methodology"
+).split()
+REL_PHRASES = [
+    "works for", "employed by", "founded", "born in", "lives in", "based in",
+    "headquartered", "married", "colleague", "partner",
+]
+LANGS = ["text", "markdown", "rust"]
+
+
+def _commit_for(repo: str, path: str) -> str:
+    return hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
+
+
+def make_text_content(rng: random.Random, n_sentences: int) -> str:
+    """Entity-rich English prose exercising E2-E4 and R1/R2."""
+    sentences = []
+    for _ in range(n_sentences):
+        kind = rng.randrange(6)
+        person = rng.choice(PEOPLE)
+        org = rng.choice(ORGANIZATIONS)
+        loc = rng.choice(LOCATIONS)
+        phrase = rng.choice(REL_PHRASES)
+        filler = " ".join(rng.choice(FILLER) for _ in range(rng.randrange(3, 9)))
+        if kind == 0:
+            s = f"{person} {phrase} {org} on the {filler} effort."
+        elif kind == 1:
+            s = f"{person} {phrase} {loc} while leading {filler}."
+        elif kind == 2:
+            s = f"{org} is {phrase} in {loc} near the {filler} campus."
+        elif kind == 3:
+            p2 = rng.choice(PEOPLE)
+            s = f"{person} and {p2} are {phrase} on {filler}."
+        elif kind == 4:
+            s = f"The {filler} initiative at {org} expanded rapidly."
+        else:
+            s = f"Further {filler} confirmed the earlier results."
+        sentences.append(s)
+    return " ".join(sentences)
+
+
+def make_markdown_content(rng: random.Random, n_sections: int) -> str:
+    parts = ["# Introduction", ""]
+    parts.append(make_text_content(rng, 3))
+    for i in range(n_sections):
+        parts += ["", f"## Section {i + 1}", ""]
+        parts.append(make_text_content(rng, rng.randrange(2, 6)))
+    return "\n".join(parts)
+
+
+def make_rust_content(rng: random.Random, n_items: int) -> str:
+    """Deterministic Rust-source templates with entity names in doc comments."""
+    items = []
+    for i in range(n_items):
+        person = rng.choice(PEOPLE)
+        org = rng.choice(ORGANIZATIONS)
+        items.append(
+            f"/// Module maintained by {person} at {org}.\n"
+            f"pub fn process_{i}(input: &str) -> usize {{\n"
+            f"    input.split_whitespace().count() + {i}\n"
+            f"}}\n\n"
+            f"pub struct Record{i} {{\n    pub id: u64,\n    pub name: String,\n}}\n"
+        )
+    return "\n".join(items)
+
+
+EDGE_CASES = [
+    ("", "empty"),
+    ("   \n\t  ", "whitespace_only"),
+    ("Tiny.", "below_min_chunk"),
+    ("Dr. Smith went to Boston. He met Prof. Brown there.", "abbreviations"),
+    ("ACME Corp. announced a merger with Acme Corp today.", "dedup_variants"),
+    ("New York and New York City hosted Jon Smith and Jhon Smith.", "near_dup_names"),
+    ("Alice Johnson " * 300, "hot_key_skew"),
+]
+
+
+def generate_corpus(n_docs: int = 20, seed: int = 42, include_edge_cases: bool = True) -> list[dict]:
+    """Rows of the north-rule input table: (repo, path, commit, lang, content)."""
+    rows = []
+    for i in range(n_docs):
+        rng = random.Random(f"{seed}:{i}")
+        lang = LANGS[i % len(LANGS)]
+        repo = f"org{i % 5}/proj{i % 3}"
+        if lang == "text":
+            path = f"docs/chapter_{i}.txt"
+            content = make_text_content(rng, rng.randrange(8, 40))
+        elif lang == "markdown":
+            path = f"docs/guide_{i}.md"
+            content = make_markdown_content(rng, rng.randrange(2, 6))
+        else:
+            path = f"src/module_{i}.rs"
+            content = make_rust_content(rng, rng.randrange(3, 10))
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": _commit_for(repo, path),
+                "lang": lang,
+                "content": content,
+            }
+        )
+    if include_edge_cases:
+        for j, (content, tag) in enumerate(EDGE_CASES):
+            repo = "org-edge/proj-edge"
+            path = f"edge/{tag}.txt"
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": _commit_for(repo, path),
+                    "lang": "text",
+                    "content": content,
+                }
+            )
+    return rows
+
+
+def doc_id_for(row: dict) -> str:
+    """Deterministic doc id: ``{repo}/{path}@{commit}`` (no uuids — SURVEY §7)."""
+    return f"{row['repo']}/{row['path']}@{row['commit']}"

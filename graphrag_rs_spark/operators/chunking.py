@@ -1,0 +1,81 @@
+"""C1: distributed chunking — Arrow-batched ``mapInPandas``.
+
+Chunking is a pure per-document function (kernel/chunking.py implements the
+reference semantics of text/mod.rs:141-186), so it is embarrassingly
+parallel: each executor task chunks its partition of documents with zero
+shuffle. ``mapInPandas`` (not a row UDF) keeps transfer Arrow-batched; the
+session caps ``arrow.maxRecordsPerBatch`` because code files can be MBs.
+
+Also exposes the native-function text utilities C7-C9
+(clean_text / extract_sentences / word_count — text/mod.rs:349-390) as
+column expressions: no Python at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphrag_rs_spark.kernel.chunking import chunk_text
+from graphrag_rs_spark.schemas import CHUNKS_SCHEMA
+
+
+def chunk_documents(
+    documents: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """documents(doc_id, content, ...) → chunks(chunk_id, doc_id, content, offsets).
+
+    Narrow transformation: no shuffle; the chunk explosion happens inside
+    the Arrow batch. chunk_id = ``{doc_id}_{idx}`` (text/mod.rs:161).
+    """
+    chunk_size, overlap = config.chunk_size, config.chunk_overlap
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, docs, contents, starts, ends = [], [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for idx, text, start, end in chunk_text(content, chunk_size, overlap):
+                    ids.append(f"{doc_id}_{idx}")
+                    docs.append(doc_id)
+                    contents.append(text)
+                    starts.append(start)
+                    ends.append(end)
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pd.Series(ids, dtype="string"),
+                    "doc_id": pd.Series(docs, dtype="string"),
+                    "content": pd.Series(contents, dtype="string"),
+                    "start_offset": pd.Series(starts, dtype="int64"),
+                    "end_offset": pd.Series(ends, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", "content").mapInPandas(
+        chunk_batches, schema=CHUNKS_SCHEMA
+    )
+
+
+# --- C7-C9: pure column expressions (no UDF) ---
+
+def clean_text_col(col):
+    """Whitespace-normalize (text/mod.rs:349-358)."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def sentences_col(col):
+    """Split on .!? and drop empties (text/mod.rs:361-385)."""
+    return F.filter(
+        F.transform(F.split(col, r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def word_count_col(col):
+    """Whitespace word count (text/mod.rs:388-390)."""
+    return F.size(F.split(F.trim(col), r"\s+")) - F.when(F.trim(col) == "", 1).otherwise(0)

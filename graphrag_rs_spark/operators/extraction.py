@@ -1,0 +1,116 @@
+"""E1-E13: distributed entity extraction — Arrow-batched ``mapInPandas``.
+
+Mention detection is a pure per-chunk text function (gazetteers + pattern
+heuristics; kernel/extraction.py carries the reference semantics of
+entity/mod.rs:114-1089). The gazetteers are small static tuples shipped in
+the task closure — the moral equivalent of a broadcast join against a
+gazetteer dim table (for user-supplied gazetteers, ``gazetteer_mentions``
+below does a real broadcast join, JVM-side).
+
+The per-chunk dedupe (E10) and confidence threshold happen inside the
+kernel; the *corpus-level* rollup (E14 analog) is a distributed groupBy with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphrag_rs_spark.kernel.extraction import extract_entities_from_chunk
+from graphrag_rs_spark.schemas import MENTIONS_SCHEMA
+
+
+def extract_mentions(
+    chunks: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """chunks → mentions: one row per (chunk, entity) after per-chunk dedupe.
+
+    Narrow (no shuffle): extraction happens inside each Arrow batch.
+    """
+    min_conf = config.min_confidence
+    etypes = config.entity_types
+    allowed = config.allowed_patterns
+    excluded = config.excluded_patterns
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "chunk_id": [], "doc_id": [], "entity_id": [], "name": [],
+                "entity_type": [], "confidence": [], "n_mentions": [],
+                "mention_offsets": [],
+            }
+            for chunk_id, doc_id, content in zip(
+                pdf["chunk_id"], pdf["doc_id"], pdf["content"]
+            ):
+                for e in extract_entities_from_chunk(
+                    content or "",
+                    min_confidence=min_conf,
+                    entity_types=etypes,
+                    allowed_patterns=allowed,
+                    excluded_patterns=excluded,
+                ):
+                    rows["chunk_id"].append(chunk_id)
+                    rows["doc_id"].append(doc_id)
+                    rows["entity_id"].append(e["entity_id"])
+                    rows["name"].append(e["name"])
+                    rows["entity_type"].append(e["entity_type"])
+                    rows["confidence"].append(e["confidence"])
+                    rows["n_mentions"].append(len(e["mentions"]))
+                    rows["mention_offsets"].append(
+                        [{"start_offset": s, "end_offset": t} for s, t in e["mentions"]]
+                    )
+            yield pd.DataFrame(rows)
+
+    return chunks.select("chunk_id", "doc_id", "content").mapInPandas(
+        extract_batches, schema=MENTIONS_SCHEMA
+    )
+
+
+def rollup_entities(mentions: DataFrame) -> DataFrame:
+    """Corpus-level entity table (E14 analog, graph/mod.rs:219-241):
+    dedupe mentions by entity_id keeping max confidence + mention counts.
+
+    One shuffle on entity_id with map-side combine; ``max_by`` keeps the
+    name variant of the highest-confidence mention deterministically
+    (ties broken by name) so re-runs are stable.
+    """
+    return mentions.groupBy("entity_id").agg(
+        F.max_by(F.col("name"), F.struct(F.col("confidence"), F.col("name"))).alias("name"),
+        F.first("entity_type").alias("entity_type"),
+        F.max("confidence").alias("confidence"),
+        F.sum("n_mentions").alias("mention_count"),
+    )
+
+
+def gazetteer_mentions(chunks: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Broadcast-join gazetteer matching: finds chunks containing each
+    gazetteer ``name`` (with ``entity_type``) as a substring — the scale
+    path for configurable gazetteers (E2 phase 1 / E4 generalized), fully
+    JVM-side (no Python).
+
+    gazetteer: (name, entity_type[, confidence]) — must be small (dim-sized).
+    """
+    g = F.broadcast(gazetteer)
+    joined = chunks.join(g, F.col("content").contains(F.col("name")), "inner")
+    conf = (
+        F.col("confidence")
+        if "confidence" in gazetteer.columns
+        else F.lit(0.8).cast("float")
+    )
+    return joined.select(
+        "chunk_id",
+        "doc_id",
+        F.concat(
+            F.col("entity_type"),
+            F.lit("_"),
+            F.regexp_replace(F.lower(F.col("name")), "[^a-z0-9_]", ""),
+        ).alias("entity_id"),
+        "name",
+        "entity_type",
+        conf.alias("confidence"),
+    )

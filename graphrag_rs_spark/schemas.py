@@ -1,0 +1,110 @@
+"""Explicit StructType schemas for every pipeline table.
+
+The reference defines fixed Arrow schemas per persisted table
+(persistence/parquet.rs:219-230 entities, :425-435 relationships, :627-651
+chunks, :970-985 documents); we mirror them as code-defined StructTypes —
+no inference anywhere (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# north-rule input table (BASELINE.json input_hint)
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+    ]
+)
+
+# documents: source + derived identity/invariant columns
+DOCUMENTS_SCHEMA = StructType(
+    SOURCE_SCHEMA.fields
+    + [
+        StructField("doc_id", StringType(), False),
+        StructField("content_sha256", StringType(), True),
+    ]
+)
+
+CHUNKS_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("content", StringType(), False),
+        StructField("start_offset", LongType(), False),
+        StructField("end_offset", LongType(), False),
+    ]
+)
+
+# one row per (chunk, entity) after per-chunk dedupe — the atom of the
+# distributed model (SURVEY §1.1)
+MENTIONS_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("entity_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("entity_type", StringType(), False),
+        StructField("confidence", FloatType(), False),
+        StructField("n_mentions", LongType(), False),
+        StructField(
+            "mention_offsets",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start_offset", LongType(), False),
+                        StructField("end_offset", LongType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+ENTITIES_SCHEMA = StructType(
+    [
+        StructField("entity_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("entity_type", StringType(), False),
+        StructField("confidence", FloatType(), False),
+        StructField("mention_count", LongType(), False),
+    ]
+)
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+        StructField("confidence", FloatType(), False),
+        StructField("context_chunk_ids", ArrayType(StringType()), True),
+    ]
+)
+
+ENTITY_CLUSTERS_SCHEMA = StructType(
+    [
+        StructField("entity_id", StringType(), False),
+        StructField("canonical_id", StringType(), False),
+        StructField("cluster_id", StringType(), False),
+    ]
+)
+
+COMMUNITIES_SCHEMA = StructType(
+    [
+        StructField("level", LongType(), False),
+        StructField("entity_id", StringType(), False),
+        StructField("community_id", LongType(), False),
+    ]
+)
