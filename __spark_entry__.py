@@ -1,38 +1,890 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship KG-construction run on sf0.001.
+``queries()``         — one named query per implemented operator family
+                        (SURVEY.md §2 + training-data ops), each
+                        (spark, sf_dir) → DataFrame.
+``oracle_sql()``      — matching DuckDB SQL per query (omitted for the
+                        genuinely non-SQL-expressible iterative/UDF ops;
+                        those get rows-only checks and are covered by
+                        pytest goldens instead).
+
+Conventions for oracle parity: float outputs rounded on BOTH sides; no
+raw timestamps in outputs (epoch longs instead); every computed column
+aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# gazetteer for the SQL-checkable KG path over the driver's word-salad
+# `documents` table (the pattern extractor needs capitalized prose; the
+# gazetteer path is the configurable-extraction slot, E2-phase-1/E4 analog)
+GAZETTEER = ["spark", "window", "stream", "batch", "merge", "join", "vector"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents mapped to the engine's chunk shape (doc = one chunk)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("content"),
+    )
+
+
+def _gazetteer_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(w, "CONCEPT") for w in GAZETTEER], ["name", "entity_type"]
+    )
+
+
+def _gaz_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphrag_rs_spark.operators.extraction import gazetteer_mentions
+
+    return gazetteer_mentions(_doc_chunks(spark, sf_dir), _gazetteer_df(spark))
+
+
+# ---------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over sf0.001 documents — gazetteer
+    mentions (broadcast join) → co-occurrence pair self-join → typed,
+    deduped triples. Exercises the real engine operators end-to-end."""
+    from graphrag_rs_spark.operators.relationships import extract_triples
 
+    sf_dir = "/root/testdata/sf0.001"
+    chunks = _doc_chunks(spark, sf_dir)
+    mentions = _gaz_mentions(spark, sf_dir).withColumn("n_mentions", F.lit(1).cast("long"))
+    triples = extract_triples(mentions, chunks)
+    return triples.select(
+        "subj", "pred", "obj", "confidence", F.size("context_chunk_ids").alias("n_context")
+    )
+
+
+# -------------------------------------------------------------- queries --
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # === KG-construction operators (SQL-checkable gazetteer path) ===
 
+    def kg_gazetteer_mentions(spark, sf):
+        return (
+            _gaz_mentions(spark, sf)
+            .select("doc_id", "entity_id", "name", "entity_type")
+            .orderBy("doc_id", "entity_id")
+        )
+
+    q["kg_gazetteer_mentions"] = kg_gazetteer_mentions
+
+    def kg_cooccurrence_triples(spark, sf):
+        from graphrag_rs_spark.operators.relationships import extract_triples
+
+        chunks = _doc_chunks(spark, sf)
+        mentions = _gaz_mentions(spark, sf).withColumn(
+            "n_mentions", F.lit(1).cast("long")
+        )
+        t = extract_triples(mentions, chunks)
+        return t.select(
+            "subj", "pred", "obj",
+            F.round("confidence", 4).alias("confidence"),
+            F.size("context_chunk_ids").alias("n_context"),
+        )
+
+    q["kg_cooccurrence_triples"] = kg_cooccurrence_triples
+
+    def kg_entity_rollup(spark, sf):
+        m = _gaz_mentions(spark, sf)
+        return m.groupBy("entity_id", "entity_type").agg(
+            F.countDistinct("doc_id").alias("doc_frequency")
+        )
+
+    q["kg_entity_rollup"] = kg_entity_rollup
+
+    def kg_normalize(spark, sf):
+        from graphrag_rs_spark.operators.linking import normalized_name_col
+
+        return _t(spark, sf, "customer").select(
+            "c_custkey", normalized_name_col(F.col("c_name")).alias("norm_name")
+        )
+
+    q["kg_normalize"] = kg_normalize
+
+    def kg_levenshtein_pairs(spark, sf):
+        n = _t(spark, sf, "nation").select("n_name")
+        a = n.select(F.col("n_name").alias("name_a"))
+        b = n.select(F.col("n_name").alias("name_b"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("name_a") < F.col("name_b"))
+            .withColumn("lev", F.levenshtein("name_a", "name_b"))
+            .where(F.col("lev") <= 4)
+        )
+
+    q["kg_levenshtein_pairs"] = kg_levenshtein_pairs
+
+    def kg_jaccard_types(spark, sf):
+        p = _t(spark, sf, "part").select("p_type").distinct()
+        tok = F.array_distinct(F.split(F.col("p_type"), " "))
+        a = p.select(F.col("p_type").alias("type_a"), tok.alias("tok_a"))
+        b = p.select(F.col("p_type").alias("type_b"), tok.alias("tok_b"))
+        jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
+            F.array_union("tok_a", "tok_b")
+        ).cast("double")
+        return (
+            a.crossJoin(b)
+            .where(F.col("type_a") < F.col("type_b"))
+            .withColumn("jaccard", F.round(jac, 4))
+            .where(F.col("jaccard") >= 0.5)
+            .select("type_a", "type_b", "jaccard")
+        )
+
+    q["kg_jaccard_types"] = kg_jaccard_types
+
+    def kg_window_canonical(spark, sf):
+        c = _t(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+        )
+        return (
+            c.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        )
+
+    q["kg_window_canonical"] = kg_window_canonical
+
+    # iterative ops — rows-only checks (pytest goldens cover semantics)
+    def kg_cc_clusters(spark, sf):
+        from graphrag_rs_spark.operators.cc import connected_components
+
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .count()
+            .where(F.col("count") >= 2)
+            .select(
+                F.col("pa").cast("string").alias("src"),
+                F.col("pb").cast("string").alias("dst"),
+            )
+        )
+        return connected_components(edges).groupBy("component").count()
+
+    q["kg_cc_clusters"] = kg_cc_clusters
+
+    def kg_communities(spark, sf):
+        from graphrag_rs_spark.operators.communities import detect_communities
+
+        t = kg_cooccurrence_triples(spark, sf).withColumn(
+            "context_chunk_ids", F.array().cast("array<string>")
+        )
+        comm = detect_communities(t)
+        return comm.groupBy("community_id").count().orderBy("community_id")
+
+    q["kg_communities"] = kg_communities
+
+    def kg_chunking(spark, sf):
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
+        chunks = chunk_documents(docs)
+        return chunks.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_offset").alias("max_end"),
+        )
+
+    q["kg_chunking"] = kg_chunking
+
+    # === relational operator checklist (SURVEY §2.8) ===
+
+    def rel_filter_pushdown(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 10)
+            & (F.col("l_returnflag") == "R")
+        ).select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        )
+
+    q["rel_filter_pushdown"] = rel_filter_pushdown
+
+    def rel_agg_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["rel_agg_q1"] = rel_agg_q1
+
+    def rel_join_star(spark, sf):
+        r = F.broadcast(_t(spark, sf, "region"))
+        n = F.broadcast(_t(spark, sf, "nation"))
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(n, c["c_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    q["rel_join_star"] = rel_join_star
+
+    def rel_pair_selfjoin(spark, sf):
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+        return (
+            a.join(b, "l_orderkey")
+            .where(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count("*").alias("n_orders"))
+            .where(F.col("n_orders") >= 2)
+        )
+
+    q["rel_pair_selfjoin"] = rel_pair_selfjoin
+
+    def rel_window_topk(spark, sf):
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank")
+        )
+
+    q["rel_window_topk"] = rel_window_topk
+
+    def rel_semijoin(spark, sf):
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (
+            p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"))
+        )
+
+    q["rel_semijoin"] = rel_semijoin
+
+    def rel_antijoin(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(
+            o, c["c_custkey"] == o["o_custkey"], "left_anti"
+        ).select("c_custkey", "c_mktsegment")
+
+    q["rel_antijoin"] = rel_antijoin
+
+    def rel_dedupe_merge(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_orderkey").agg(
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+
+    q["rel_dedupe_merge"] = rel_dedupe_merge
+
+    def rel_set_ops(spark, sf):
+        c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+        s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+        return c.union(s).distinct()
+
+    q["rel_set_ops"] = rel_set_ops
+
+    def rel_sha_invariant(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("text_sha256")
+        )
+
+    q["rel_sha_invariant"] = rel_sha_invariant
+
+    def rel_sentences_words(spark, sf):
+        from graphrag_rs_spark.operators.chunking import sentences_col, word_count_col
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.size(sentences_col(F.col("text"))).alias("n_sentences"),
+            word_count_col(F.col("text")).alias("n_words"),
+        )
+
+    q["rel_sentences_words"] = rel_sentences_words
+
+    def rel_tfidf_topk(spark, sf):
+        docs = _docs(spark, sf)
+        n_docs = docs.count()
+        terms = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+        ).where(F.col("term") != "")
+        tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+            F.count("*").alias("df")
+        )
+        scored = tf.join(df, "term").withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+            .select("doc_id", "term", "tfidf", "rank")
+        )
+
+    q["rel_tfidf_topk"] = rel_tfidf_topk
+
+    def rel_rrf_fusion(spark, sf):
+        docs = _docs(spark, sf)
+        w1 = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        w2 = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        ranked = docs.select(
+            "doc_id",
+            F.row_number().over(w1).alias("rank_len"),
+            F.row_number().over(w2).alias("rank_short"),
+        )
+        rrf = F.round(
+            1.0 / (60 + F.col("rank_len")) + 1.0 / (60 + F.col("rank_short")), 6
+        )
+        return ranked.select("doc_id", rrf.alias("rrf")).orderBy(
+            F.col("rrf").desc(), F.col("doc_id")
+        ).limit(50)
+
+    q["rel_rrf_fusion"] = rel_rrf_fusion
+
+    def rel_bm25(spark, sf):
+        from graphrag_rs_spark.operators.bm25 import bm25_scores
+
+        return bm25_scores(
+            _docs(spark, sf).select("doc_id", F.col("text")),
+            query_terms=["spark", "window"],
+        )
+
+    q["rel_bm25"] = rel_bm25
+
+    def rel_events_window(spark, sf):
+        e = _t(spark, sf, "events")
+        minute = F.date_trunc("minute", F.col("ts"))
+        return (
+            e.groupBy(F.col("event_type"), minute.alias("m"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                "event_type",
+                F.unix_timestamp("m").cast("long").alias("minute_epoch"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    q["rel_events_window"] = rel_events_window
+
+    def rel_events_sessionize(spark, sf):
+        e = _t(spark, sf, "events").select("user_id", "ts")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 300), F.lit(1)).otherwise(F.lit(0)),
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+
+    q["rel_events_sessionize"] = rel_events_sessionize
+
+    # === training-data ops ===
+
+    def dedup_exact(spark, sf):
+        from graphrag_rs_spark.operators.dedup import exact_duplicates
+
+        return exact_duplicates(_docs(spark, sf), text_col="text", id_col="doc_id")
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf):
+        from graphrag_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            _docs(spark, sf), text_col="text", id_col="doc_id",
+            shingle_size=3, threshold=0.5,
+        )
+        return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_minhash(spark, sf):
+        from graphrag_rs_spark.operators.dedup import minhash_lsh_duplicates
+
+        pairs = minhash_lsh_duplicates(
+            _docs(spark, sf), text_col="text", id_col="doc_id", threshold=0.5
+        )
+        return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+    q["dedup_minhash"] = dedup_minhash
+
+    def dedup_simhash(spark, sf):
+        from graphrag_rs_spark.operators.dedup import simhash_duplicates
+
+        return simhash_duplicates(
+            _docs(spark, sf), text_col="text", id_col="doc_id", max_hamming=8
+        )
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def ann_cosine_topk(spark, sf):
+        from graphrag_rs_spark.operators.similarity import cosine_topk_bruteforce
+
+        # cast to double so Spark and the DuckDB oracle accumulate in the
+        # same precision (float32 sums diverge in the 3rd decimal and can
+        # flip near-tie ranks)
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        topk = cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") < 20), k=5
+        )
+        return topk.select(
+            "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+        )
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):
+        from graphrag_rs_spark.operators.similarity import cosine_topk_lsh
+
+        emb = _t(spark, sf, "embeddings")
+        return cosine_topk_lsh(emb, dim=64, k=5).select(
+            "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+        )
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def text_token_counts(spark, sf):
+        from graphrag_rs_spark.operators.textstats import token_count_col
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            token_count_col(F.col("text"), "whitespace").alias("ws_tokens"),
+            token_count_col(F.col("text"), "bpe_ish").alias("bpe_tokens"),
+        )
+
+    q["text_token_counts"] = text_token_counts
+
+    def text_quality(spark, sf):
+        # integer-exact variant of operators/textstats.quality_features:
+        # the oracle comparison hashes values exactly, and double-rounding
+        # diverges between engines at .5 boundaries — so the checked
+        # artifact keeps raw integer counts + a basis-point score computed
+        # with pure integer arithmetic (identical in any engine). The
+        # double-scoring operator itself is covered by pytest.
+        t = F.col("text")
+        n_chars = F.length(t)
+        toks = F.split(F.trim(t), r"\s+")
+        n_words = F.when(F.trim(t) == "", 0).otherwise(F.size(toks)).cast("long")
+        n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+        n_digit = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
+        en = F.array(*[F.lit(w) for w in
+                       "the a of and to in is it you that was for on are with as at be this".split()])
+        word_toks = F.filter(F.split(F.lower(F.trim(t)), r"[^a-zA-Z0-9']+"), lambda x: x != "")
+        stop_hits = F.size(F.filter(word_toks, lambda x: F.array_contains(en, x))).cast("long")
+        counts = _docs(spark, sf).select(
+            "doc_id", n_chars.cast("long").alias("n_chars"), n_words.alias("n_words"),
+            n_punct.alias("n_punct"), n_digit.alias("n_digit"),
+            stop_hits.alias("stop_hits"),
+        )
+        # `div` = exact integer division in both Spark SQL and the oracle
+        return counts.withColumn(
+            "score_bp",
+            F.expr(
+                "40 * least(n_words, 100) "
+                "+ (least(stop_hits * 9000, greatest(n_words,1) * 3000) div greatest(n_words,1)) "
+                "+ 3000 "
+                "- ((least(n_punct * 5 + n_digit * 2, greatest(n_chars,1)) * 3000) div greatest(n_chars,1))"
+            ),
+        )
+
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):
+        from graphrag_rs_spark.operators.textstats import language_id_col
+
+        return _docs(spark, sf).select(
+            "doc_id", language_id_col(F.col("text")).alias("lang_pred")
+        )
+
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf):
+        from graphrag_rs_spark.operators.textstats import fingerprint_col
+
+        return _docs(spark, sf).select(
+            "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+        )
+
+    q["text_fingerprint"] = text_fingerprint
+
+    def mm_image_features(spark, sf):
+        from graphrag_rs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_image_features,
+        )
+
+        media = _docs(spark, sf).where(F.col("doc_id") < 100).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.lit("png").alias("format"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.lit(64).cast("long").alias("width"),
+            F.lit(64).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+        feats = extract_image_features(spark.createDataFrame(media.collect(), MEDIA_SCHEMA))
+        return feats.select("media_id", F.size("feature").alias("dim"), "decode_ok")
+
+    q["mm_image_features"] = mm_image_features
+
+    return q
+
+
+# ----------------------------------------------------------- oracle SQL --
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gaz_values = ", ".join(f"('{w}')" for w in GAZETTEER)
+    gaz_cte = f"gaz(name) AS (VALUES {gaz_values})"
+
+    sql: dict[str, str] = {}
+
+    sql["kg_gazetteer_mentions"] = f"""
+        WITH {gaz_cte}
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               'CONCEPT_' || g.name AS entity_id,
+               g.name AS name,
+               'CONCEPT' AS entity_type
+        FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ORDER BY doc_id, entity_id
     """
-    return {}
+
+    sql["kg_cooccurrence_triples"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        )
+        SELECT a.eid AS subj, 'RELATED_TO' AS pred, b.eid AS obj,
+               0.5 AS confidence, COUNT(*) AS n_context
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+        GROUP BY a.eid, b.eid
+    """
+
+    sql["kg_entity_rollup"] = f"""
+        WITH {gaz_cte}
+        SELECT 'CONCEPT_' || g.name AS entity_id, 'CONCEPT' AS entity_type,
+               COUNT(DISTINCT d.doc_id) AS doc_frequency
+        FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        GROUP BY g.name
+    """
+
+    sql["kg_normalize"] = """
+        SELECT c_custkey,
+               trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g')) AS norm_name
+        FROM customer
+    """
+
+    sql["kg_levenshtein_pairs"] = """
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS lev
+        FROM nation a, nation b
+        WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 4
+    """
+
+    sql["kg_jaccard_types"] = """
+        WITH t AS (
+            SELECT DISTINCT p_type, list_distinct(string_split(p_type, ' ')) AS toks
+            FROM part
+        )
+        SELECT a.p_type AS type_a, b.p_type AS type_b,
+               round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        FROM t a, t b
+        WHERE a.p_type < b.p_type
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    """
+
+    sql["kg_window_canonical"] = """
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """
+
+    sql["rel_filter_pushdown"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 2) AS net_price
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_quantity < 10 AND l_returnflag = 'R'
+    """
+
+    sql["rel_agg_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["rel_join_star"] = """
+        SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["rel_pair_selfjoin"] = """
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """
+
+    sql["rel_window_topk"] = """
+        SELECT o_custkey, o_orderkey, rank FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders
+        ) WHERE rank <= 3
+    """
+
+    sql["rel_semijoin"] = """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        GROUP BY p_brand
+    """
+
+    sql["rel_antijoin"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+    sql["rel_dedupe_merge"] = """
+        SELECT l_orderkey, round(max(l_extendedprice), 2) AS max_price,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """
+
+    sql["rel_set_ops"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    """
+
+    sql["rel_sha_invariant"] = """
+        SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+    """
+
+    sql["rel_sentences_words"] = """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '[.!?]'),
+                               s -> trim(s) != '')) AS n_sentences,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words
+        FROM documents
+    """
+
+    sql["rel_tfidf_topk"] = """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ), t2 AS (SELECT * FROM terms WHERE term != ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 3 AND doc_id < 50
+    """
+
+    sql["rel_rrf_fusion"] = """
+        WITH ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank_len,
+                   row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank_short
+            FROM documents
+        )
+        SELECT doc_id, round(1.0/(60+rank_len) + 1.0/(60+rank_short), 6) AS rrf
+        FROM ranked
+        ORDER BY rrf DESC, doc_id LIMIT 50
+    """
+
+    sql["rel_bm25"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t != '') AS tokens
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+        q(term) AS (VALUES ('spark'), ('window')),
+        tf AS (
+            SELECT t.doc_id, q.term, len(t.tokens) AS dl,
+                   len(list_filter(t.tokens, x -> x = q.term)) AS tf
+            FROM toks t CROSS JOIN q
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term)
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+        WHERE tf.tf > 0
+        GROUP BY tf.doc_id
+    """
+
+    sql["rel_events_window"] = """
+        SELECT event_type,
+               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_epoch,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type, date_trunc('minute', ts)
+    """
+
+    sql["rel_events_sessionize"] = """
+        WITH g AS (
+            SELECT user_id, ts,
+                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events
+        )
+        SELECT user_id,
+               sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+
+    sql["dedup_exact"] = """
+        WITH h AS (SELECT doc_id AS id, sha256(text) AS h FROM documents),
+        g AS (SELECT h, min(id) AS dup_group_id, count(*) AS group_size FROM h GROUP BY h)
+        SELECT h.id, g.dup_group_id, g.group_size FROM h JOIN g USING (h)
+    """
+
+    sql["dedup_ngram_jaccard"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t != '') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM base a, base b WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+        FROM pairs WHERE jaccard >= 0.5
+    """
+
+    sql["ann_cosine_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.emb, c.emb) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                                c.vec_id ASC) AS rank
+            FROM e q, e c
+            WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        ) WHERE rank <= 5
+    """
+
+    sql["text_token_counts"] = """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    """
+
+    sql["text_quality"] = """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(len(list_filter(
+                       list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                                   t -> t != ''),
+                       t -> list_contains(['the','a','of','and','to','in','is','it','you','that',
+                                           'was','for','on','are','with','as','at','be','this'], t)
+                   )) AS BIGINT) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_words, n_punct, n_digit, stop_hits,
+               40 * least(n_words, 100)
+               + (least(stop_hits * 9000, greatest(n_words,1) * 3000) // greatest(n_words,1))
+               + 3000
+               - ((least(n_punct * 5 + n_digit * 2, greatest(n_chars,1)) * 3000) // greatest(n_chars,1))
+               AS score_bp
+        FROM f
+    """
+
+    return sql

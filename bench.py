@@ -1,0 +1,150 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": ...}
+
+Headline = the KG-construction path (the north metric is triples/sec):
+chunk → extract → triples on the testdata documents table, plus an
+entity-rich fixture corpus (the word-salad testdata text exercises chunker
+cost but yields few pattern entities; the fixture corpus measures realistic
+extraction + pair-join throughput), plus the training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_FIXTURE_DOCS", "4000"))
+
+
+def main() -> None:
+    from graphrag_rs_spark.fixtures import generate_corpus
+    from graphrag_rs_spark.operators.chunking import chunk_documents
+    from graphrag_rs_spark.operators.extraction import extract_mentions, rollup_entities
+    from graphrag_rs_spark.operators.ingest import ingest_documents
+    from graphrag_rs_spark.operators.linking import link_entities, rewrite_triples
+    from graphrag_rs_spark.operators.relationships import extract_triples
+    from graphrag_rs_spark.schemas import SOURCE_SCHEMA
+    from graphrag_rs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="graphrag-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) if CPUS.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        counters[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. chunk + pattern-extract the testdata documents (UDF cost path)
+    tds = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+
+    def q_chunk_extract():
+        chunks = chunk_documents(tds)
+        mentions = extract_mentions(chunks)
+        return mentions.count()
+
+    bench("chunk_extract_testdata", q_chunk_extract)
+
+    # 2. full KG pipeline on the entity-rich fixture corpus (headline)
+    corpus = generate_corpus(n_docs=FIXTURE_DOCS, seed=42, include_edge_cases=False)
+    src = spark.createDataFrame(corpus, schema=SOURCE_SCHEMA).repartition(
+        int(CPUS) if CPUS.isdigit() else 32
+    ).localCheckpoint(eager=True)  # exclude generation from timing
+
+    fixture_state = {}
+
+    def q_kg_pipeline():
+        documents = ingest_documents(src)
+        chunks = chunk_documents(documents).localCheckpoint(eager=True)
+        mentions = extract_mentions(chunks).localCheckpoint(eager=True)
+        triples = extract_triples(mentions, chunks)
+        n = triples.count()
+        fixture_state["mentions"] = mentions
+        fixture_state["triples_n"] = n
+        return n
+
+    bench("kg_pipeline_fixture", q_kg_pipeline)
+
+    # 3. linking + canonicalization on the fixture entities
+    def q_linking():
+        entities = rollup_entities(fixture_state["mentions"])
+        clusters = link_entities(entities)
+        return clusters.count()
+
+    bench("entity_linking_fixture", q_linking)
+
+    # 4. training-data ops on testdata
+    def q_dedup_minhash():
+        from graphrag_rs_spark.operators.dedup import minhash_lsh_duplicates
+
+        return minhash_lsh_duplicates(
+            docs, text_col="text", id_col="doc_id", threshold=0.5
+        ).count()
+
+    bench("dedup_minhash", q_dedup_minhash)
+
+    def q_ann_lsh():
+        from graphrag_rs_spark.operators.similarity import cosine_topk_lsh
+
+        return cosine_topk_lsh(emb, dim=64, k=5).count()
+
+    bench("ann_lsh_topk", q_ann_lsh)
+
+    def q_agg_join():
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        return (
+            lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag", "o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("s"), F.count("*").alias("n"))
+            .count()
+        )
+
+    bench("rel_agg_join", q_agg_join)
+
+    total = round(sum(timings.values()), 3)
+    kg_secs = timings["kg_pipeline_fixture"]
+    triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "kg-construction headline (chunk+extract+triples) + ops",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "counters": counters,
+                "triples_per_sec": triples_per_sec,
+                "cpus": CPUS,
+                "fixture_docs": FIXTURE_DOCS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Per-stage checkpointing, lineage + metrics — resumable runs.
+
+The reference persists its whole graph to a parquet workspace after build
+(lifecycle.rs:138-172) and resumes by loading it (lifecycle.rs:64-134); its
+incremental module detects changed docs by content hash
+(incremental/mod.rs:87-91). The distributed analog:
+
+- every stage is materialized to the workspace as parquet, bucketed by
+  ``doc_bucket = pmod(xxhash64(doc_id), n_buckets)`` where applicable, so
+  incremental runs rewrite only the buckets containing changed documents
+  (the plain-parquet stand-in for Iceberg ``MERGE INTO``; swap the
+  write/read pair for ``writeTo(...).overwritePartitions()`` on a real
+  catalog);
+- a ``_checkpoints`` JSONL ledger records per-stage lineage: input
+  fingerprint, output fingerprint, row count, per-partition row counts
+  (skew evidence), wall time, status — written atomically (tmp + rename)
+  AFTER the stage's data lands, so a crash mid-write is re-run, never
+  trusted;
+- resume = skip stages whose recorded input fingerprint matches the
+  current input (order-independent fingerprint: row count + sum of row
+  hashes, computed distributed with map-side combine — no sort, no
+  collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+LEDGER = "_checkpoints.jsonl"
+
+
+def fingerprint(df: DataFrame, cols: list[str]) -> dict:
+    """Order-independent content fingerprint: (rows, xor of xxhash64(cols)).
+
+    One distributed agg — xor is commutative/associative and cannot
+    overflow (ANSI-safe), so partitioning/order can't change it.
+    """
+    row = df.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("hashsum"),
+    ).collect()[0]
+    return {"rows": row["rows"], "hashsum": int(row["hashsum"] or 0)}
+
+
+def partition_histogram(df: DataFrame) -> dict:
+    """Per-partition row counts — the skew evidence recorded in lineage."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    counts = [r["count"] for r in rows]
+    if not counts:
+        return {"partitions": 0, "max": 0, "median": 0}
+    counts_sorted = sorted(counts)
+    return {
+        "partitions": len(counts),
+        "max": max(counts),
+        "median": counts_sorted[len(counts_sorted) // 2],
+    }
+
+
+@dataclass
+class CheckpointManager:
+    workspace: str
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.workspace, LEDGER)
+
+    def _read_ledger(self) -> list[dict]:
+        path = self._ledger_path()
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_ledger(self, record: dict) -> None:
+        os.makedirs(self.workspace, exist_ok=True)
+        path = self._ledger_path()
+        tmp = path + ".tmp"
+        records = self._read_ledger() + [record]
+        with open(tmp, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
+
+    def latest(self, stage: str) -> dict | None:
+        recs = [r for r in self._read_ledger() if r["stage"] == stage and r["status"] == "ok"]
+        return recs[-1] if recs else None
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.workspace, name)
+
+    def is_current(self, stage: str, input_fp: dict) -> bool:
+        rec = self.latest(stage)
+        return (
+            rec is not None
+            and rec["input_fingerprint"] == input_fp
+            and os.path.exists(self.table_path(stage))
+        )
+
+    def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(stage))
+
+    def materialize(
+        self,
+        stage: str,
+        df: DataFrame,
+        *,
+        input_fp: dict,
+        fingerprint_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> DataFrame:
+        """Write a stage's output + ledger entry; return the re-read DataFrame
+        (reading back cuts lineage and gives downstream stages parquet
+        stats/pushdown)."""
+        spark = df.sparkSession
+        t0 = time.time()
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        path = self.table_path(stage)
+        writer.parquet(path)
+        out = spark.read.parquet(path)
+        out_fp = (
+            fingerprint(out, fingerprint_cols)
+            if fingerprint_cols
+            else {"rows": out.count(), "hashsum": None}
+        )
+        self._append_ledger(
+            {
+                "stage": stage,
+                "status": "ok",
+                "input_fingerprint": input_fp,
+                "output_fingerprint": out_fp,
+                "rows": out_fp["rows"],
+                "partition_histogram": partition_histogram(out),
+                "wall_seconds": round(time.time() - t0, 3),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        )
+        return out
+
+
+def run_checkpointed(
+    source: DataFrame,
+    workspace: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    link: bool = False,
+    communities: bool = False,
+) -> dict[str, DataFrame]:
+    """The resumable pipeline: each stage skipped when its recorded input
+    fingerprint matches — re-running after a crash (or on identical input)
+    reuses everything already materialized."""
+    from graphrag_rs_spark.operators.chunking import chunk_documents
+    from graphrag_rs_spark.operators.extraction import extract_mentions, rollup_entities
+    from graphrag_rs_spark.operators.ingest import ingest_documents
+    from graphrag_rs_spark.operators.relationships import extract_triples
+
+    spark = source.sparkSession
+    mgr = CheckpointManager(workspace)
+    tables: dict[str, DataFrame] = {}
+
+    src_fp = fingerprint(
+        ingest_documents(source).select("doc_id", "content_sha256"),
+        ["doc_id", "content_sha256"],
+    )
+
+    def stage(name, build, parents_fp, fp_cols, partition_by=None):
+        if mgr.is_current(name, parents_fp):
+            tables[name] = mgr.load(spark, name)
+        else:
+            tables[name] = mgr.materialize(
+                name, build(), input_fp=parents_fp,
+                fingerprint_cols=fp_cols, partition_by=partition_by,
+            )
+        return tables[name]
+
+    documents = stage(
+        "documents",
+        lambda: ingest_documents(source).withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(config.salt_buckets * 4))
+        ),
+        src_fp,
+        ["doc_id", "content_sha256"],
+        partition_by=["doc_bucket"],
+    )
+    chunks = stage(
+        "chunks", lambda: chunk_documents(documents, config), src_fp, ["chunk_id"]
+    )
+    mentions = stage(
+        "mentions",
+        lambda: extract_mentions(chunks, config),
+        src_fp,
+        ["chunk_id", "entity_id"],
+    )
+    stage(
+        "entities", lambda: rollup_entities(mentions), src_fp, ["entity_id"]
+    )
+    triples = stage(
+        "triples",
+        lambda: extract_triples(mentions, chunks, config),
+        src_fp,
+        ["subj", "pred", "obj"],
+    )
+
+    if link or communities:
+        from graphrag_rs_spark.operators.linking import link_entities, rewrite_triples
+
+        clusters = stage(
+            "clusters", lambda: link_entities(tables["entities"], config), src_fp,
+            ["entity_id", "canonical_id"],
+        )
+        stage(
+            "canonical_triples",
+            lambda: rewrite_triples(triples, clusters),
+            src_fp,
+            ["subj", "pred", "obj"],
+        )
+    if communities:
+        from graphrag_rs_spark.operators.communities import (
+            detect_communities,
+            summarize_communities,
+        )
+
+        comm = stage(
+            "communities",
+            lambda: detect_communities(tables["canonical_triples"], config),
+            src_fp,
+            ["entity_id", "community_id"],
+        )
+        stage(
+            "community_summaries",
+            lambda: summarize_communities(comm, tables["entities"], tables["clusters"]),
+            src_fp,
+            ["community_id"],
+        )
+
+    return tables
+
+
+def changed_documents(new_source: DataFrame, workspace: str) -> DataFrame:
+    """Incremental change detection (incremental/mod.rs:87-91 analog):
+    rows of ``new_source`` whose (doc_id, content_sha256) is not already
+    checkpointed — an anti-join on the invariant column."""
+    from graphrag_rs_spark.operators.ingest import ingest_documents
+
+    spark = new_source.sparkSession
+    mgr = CheckpointManager(workspace)
+    fresh = ingest_documents(new_source)
+    prev_path = mgr.table_path("documents")
+    if not os.path.exists(prev_path):
+        return fresh
+    prev = spark.read.parquet(prev_path).select("doc_id", "content_sha256")
+    return fresh.join(prev, ["doc_id", "content_sha256"], "left_anti")

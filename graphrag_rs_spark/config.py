@@ -46,7 +46,6 @@ class PipelineConfig:
     # distributed-execution knobs (no analog in the single-process reference)
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 256
-    cc_checkpoint_every: int = 3      # localCheckpoint cadence for iterative kernels
     salt_buckets: int = 8             # skew salting for hot keys in two-phase aggs
 
     extra: dict = field(default_factory=dict, compare=False)

@@ -64,7 +64,20 @@ def extract_mentions(
                     rows["mention_offsets"].append(
                         [{"start_offset": s, "end_offset": t} for s, t in e["mentions"]]
                     )
-            yield pd.DataFrame(rows)
+            # explicit dtypes: an empty batch would otherwise default to
+            # float64 columns, which Arrow can't map onto list<struct>
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pd.Series(rows["chunk_id"], dtype="string"),
+                    "doc_id": pd.Series(rows["doc_id"], dtype="string"),
+                    "entity_id": pd.Series(rows["entity_id"], dtype="string"),
+                    "name": pd.Series(rows["name"], dtype="string"),
+                    "entity_type": pd.Series(rows["entity_type"], dtype="string"),
+                    "confidence": pd.Series(rows["confidence"], dtype="float32"),
+                    "n_mentions": pd.Series(rows["n_mentions"], dtype="int64"),
+                    "mention_offsets": pd.Series(rows["mention_offsets"], dtype="object"),
+                }
+            )
 
     return chunks.select("chunk_id", "doc_id", "content").mapInPandas(
         extract_batches, schema=MENTIONS_SCHEMA

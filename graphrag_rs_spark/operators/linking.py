@@ -1,0 +1,244 @@
+"""L1-L12: entity linking & canonicalization — blocking + scoring + CC.
+
+The reference links entities with a greedy O(n²) single-pass sweep
+(string_similarity_linker.rs:68-124) — explicitly NOT portable to scale
+(SURVEY §4). The Spark-first re-expression:
+
+1. **normalize** names with native column fns (linker :167-184 semantics)
+2. **block** candidate pairs instead of the n² cross join: a pair is a
+   candidate if it shares (entity_type, blocking-key) for any of
+   - a name token            (catches jaccard & multi-word jaro-winkler)
+   - soundex(first token)    (catches typo/phonetic variants, native F.soundex)
+   - normalized 4-char prefix (catches levenshtein≤2 edits beyond position 4
+     and jaro-winkler prefix-heavy matches)
+   Hot blocks are capped (``max_block_size``): a token shared by thousands
+   of entities ("the") can't discriminate, and dropping it bounds the pair
+   fan-out per key — the skew guard the north rule asks for.
+3. **score** pairs: native ``F.levenshtein`` (gated at max_edit_distance=2),
+   token jaccard via array intersect/union, jaro-winkler via an
+   Arrow-batched pandas UDF (no native fn), combined with ``F.greatest``
+   and the exact-normalized-match shortcut (linker :137-165: max-combiner).
+4. **cluster**: edges at sim ≥ min_similarity (default 0.85) → hashmin
+   connected components (operators/cc.py). CC merges transitive chains the
+   reference's greedy order-dependent sweep may split — an accepted,
+   documented deviation (SURVEY §7); thresholds make chains rare.
+5. **canonical selection**: per cluster, the max-confidence member, ties
+   broken by entity_id for determinism (linker :101-117 picks max
+   confidence with unstable ties).
+6. **triple rewrite** (L12): broadcast-join the id→canonical map onto subj
+   and obj, re-sort the pair, re-dedupe.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphrag_rs_spark.operators.cc import connected_components
+
+
+def normalized_name_col(name):
+    """Native-fn normalization matching kernel.linking.normalize_string."""
+    lowered = F.lower(name)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler (no native Spark function)."""
+    from graphrag_rs_spark.kernel.linking import jaro_winkler_similarity
+
+    return pd.Series(
+        [
+            jaro_winkler_similarity(a or "", b or "")
+            for a, b in zip(s1.tolist(), s2.tolist())
+        ],
+        dtype="float64",
+    )
+
+
+def candidate_pairs(
+    entities: DataFrame, *, max_block_size: int = 100
+) -> DataFrame:
+    """Blocked candidate generation: (id_a, norm_a, conf_a, id_b, ...) pairs
+    with id_a < id_b sharing any (entity_type, key) block."""
+    base = entities.select(
+        "entity_id",
+        "entity_type",
+        "confidence",
+        normalized_name_col(F.col("name")).alias("norm"),
+    )
+
+    tokens = base.select(
+        "entity_id", "entity_type", "confidence", "norm",
+        F.explode(F.split(F.col("norm"), " ")).alias("key_raw"),
+    ).select(
+        "entity_id", "entity_type", "confidence", "norm",
+        F.concat(F.lit("tok:"), F.col("key_raw")).alias("key"),
+    )
+    sdx = base.select(
+        "entity_id", "entity_type", "confidence", "norm",
+        F.concat(F.lit("sdx:"), F.soundex(F.split(F.col("norm"), " ").getItem(0))).alias("key"),
+    )
+    prefix = base.select(
+        "entity_id", "entity_type", "confidence", "norm",
+        F.concat(F.lit("pre:"), F.substring(F.col("norm"), 1, 4)).alias("key"),
+    )
+    keyed = tokens.unionByName(sdx).unionByName(prefix).where(F.col("key").isNotNull())
+
+    # hot-block guard: drop keys with more members than max_block_size
+    block_sizes = keyed.groupBy("entity_type", "key").count()
+    keyed = keyed.join(
+        F.broadcast(
+            block_sizes.where(F.col("count") > max_block_size).select("entity_type", "key")
+        ),
+        ["entity_type", "key"],
+        "left_anti",
+    )
+
+    a = keyed.select(
+        "entity_type", "key",
+        F.col("entity_id").alias("id_a"), F.col("norm").alias("norm_a"),
+        F.col("confidence").alias("conf_a"),
+    )
+    b = keyed.select(
+        "entity_type", "key",
+        F.col("entity_id").alias("id_b"), F.col("norm").alias("norm_b"),
+        F.col("confidence").alias("conf_b"),
+    )
+    return (
+        a.join(b, ["entity_type", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("key")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def score_pairs(
+    pairs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Max-combiner similarity scoring (linker :127-165) on candidate pairs."""
+    na, nb = F.col("norm_a"), F.col("norm_b")
+    lev_dist = F.levenshtein(na, nb)
+    max_len = F.greatest(F.length(na), F.length(nb))
+    lev_sim = F.when(
+        lev_dist > config.link_max_edit_distance, F.lit(0.0)
+    ).otherwise(
+        F.when(max_len == 0, F.lit(1.0)).otherwise(
+            1.0 - lev_dist.cast("double") / max_len.cast("double")
+        )
+    )
+
+    ta = F.array_distinct(F.split(na, " "))
+    tb = F.array_distinct(F.split(nb, " "))
+    union_sz = F.size(F.array_union(ta, tb))
+    jac_sim = F.when(union_sz == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(ta, tb)).cast("double") / union_sz.cast("double")
+    )
+
+    jw_sim = jaro_winkler_udf(na, nb)
+
+    metrics = [jw_sim, jac_sim]
+    if config.link_fuzzy_matching:
+        metrics.append(lev_sim)
+    if config.link_use_phonetic:
+        metrics.append(
+            F.when(F.soundex(na) == F.soundex(nb), F.lit(0.9)).otherwise(F.lit(0.0))
+        )
+
+    sim = F.when(na == nb, F.lit(1.0)).otherwise(F.greatest(*metrics))
+    return pairs.withColumn("similarity", sim)
+
+
+def link_entities(
+    entities: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """entities → clusters(entity_id, canonical_id, cluster_id).
+
+    Every entity appears exactly once; unlinked entities are their own
+    canonical (cluster of one).
+    """
+    pairs = candidate_pairs(entities)
+    scored = score_pairs(pairs, config)
+    edges = scored.where(F.col("similarity") >= config.link_min_similarity).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+
+    comp = connected_components(
+        edges,
+        vertices=entities.select(F.col("entity_id").alias("id")),
+    )
+
+    # canonical member: max confidence, ties by entity_id (deterministic)
+    w = Window.partitionBy("component").orderBy(
+        F.col("confidence").desc(), F.col("entity_id").asc()
+    )
+    ranked = (
+        comp.join(entities.select("entity_id", "confidence"),
+                  comp["id"] == F.col("entity_id"))
+        .select("entity_id", "component", "confidence")
+        .withColumn("rank", F.row_number().over(w))
+    )
+    canon = ranked.where(F.col("rank") == 1).select(
+        F.col("component"), F.col("entity_id").alias("canonical_id")
+    )
+    return (
+        ranked.join(canon, "component")
+        .select(
+            "entity_id",
+            "canonical_id",
+            F.col("component").alias("cluster_id"),
+        )
+    )
+
+
+def rewrite_triples(triples: DataFrame, clusters: DataFrame) -> DataFrame:
+    """L12: remap triples onto canonical ids and re-dedupe.
+
+    The id→canonical map is cluster-sized (small relative to triples) —
+    broadcast both joins; then re-canonicalize pair order and merge
+    context/confidence. Self-loops created by canonicalization (two linked
+    entities co-occurring) are dropped.
+    """
+    cmap = F.broadcast(clusters.select("entity_id", "canonical_id"))
+    t = (
+        triples.join(
+            cmap.withColumnRenamed("entity_id", "subj").withColumnRenamed(
+                "canonical_id", "subj_canon"
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            cmap.withColumnRenamed("entity_id", "obj").withColumnRenamed(
+                "canonical_id", "obj_canon"
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("subj_canon", "subj").alias("s"),
+            F.col("pred"),
+            F.coalesce("obj_canon", "obj").alias("o"),
+            "confidence",
+            "context_chunk_ids",
+        )
+        .where(F.col("s") != F.col("o"))
+        .select(
+            F.least("s", "o").alias("subj"),
+            "pred",
+            F.greatest("s", "o").alias("obj"),
+            "confidence",
+            "context_chunk_ids",
+        )
+    )
+    return t.groupBy("subj", "pred", "obj").agg(
+        F.max("confidence").alias("confidence"),
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("context_chunk_ids")))
+        ).alias("context_chunk_ids"),
+    )

@@ -1,0 +1,102 @@
+"""PageRank, TF-IDF keywords, code-aware chunking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.kernel.chunking import chunk_text
+from graphrag_rs_spark.operators.code_chunking import split_code
+
+
+def test_pagerank_star(spark):
+    from graphrag_rs_spark.operators.pagerank import pagerank
+
+    # star: everyone points at hub → hub gets the highest rank
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub", 1.0) for i in range(5)], ["src", "dst", "weight"]
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, max_iterations=30).collect()}
+    assert ranks["hub"] == max(ranks.values())
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_uniform_cycle(spark):
+    from graphrag_rs_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)], ["src", "dst", "weight"]
+    )
+    ranks = [r["rank"] for r in pagerank(edges).collect()]
+    assert all(r == pytest.approx(1 / 3, abs=1e-4) for r in ranks)
+
+
+def test_tfidf_keywords(spark):
+    from graphrag_rs_spark.operators.keywords import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common common apple apple apple"),
+            (3, "common banana"),
+        ],
+        ["doc_id", "content"],
+    )
+    kw = tfidf_keywords(docs, top_k=1).collect()
+    best = {r["doc_id"]: r["keyword"] for r in kw}
+    assert best[1] == "zebra"
+    assert best[2] == "apple"
+    assert best[3] == "banana"  # 'common' has df=3 → idf=0
+
+
+def test_split_code_rust_items():
+    src = (
+        "/// doc comment\n"
+        "pub fn alpha(x: u32) -> u32 {\n    x + 1\n}\n\n"
+        "pub struct Beta {\n    pub id: u64,\n    name: String,\n    value: f64,\n}\n\n"
+        "impl Beta {\n    fn gamma(&self) -> u64 {\n        self.id\n    }\n}\n"
+    )
+    chunks = split_code(src, "rust", min_chunk_size=20)
+    assert len(chunks) == 3
+    assert chunks[0][1].startswith("/// doc comment")
+    assert "pub struct Beta" in chunks[1][1]
+    assert chunks[2][1].startswith("impl Beta")
+    # offsets slice back
+    for _, content, s, e in chunks:
+        assert src[s:e] == content
+
+
+def test_split_code_no_boundaries_single_chunk():
+    text = "just some text without items"
+    assert split_code(text, "rust") == [(0, text, 0, len(text))]
+
+
+def test_split_code_fallback_lang_uses_c1():
+    text = "Sentence one. " * 100
+    assert split_code(text, "unknown_lang") == chunk_text(text)
+
+
+def test_chunk_code_documents_dispatch(spark):
+    from graphrag_rs_spark.operators.code_chunking import chunk_code_documents
+
+    fn_a = "pub fn alpha(input: &str) -> usize {\n    input.split_whitespace().count()\n}\n\n"
+    fn_b = "pub fn beta(values: &[u64]) -> u64 {\n    values.iter().sum::<u64>()\n}\n"
+    rows = [
+        ("d1", "rust", fn_a + fn_b),
+        ("d2", "text", "Plain text. " * 100),
+        ("d3", "markdown",
+         "# Title\n\nSome introduction text that is long enough to stand alone here.\n\n"
+         "## Section\n\nMore body text that also clears the minimum chunk size limit.\n"),
+        ("d4", "rust", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "content"])
+    chunks = chunk_code_documents(df).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc["d1"]) == 2
+    assert len(by_doc["d2"]) >= 2
+    assert len(by_doc["d3"]) >= 2
+    assert "d4" not in by_doc
+    assert all(r["chunk_id"] == f"{r['doc_id']}_{i}" for d in by_doc.values()
+               for i, r in enumerate(sorted(d, key=lambda x: x["start_offset"])))

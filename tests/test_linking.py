@@ -1,0 +1,178 @@
+"""Entity linking: blocking completeness, scoring parity, CC clustering,
+canonical selection, triple rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import PipelineConfig
+from graphrag_rs_spark.operators.cc import connected_components
+from graphrag_rs_spark.operators.linking import (
+    candidate_pairs,
+    link_entities,
+    rewrite_triples,
+    score_pairs,
+)
+from graphrag_rs_spark.oracle.linker import cluster_pairs, link_entities_greedy
+from graphrag_rs_spark.schemas import ENTITIES_SCHEMA
+
+
+def _entities(spark, rows):
+    data = [
+        {
+            "entity_id": r[0],
+            "name": r[1],
+            "entity_type": r[2],
+            "confidence": float(r[3]),
+            "mention_count": 1,
+        }
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schema=ENTITIES_SCHEMA)
+
+
+REF_CASES = [
+    # typo-tolerant canonical match (string_similarity_linker.rs:528-562)
+    ("PERSON_jonsmith", "Jon Smith", "PERSON", 0.9),
+    ("PERSON_jhonsmith", "Jhon Smith", "PERSON", 0.7),
+    # exact-after-normalization (ACME Corp. vs acme corp, :520-525)
+    ("ORGANIZATION_acmecorp", "ACME Corp.", "ORGANIZATION", 0.95),
+    ("ORGANIZATION_acmecorp2", "acme corp", "ORGANIZATION", 0.6),
+    # near-dup locations (:564-613): "New York" vs "New York City"
+    ("LOCATION_newyork", "New York", "LOCATION", 0.9),
+    ("LOCATION_newyorkcity", "New York City", "LOCATION", 0.8),
+    # unrelated
+    ("PERSON_alicejohnson", "Alice Johnson", "PERSON", 0.8),
+    ("ORGANIZATION_initech", "Initech", "ORGANIZATION", 0.9),
+    # type gate: same name, different type must NOT link
+    ("PERSON_berlin", "Berlin", "PERSON", 0.6),
+    ("LOCATION_berlin", "Berlin", "LOCATION", 0.9),
+]
+
+
+def test_cc_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcxyz"], ["id"])
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("z", "z"),
+    }
+
+
+def test_cc_chain_converges(spark):
+    # long path exercises multiple supersteps + checkpoint cadence
+    n = 24
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(n)], ["src", "dst"]
+    )
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n + 1
+
+
+def test_blocking_catches_reference_pairs(spark):
+    ents = _entities(spark, REF_CASES)
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs(ents).collect()}
+    must_have = [
+        ("PERSON_jhonsmith", "PERSON_jonsmith"),
+        ("ORGANIZATION_acmecorp", "ORGANIZATION_acmecorp2"),
+        ("LOCATION_newyork", "LOCATION_newyorkcity"),
+    ]
+    for a, b in must_have:
+        assert (min(a, b), max(a, b)) in pairs
+
+
+def test_scoring_matches_kernel(spark):
+    from graphrag_rs_spark.kernel.linking import compute_similarity
+
+    ents = _entities(spark, REF_CASES)
+    scored = score_pairs(candidate_pairs(ents)).collect()
+    names = {r[0]: (r[1], r[2]) for r in REF_CASES}
+    for row in scored:
+        name_a, type_a = names[row["id_a"]]
+        name_b, type_b = names[row["id_b"]]
+        want = compute_similarity(name_a, name_b, type_a, type_b)
+        assert row["similarity"] == pytest.approx(want, abs=1e-6), (
+            row["id_a"], row["id_b"],
+        )
+
+
+def test_link_entities_matches_greedy_pair_f1(spark):
+    ents = _entities(spark, REF_CASES)
+    clusters = link_entities(ents).collect()
+    got_links = {
+        r["entity_id"]: r["canonical_id"]
+        for r in clusters
+        if r["entity_id"] != r["canonical_id"]
+    }
+    all_ids = [r[0] for r in REF_CASES]
+    golden_links = link_entities_greedy(
+        [
+            {"entity_id": r[0], "name": r[1], "entity_type": r[2], "confidence": r[3]}
+            for r in REF_CASES
+        ]
+    )
+    got_pairs = cluster_pairs(got_links, all_ids)
+    want_pairs = cluster_pairs(golden_links, all_ids)
+    # transitive-closure differences tolerated (FIXTURES.md §2); on this
+    # fixture there are none
+    assert got_pairs == want_pairs
+    # canonical = max-confidence member
+    canon = {r["entity_id"]: r["canonical_id"] for r in clusters}
+    assert canon["PERSON_jhonsmith"] == "PERSON_jonsmith"
+    assert canon["ORGANIZATION_acmecorp2"] == "ORGANIZATION_acmecorp"
+    # type gate held
+    assert canon["PERSON_berlin"] == "PERSON_berlin"
+    assert canon["LOCATION_berlin"] == "LOCATION_berlin"
+
+
+def test_every_entity_exactly_once(spark):
+    ents = _entities(spark, REF_CASES)
+    clusters = link_entities(ents)
+    assert clusters.count() == len(REF_CASES)
+    assert clusters.select("entity_id").distinct().count() == len(REF_CASES)
+
+
+def test_rewrite_triples(spark):
+    clusters = spark.createDataFrame(
+        [
+            ("PERSON_jhonsmith", "PERSON_jonsmith", "PERSON_jhonsmith"),
+            ("PERSON_jonsmith", "PERSON_jonsmith", "PERSON_jhonsmith"),
+            ("LOCATION_boston", "LOCATION_boston", "LOCATION_boston"),
+        ],
+        ["entity_id", "canonical_id", "cluster_id"],
+    )
+    triples = spark.createDataFrame(
+        [
+            ("PERSON_jhonsmith", "BORN_IN", "LOCATION_boston", 0.5, ["c1"]),
+            ("PERSON_jonsmith", "BORN_IN", "LOCATION_boston", 0.5, ["c2"]),
+            # self-loop after canonicalization → dropped
+            ("PERSON_jhonsmith", "KNOWS", "PERSON_jonsmith", 0.5, ["c3"]),
+        ],
+        ["subj", "pred", "obj", "confidence", "context_chunk_ids"],
+    )
+    got = rewrite_triples(triples, clusters).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["subj"], row["pred"], row["obj"]) == (
+        "LOCATION_boston", "BORN_IN", "PERSON_jonsmith",
+    )
+    assert sorted(row["context_chunk_ids"]) == ["c1", "c2"]
+
+
+def test_link_config_threshold(spark):
+    # at min_similarity=1.0 only exact-normalized matches link
+    ents = _entities(spark, REF_CASES)
+    cfg = PipelineConfig(link_min_similarity=1.0)
+    canon = {
+        r["entity_id"]: r["canonical_id"] for r in link_entities(ents, cfg).collect()
+    }
+    assert canon["ORGANIZATION_acmecorp2"] == "ORGANIZATION_acmecorp"  # exact after norm
+    assert canon["PERSON_jhonsmith"] == "PERSON_jhonsmith"  # typo no longer links

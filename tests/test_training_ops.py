@@ -1,0 +1,236 @@
+"""Training-data operators: dedup family, similarity search, text stats,
+multimodal plumbing — correctness on constructed cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicates(spark):
+    from graphrag_rs_spark.operators.dedup import exact_duplicates
+
+    df = _docs(spark, ["same text here", "same text here", "different"])
+    rows = {r["id"]: (r["dup_group_id"], r["group_size"]) for r in
+            exact_duplicates(df, "text", "doc_id").collect()}
+    assert rows[0] == (0, 2)
+    assert rows[1] == (0, 2)
+    assert rows[2] == (2, 1)
+
+
+def test_minhash_finds_near_dups(spark):
+    from graphrag_rs_spark.operators.dedup import minhash_lsh_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and shuffles " * 5
+    df = _docs(spark, [base, near, far])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_duplicates(df, "text", "doc_id", threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_agrees_with_exact_jaccard(spark):
+    from graphrag_rs_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    # 40 distinct base words; each doc changes one word → pairwise shingle
+    # jaccard ≈ 0.74, comfortably above threshold and inside LSH recall
+    texts = []
+    base_words = [f"word{k}" for k in range(40)]
+    for i in range(12):
+        words = list(base_words)
+        words[(i * 3) % len(words)] = f"variant{i}"
+        texts.append(" ".join(words))
+    df = _docs(spark, texts)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_duplicates(df, "text", "doc_id", threshold=0.6).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6,
+                                 max_block_size=10_000).collect()}
+    # LSH candidates are exact-verified → no false positives; recall high
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_near_identical(spark):
+    from graphrag_rs_spark.operators.dedup import simhash_duplicates
+
+    # simhash needs many distinct tokens for a stable signature: with few
+    # distinct words the per-bit sums sit near zero and single-token edits
+    # flip many bits. 200 distinct words, one changed → hamming stays small.
+    base = " ".join(f"tok{k}" for k in range(200))
+    near = base.replace("tok100", "changed", 1)
+    far = " ".join(f"other{k}" for k in range(200, 400))
+    df = _docs(spark, [base, near, far])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_duplicates(df, "text", "doc_id", max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_cosine_topk_bruteforce_exact(spark):
+    import numpy as np
+
+    from graphrag_rs_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    got = cosine_topk_bruteforce(df, k=3).collect()
+    # verify one query against numpy
+    q = 0
+    sims = vecs @ vecs[q] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[q]))
+    sims[q] = -2
+    want = list(np.argsort(-sims)[:3])
+    got_q = [r["neighbor_id"] for r in sorted(
+        (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+    )]
+    assert got_q == want
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 3 for v in by_query.values())
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    from graphrag_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    # clustered data so LSH buckets are meaningful
+    centers = rng.standard_normal((5, 16)) * 4
+    vecs = np.vstack([c + rng.standard_normal((12, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk_bruteforce(df, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              cosine_topk_lsh(df, dim=16, k=3, n_planes=8, n_tables=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_embedding_cosine_duplicates(spark):
+    from graphrag_rs_spark.operators.similarity import embedding_cosine_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_duplicates(df, dim=4, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_language_id(spark):
+    from graphrag_rs_spark.operators.textstats import language_id_col
+
+    df = _docs(spark, [
+        "the cat is on the mat and it is a good day for the park",
+        "el gato es un animal que vive en la casa de la familia",
+        "der Hund ist in dem Haus und die Katze ist auf dem Dach",
+        "xqz kvw pflm zzz qqq",
+    ])
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", language_id_col(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    from graphrag_rs_spark.operators.textstats import (
+        quality_features,
+        token_count_col,
+    )
+
+    df = _docs(spark, ["The quick brown fox, it is the best of the foxes!", ""])
+    qf = {r["doc_id"]: r for r in quality_features(df, "text").collect()}
+    assert qf[0]["n_words"] == 11
+    assert 0 < qf[0]["quality_score"] <= 1
+    assert qf[1]["n_words"] == 0
+    toks = df.select(
+        "doc_id",
+        token_count_col(F.col("text"), "whitespace").alias("ws"),
+        token_count_col(F.col("text"), "bpe_ish").alias("bpe"),
+    ).collect()
+    t0 = next(r for r in toks if r["doc_id"] == 0)
+    assert t0["ws"] == 11
+    assert t0["bpe"] == 13  # 11 words + comma + bang
+
+
+def test_fingerprint_props(spark):
+    from graphrag_rs_spark.operators.textstats import fingerprint_col
+
+    df = _docs(spark, ["a b c", "a  b   c", "c b a", "totally different words"])
+    fp = {r["doc_id"]: r["f"] for r in
+          df.select("doc_id", fingerprint_col(F.col("text")).alias("f")).collect()}
+    assert fp[0] == fp[1]      # whitespace-insensitive
+    assert fp[0] != fp[2]      # order-sensitive
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_features_and_frames(spark):
+    from graphrag_rs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    rows = [
+        ("img1", "image", "png", b"\x89PNG fake bytes", 32, 32, None),
+        ("img2", "image", "png", None, None, None, None),
+        ("vid1", "video", "mp4", b"\x00" * 256, None, None, 3500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_image_features(media, dim=16).collect()}
+    assert set(feats) == {"img1", "img2"}
+    assert len(feats["img1"]["feature"]) == 16
+    assert feats["img1"]["decode_ok"] == "ok"
+    # determinism: same payload → same feature
+    feats2 = {r["media_id"]: r for r in extract_image_features(media, dim=16).collect()}
+    assert feats["img1"]["feature"] == feats2["img1"]["feature"]
+
+    frames = sample_video_frames(media, every_ms=1000, max_frames=16).collect()
+    assert {r["media_id"] for r in frames} == {"vid1"}
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+
+
+def test_bm25_monotonic(spark):
+    from graphrag_rs_spark.operators.bm25 import bm25_scores
+
+    df = _docs(spark, [
+        "spark spark spark engine",
+        "spark engine",
+        "nothing relevant here",
+    ])
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_scores(df, ["spark"], id_col="doc_id", text_col="text").collect()}
+    assert set(got) == {0, 1}
+    assert got[0] > got[1] > 0
