@@ -90,13 +90,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_gazetteer_mentions"] = kg_gazetteer_mentions
 
     def kg_cooccurrence_triples(spark, sf):
+        from graphrag_rs_spark.config import PipelineConfig
         from graphrag_rs_spark.operators.relationships import extract_triples
 
         chunks = _doc_chunks(spark, sf)
         mentions = _gaz_mentions(spark, sf).withColumn(
             "n_mentions", F.lit(1).cast("long")
         )
-        t = extract_triples(mentions, chunks)
+        # uncapped contexts: the oracle counts every co-occurrence; the
+        # production default caps context lists at 128 for scale
+        cfg = PipelineConfig(max_context_chunks=1_000_000)
+        t = extract_triples(mentions, chunks, cfg)
         return t.select(
             "subj", "pred", "obj",
             F.round("confidence", 4).alias("confidence"),
@@ -557,6 +561,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_fingerprint"] = text_fingerprint
+
+    def kg_chunking_hierarchical(spark, sf):
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
+        return chunk_documents(docs, strategy="hierarchical").groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks")
+        )
+
+    q["kg_chunking_hierarchical"] = kg_chunking_hierarchical
+
+    def kg_bfs(spark, sf):
+        from graphrag_rs_spark.operators.traversal import bfs
+
+        # co-occurrence graph over gazetteer concepts; BFS from one node
+        t = kg_cooccurrence_triples(spark, sf)
+        edges = t.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.col("confidence").cast("double").alias("weight"),
+        )
+        sources = spark.createDataFrame([("CONCEPT_spark",)], ["id"])
+        out = bfs(edges, sources, max_depth=2, min_strength=0.4)
+        return out.select("source", "node", "depth")
+
+    q["kg_bfs"] = kg_bfs
+
+    def kg_pagerank(spark, sf):
+        from graphrag_rs_spark.operators.pagerank import pagerank_from_triples
+
+        t = kg_cooccurrence_triples(spark, sf)
+        pr = pagerank_from_triples(
+            t.withColumn("context_chunk_ids", F.array().cast("array<string>"))
+        )
+        return pr.select("id", F.round("rank", 6).alias("rank"))
+
+    q["kg_pagerank"] = kg_pagerank
+
+    def kg_semantic_edges(spark, sf):
+        from graphrag_rs_spark.operators.semantic_edges import semantic_edges
+
+        ents = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").cast("string").alias("entity_id"), "embedding"
+        )
+        return semantic_edges(ents, dim=64, similarity_threshold=0.7).select(
+            "subj", "pred", "obj"
+        )
+
+    q["kg_semantic_edges"] = kg_semantic_edges
+
+    def kg_graph_stats(spark, sf):
+        from graphrag_rs_spark.operators.semantic_edges import graph_statistics
+
+        ents = kg_entity_rollup(spark, sf).select(
+            "entity_id",
+            F.col("entity_id").alias("name"),
+            "entity_type",
+            F.lit(0.8).cast("float").alias("confidence"),
+            F.col("doc_frequency").alias("mention_count"),
+        )
+        t = kg_cooccurrence_triples(spark, sf).withColumn(
+            "context_chunk_ids", F.array().cast("array<string>")
+        )
+        return graph_statistics(ents, t).select(
+            "n_entities", "n_triples", "avg_degree", "max_degree"
+        )
+
+    q["kg_graph_stats"] = kg_graph_stats
+
+    def text_summarize(spark, sf):
+        from graphrag_rs_spark.operators.summarizer import extractive_summary
+
+        docs = _docs(spark, sf).where(F.col("doc_id") < 100).select(
+            "doc_id", F.col("text").alias("content")
+        )
+        return extractive_summary(docs, top_k_sentences=2)
+
+    q["text_summarize"] = text_summarize
 
     def mm_image_features(spark, sf):
         from graphrag_rs_spark.operators.multimodal import (

@@ -24,12 +24,7 @@ import tempfile
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO"])
-from graphrag_rs_spark.fixtures import generate_corpus
-from graphrag_rs_spark.operators.chunking import chunk_documents
-from graphrag_rs_spark.operators.extraction import extract_mentions
-from graphrag_rs_spark.operators.ingest import ingest_documents
-from graphrag_rs_spark.operators.relationships import extract_triples
-from graphrag_rs_spark.schemas import SOURCE_SCHEMA
+from graphrag_rs_spark.pipeline import build_graph
 from graphrag_rs_spark.session import get_spark
 
 cpus = int(os.environ["CPUS"])
@@ -44,14 +39,11 @@ src = spark.read.parquet(parquet_dir)
 src.count()  # warm the scan; generation/IO excluded from the measurement
 
 t0 = time.time()
-documents = ingest_documents(src)
-chunks = chunk_documents(documents)
-mentions = extract_mentions(chunks)
-triples = extract_triples(mentions, chunks)
-n_triples = triples.count()
+tables = build_graph(src, materialize=True)  # UDF stages run exactly once
+n_triples = tables.triples.count()
 wall = time.time() - t0
 
-n_mentions = mentions.count()
+n_mentions = tables.mentions.count()
 print(json.dumps({
     "cpus": cpus, "docs": n_docs, "wall_sec": round(wall, 2),
     "triples": n_triples, "mentions": n_mentions,
@@ -83,10 +75,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--density", type=float, default=0.25, help="entity density (realistic corpora ~0.25)")
     args = ap.parse_args()
 
     # materialize the corpus once so both runs read identical parquet
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{args.docs}")
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{args.docs}_d{args.density}")
     if not os.path.exists(corpus_dir):
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from graphrag_rs_spark.fixtures import generate_corpus
@@ -95,7 +88,7 @@ def main() -> None:
 
         spark = get_spark(app_name="corpus-gen", master="local[8]")
         spark.sparkContext.setLogLevel("ERROR")
-        rows = generate_corpus(n_docs=args.docs, seed=42, include_edge_cases=False)
+        rows = generate_corpus(n_docs=args.docs, seed=42, include_edge_cases=False, entity_density=args.density)
         spark.createDataFrame(rows, schema=SOURCE_SCHEMA).repartition(64).write.mode(
             "overwrite"
         ).parquet(corpus_dir)

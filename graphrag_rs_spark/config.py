@@ -32,6 +32,11 @@ class PipelineConfig:
     # relationships (reference graphrag/build.rs:557-624)
     extract_relationships: bool = True
     relationship_confidence: float = 0.5
+    # cap on context_chunk_ids per triple (the reference keeps an unbounded
+    # Vec<ChunkId> in memory; unbounded collect_set concentrates hot triples
+    # into single reduce tasks at scale — kept deterministic as the K
+    # lexicographically-smallest chunk ids)
+    max_context_chunks: int = 128
 
     # entity linking (reference entity/string_similarity_linker.rs:17-52)
     link_min_similarity: float = 0.85

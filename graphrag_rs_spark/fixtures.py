@@ -40,10 +40,19 @@ def _commit_for(repo: str, path: str) -> str:
     return hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
 
 
-def make_text_content(rng: random.Random, n_sentences: int) -> str:
-    """Entity-rich English prose exercising E2-E4 and R1/R2."""
+def make_text_content(
+    rng: random.Random, n_sentences: int, entity_density: float = 1.0
+) -> str:
+    """Entity-rich English prose exercising E2-E4 and R1/R2.
+
+    ``entity_density`` < 1 interleaves pure-filler sentences (realistic
+    corpora run ~1-2 entities per chunk, not 8 — used by scaling runs)."""
     sentences = []
     for _ in range(n_sentences):
+        if entity_density < 1.0 and rng.random() > entity_density:
+            filler = " ".join(rng.choice(FILLER) for _ in range(rng.randrange(8, 16)))
+            sentences.append(f"The {filler} continued without incident.")
+            continue
         kind = rng.randrange(6)
         person = rng.choice(PEOPLE)
         org = rng.choice(ORGANIZATIONS)
@@ -103,7 +112,12 @@ EDGE_CASES = [
 ]
 
 
-def generate_corpus(n_docs: int = 20, seed: int = 42, include_edge_cases: bool = True) -> list[dict]:
+def generate_corpus(
+    n_docs: int = 20,
+    seed: int = 42,
+    include_edge_cases: bool = True,
+    entity_density: float = 1.0,
+) -> list[dict]:
     """Rows of the north-rule input table: (repo, path, commit, lang, content)."""
     rows = []
     for i in range(n_docs):
@@ -112,7 +126,7 @@ def generate_corpus(n_docs: int = 20, seed: int = 42, include_edge_cases: bool =
         repo = f"org{i % 5}/proj{i % 3}"
         if lang == "text":
             path = f"docs/chapter_{i}.txt"
-            content = make_text_content(rng, rng.randrange(8, 40))
+            content = make_text_content(rng, rng.randrange(8, 40), entity_density)
         elif lang == "markdown":
             path = f"docs/guide_{i}.md"
             content = make_markdown_content(rng, rng.randrange(2, 6))

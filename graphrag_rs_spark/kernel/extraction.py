@@ -106,26 +106,43 @@ _OBJECT_TYPES = {"OBJECT", "TOOL", "ARTIFACT", "ITEM"}
 
 
 # --- word-level helpers (entity/mod.rs:633-718) ---
+# perf: these run on every token of a 100TB corpus inside Arrow batches —
+# the regexes are C-speed equivalents of the reference's char loops, and
+# the person-word check is memoized (token vocabulary is tiny vs corpus)
+
+import functools
+import re as _re
+
+# chars to REMOVE: anything that is not unicode-alphabetic or apostrophe
+# ([^\W\d_] == unicode alphabetic)
+_NON_ALPHA_APOS = _re.compile(r"(?:[\W\d_](?<!'))+")
+_ALPHA_APOS_FULL = _re.compile(r"(?:[^\W\d_]|')+")
+
 
 def clean_word(word: str) -> str:
     """Keep alphabetic chars + apostrophes, strip trailing apostrophes."""
-    return "".join(c for c in word if c.isalpha() or c == "'").rstrip("'")
+    return _NON_ALPHA_APOS.sub("", word).rstrip("'")
 
 
 def is_capitalized(word: str) -> bool:
     return bool(word) and word[0].isupper()
 
 
+@functools.lru_cache(maxsize=65536)
 def is_likely_person_word(word: str) -> bool:
     if len(word) < 2:
         return False
     wl = word.lower()
-    has_name_ending = wl.endswith(NAME_ENDINGS)
-    has_name_prefix = wl.startswith(NAME_PREFIXES)
-    is_proper = word[0].isupper() and all(c.isalpha() or c == "'" for c in word)
     if len(word) <= 2 and wl in SHORT_NON_NAMES:
         return False
-    return is_proper and (len(word) >= 3 or has_name_ending or has_name_prefix)
+    is_proper = word[0].isupper() and _ALPHA_APOS_FULL.fullmatch(word) is not None
+    if not is_proper:
+        return False
+    return (
+        len(word) >= 3
+        or wl.endswith(NAME_ENDINGS)
+        or wl.startswith(NAME_PREFIXES)
+    )
 
 
 def is_likely_organization(name: str) -> bool:
@@ -189,40 +206,41 @@ def find_mentions(text: str, name: str) -> list[tuple[int, int]]:
 
 # --- per-type extraction (each yields (name, type, confidence)) ---
 
+# known names preprocessed to lowercase word tuples (all are 2 words)
+_KNOWN_NAME_TUPLES = {
+    tuple(w.lower() for w in name.split()): name for name in KNOWN_NAMES
+}
+
+
 def _extract_persons(text: str, min_confidence: float) -> list[tuple[str, str, float]]:
     out: list[tuple[str, str, float]] = []
     words = text.split()
+    n = len(words)
+    # precompute per-token derivations once (each phase reuses them)
+    cleans = [clean_word(w) for w in words]
+    lowers = [c.lower() for c in cleans]
     processed: set[int] = set()
 
     # PHASE 1: known-name gazetteer, word-index claiming (entity/mod.rs:349-407)
-    for i in range(len(words)):
-        if i in processed:
+    for i in range(n):
+        if i in processed or i + 1 >= n:
             continue
-        for known in KNOWN_NAMES:
-            name_words = known.split()
-            if i + len(name_words) <= len(words) and all(
-                clean_word(words[i + j]).lower() == expected.lower()
-                for j, expected in enumerate(name_words)
-            ):
-                if 0.95 >= min_confidence:
-                    out.append((known, "PERSON", 0.95))
-                for j in range(len(name_words)):
-                    processed.add(i + j)
-                break
+        name = _KNOWN_NAME_TUPLES.get((lowers[i], lowers[i + 1]))
+        if name is not None:
+            if 0.95 >= min_confidence:
+                out.append((name, "PERSON", 0.95))
+            processed.add(i)
+            processed.add(i + 1)
 
     # PHASE 2: title-based (entity/mod.rs:409-457)
-    for i in range(len(words)):
+    for i in range(n):
         if i in processed:
             continue
-        if (
-            clean_word(words[i]).lower() in PERSON_TITLES
-            and i + 1 < len(words)
-            and (i + 1) not in processed
-        ):
-            next_word = clean_word(words[i + 1])
+        if lowers[i] in PERSON_TITLES and i + 1 < n and (i + 1) not in processed:
+            next_word = cleans[i + 1]
             if is_capitalized(words[i + 1]) and is_likely_person_word(next_word):
-                if i + 2 < len(words) and (i + 2) not in processed:
-                    third = clean_word(words[i + 2])
+                if i + 2 < n and (i + 2) not in processed:
+                    third = cleans[i + 2]
                     if is_capitalized(words[i + 2]) and is_likely_person_word(third):
                         processed.add(i + 2)
                         name = f"{next_word} {third}"
@@ -236,17 +254,17 @@ def _extract_persons(text: str, min_confidence: float) -> list[tuple[str, str, f
                 processed.add(i + 1)
 
     # PHASE 3: two-word First Last (entity/mod.rs:459-499)
-    for i in range(len(words)):
-        if i in processed or i + 1 >= len(words) or (i + 1) in processed:
+    for i in range(n - 1):
+        if i in processed or (i + 1) in processed:
             continue
-        first, second = clean_word(words[i]), clean_word(words[i + 1])
+        first, second = cleans[i], cleans[i + 1]
         if (
             is_capitalized(words[i])
             and is_capitalized(words[i + 1])
             and is_likely_person_word(first)
             and is_likely_person_word(second)
-            and first.lower() not in NON_PERSON_WORDS
-            and second.lower() not in NON_PERSON_WORDS
+            and lowers[i] not in NON_PERSON_WORDS
+            and lowers[i + 1] not in NON_PERSON_WORDS
         ):
             name = f"{first} {second}"
             parts = name.split()
@@ -258,13 +276,13 @@ def _extract_persons(text: str, min_confidence: float) -> list[tuple[str, str, f
                 processed.add(i + 1)
 
     # PHASE 4: single capitalized name-shaped words (entity/mod.rs:324-344)
-    for i, raw in enumerate(words):
+    for i in range(n):
         if i in processed:
             continue
-        word = clean_word(raw)
-        if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+        word = cleans[i]
+        if len(word) < 2 or lowers[i] in NON_PERSON_WORDS:
             continue
-        if is_capitalized(raw) and is_likely_person_word(word):
+        if is_capitalized(words[i]) and is_likely_person_word(word):
             conf = calculate_confidence(word, "PERSON")
             if conf >= min_confidence:
                 out.append((word, "PERSON", conf))

@@ -25,14 +25,32 @@ from graphrag_rs_spark.schemas import CHUNKS_SCHEMA
 
 
 def chunk_documents(
-    documents: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+    documents: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    strategy: str = "legacy",
 ) -> DataFrame:
     """documents(doc_id, content, ...) → chunks(chunk_id, doc_id, content, offsets).
 
     Narrow transformation: no shuffle; the chunk explosion happens inside
     the Arrow batch. chunk_id = ``{doc_id}_{idx}`` (text/mod.rs:161).
+
+    ``strategy``: "legacy" (C1 — the reference pipeline default) or
+    "hierarchical" (C2/C3 recursive-separator cascade).
     """
     chunk_size, overlap = config.chunk_size, config.chunk_overlap
+    if strategy == "hierarchical":
+        from graphrag_rs_spark.kernel.hierarchical import chunk_text_hierarchical
+
+        min_size = config.min_chunk_size
+
+        def chunker(content):
+            return chunk_text_hierarchical(content, chunk_size, overlap, min_size)
+    elif strategy == "legacy":
+        def chunker(content):
+            return chunk_text(content, chunk_size, overlap)
+    else:
+        raise ValueError(f"unknown chunking strategy: {strategy}")
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -40,7 +58,7 @@ def chunk_documents(
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if content is None:
                     continue
-                for idx, text, start, end in chunk_text(content, chunk_size, overlap):
+                for idx, text, start, end in chunker(content):
                     ids.append(f"{doc_id}_{idx}")
                     docs.append(doc_id)
                     contents.append(text)

@@ -84,6 +84,85 @@ def extract_mentions(
     )
 
 
+def extract_mentions_fused(
+    documents: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """documents → mentions with per-chunk relation-keyword flags, in ONE
+    Arrow pass: chunking, extraction and the 13 keyword ``contains`` checks
+    run inside the same ``mapInPandas``, so document content crosses the
+    Python boundary exactly once and never round-trips back to the JVM.
+
+    This removes (vs the chunk→extract→join pipeline): a second chunking
+    pass, the chunks Arrow round-trip (~the corpus size), and the
+    flags shuffle join — the measured scaling ceiling was exactly this
+    serialization mass, not compute. Downstream, extract_triples groups by
+    chunk_id and reads the flags with ``first()`` (constant per chunk).
+    """
+    from graphrag_rs_spark.kernel.chunking import chunk_text
+    from graphrag_rs_spark.operators.relationships import _KEYWORDS
+    from graphrag_rs_spark.schemas import MENTIONS_FLAGGED_SCHEMA
+
+    chunk_size, overlap = config.chunk_size, config.chunk_overlap
+    min_conf = config.min_confidence
+    etypes = config.entity_types
+    allowed = config.allowed_patterns
+    excluded = config.excluded_patterns
+    kw_items = list(_KEYWORDS.items())
+
+    keywords = [kw for _, kw in kw_items]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "chunk_id": [], "doc_id": [], "entity_id": [], "name": [],
+                "entity_type": [], "confidence": [], "n_mentions": [],
+                "kw_bits": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for idx, text, _s, _e in chunk_text(content, chunk_size, overlap):
+                    ents = extract_entities_from_chunk(
+                        text,
+                        min_confidence=min_conf,
+                        entity_types=etypes,
+                        allowed_patterns=allowed,
+                        excluded_patterns=excluded,
+                    )
+                    if not ents:
+                        continue
+                    chunk_id = f"{doc_id}_{idx}"
+                    bits = 0
+                    for i, kw in enumerate(keywords):
+                        if kw in text:
+                            bits |= 1 << i
+                    for e in ents:
+                        rows["chunk_id"].append(chunk_id)
+                        rows["doc_id"].append(doc_id)
+                        rows["entity_id"].append(e["entity_id"])
+                        rows["name"].append(e["name"])
+                        rows["entity_type"].append(e["entity_type"])
+                        rows["confidence"].append(e["confidence"])
+                        rows["n_mentions"].append(len(e["mentions"]))
+                        rows["kw_bits"].append(bits)
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pd.Series(rows["chunk_id"], dtype="string"),
+                    "doc_id": pd.Series(rows["doc_id"], dtype="string"),
+                    "entity_id": pd.Series(rows["entity_id"], dtype="string"),
+                    "name": pd.Series(rows["name"], dtype="string"),
+                    "entity_type": pd.Series(rows["entity_type"], dtype="string"),
+                    "confidence": pd.Series(rows["confidence"], dtype="float32"),
+                    "n_mentions": pd.Series(rows["n_mentions"], dtype="int64"),
+                    "kw_bits": pd.Series(rows["kw_bits"], dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", "content").mapInPandas(
+        run, schema=MENTIONS_FLAGGED_SCHEMA
+    )
+
+
 def rollup_entities(mentions: DataFrame) -> DataFrame:
     """Corpus-level entity table (E14 analog, graph/mod.rs:219-241):
     dedupe mentions by entity_id keeping max confidence + mention counts.

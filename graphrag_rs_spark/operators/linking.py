@@ -238,7 +238,12 @@ def rewrite_triples(triples: DataFrame, clusters: DataFrame) -> DataFrame:
     )
     return t.groupBy("subj", "pred", "obj").agg(
         F.max("confidence").alias("confidence"),
-        F.sort_array(
-            F.array_distinct(F.flatten(F.collect_list("context_chunk_ids")))
+        # inputs are already context-capped upstream; re-cap after the merge
+        F.slice(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("context_chunk_ids")))
+            ),
+            1,
+            128,
         ).alias("context_chunk_ids"),
     )

@@ -21,6 +21,19 @@ from graphrag_rs_spark.operators.ingest import ingest_documents
 from graphrag_rs_spark.operators.relationships import extract_triples
 
 
+def _scratch_materialize(df: DataFrame) -> DataFrame:
+    """Write df to scratch parquet (under spark.local.dir) and read back."""
+    import os
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    base = spark.conf.get("spark.local.dir", tempfile.gettempdir())
+    path = os.path.join(base, f"graphrag-scratch-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @dataclass
 class GraphTables:
     """The distributed KnowledgeGraph: a set of DataFrames, not an object
@@ -43,19 +56,40 @@ def build_graph(
     *,
     link: bool = False,
     communities: bool = False,
+    materialize: bool = False,
 ) -> GraphTables:
     """source(repo, path, commit, lang, content) → graph tables.
 
     ``link=True`` adds entity linking/canonicalization + triple rewrite;
     ``communities=True`` adds label-propagation communities + summaries
-    (requires link).
+    (requires link). ``materialize=True`` eagerly localCheckpoints the
+    UDF stages so multiple downstream consumers don't re-run them (use
+    when collecting several tables in one session; ``run_checkpointed``
+    is the durable equivalent).
     """
+    from graphrag_rs_spark.operators.extraction import extract_mentions_fused
+    from graphrag_rs_spark.operators.relationships import extract_triples_fused
+
     documents = ingest_documents(source)
+    # chunks are derived on demand (the fused extraction path never needs
+    # them JVM-side — content crosses the Python boundary exactly once)
     chunks = chunk_documents(documents, config)
-    mentions = extract_mentions(chunks, config)
+    flagged = extract_mentions_fused(documents, config)
+    if materialize:
+        # scratch-parquet round trip, NOT localCheckpoint/persist: both
+        # in-heap options measured badly at high thread counts
+        # (localCheckpoint keeps millions of deserialized rows in old-gen —
+        # 54% of downstream stage time became GC; columnar cache build was
+        # 2-3× slower than recompute). Parquet in the shuffle scratch dir
+        # (tmpfs here) is off-heap, compressed, and gives downstream scans
+        # real column pruning. run_checkpointed() is the durable analog.
+        flagged = _scratch_materialize(flagged)
+    mentions = flagged.drop(
+        *[c for c in flagged.columns if c.startswith("kw_")]
+    )
     entities = rollup_entities(mentions)
     if config.extract_relationships:
-        triples = extract_triples(mentions, chunks, config)
+        triples = extract_triples_fused(flagged, config)
     else:
         from graphrag_rs_spark.schemas import TRIPLES_SCHEMA
 

@@ -73,6 +73,23 @@ MENTIONS_SCHEMA = StructType(
     ]
 )
 
+# fused extraction output: mentions + per-chunk relation-keyword flags
+# packed into ONE bitmask column (constant within a chunk → it can ride the
+# per-chunk groupBy KEY with zero aggregation overhead; 13 separate bool
+# columns measured heavy through the shuffle + first() aggs)
+MENTIONS_FLAGGED_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("entity_id", StringType(), False),
+        StructField("name", StringType(), False),
+        StructField("entity_type", StringType(), False),
+        StructField("confidence", FloatType(), False),
+        StructField("n_mentions", LongType(), False),
+        StructField("kw_bits", LongType(), False),
+    ]
+)
+
 ENTITIES_SCHEMA = StructType(
     [
         StructField("entity_id", StringType(), False),
