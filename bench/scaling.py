@@ -76,22 +76,25 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--density", type=float, default=0.25, help="entity density (realistic corpora ~0.25)")
+    ap.add_argument("--doc-scale", dest="doc_scale", type=int, default=1, help="per-doc content multiplier")
     args = ap.parse_args()
 
     # materialize the corpus once so both runs read identical parquet
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"scaling_corpus_{args.docs}_d{args.density}")
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"scaling_corpus_{args.docs}_d{args.density}_s{args.doc_scale}",
+    )
     if not os.path.exists(corpus_dir):
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        from graphrag_rs_spark.fixtures import generate_corpus
-        from graphrag_rs_spark.schemas import SOURCE_SCHEMA
+        from graphrag_rs_spark.fixtures import generate_corpus_distributed
         from graphrag_rs_spark.session import get_spark
 
-        spark = get_spark(app_name="corpus-gen", master="local[8]")
+        spark = get_spark(app_name="corpus-gen", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
-        rows = generate_corpus(n_docs=args.docs, seed=42, include_edge_cases=False, entity_density=args.density)
-        spark.createDataFrame(rows, schema=SOURCE_SCHEMA).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(corpus_dir)
+        generate_corpus_distributed(
+            spark, args.docs, seed=42, entity_density=args.density,
+            doc_scale=args.doc_scale, partitions=256,
+        ).write.mode("overwrite").parquet(corpus_dir)
         spark.stop()
 
     results = {}

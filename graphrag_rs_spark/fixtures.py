@@ -76,24 +76,32 @@ def make_text_content(
     return " ".join(sentences)
 
 
-def make_markdown_content(rng: random.Random, n_sections: int) -> str:
+def make_markdown_content(
+    rng: random.Random, n_sections: int, entity_density: float = 1.0
+) -> str:
     parts = ["# Introduction", ""]
-    parts.append(make_text_content(rng, 3))
+    parts.append(make_text_content(rng, 3, entity_density))
     for i in range(n_sections):
         parts += ["", f"## Section {i + 1}", ""]
-        parts.append(make_text_content(rng, rng.randrange(2, 6)))
+        parts.append(make_text_content(rng, rng.randrange(2, 6), entity_density))
     return "\n".join(parts)
 
 
-def make_rust_content(rng: random.Random, n_items: int) -> str:
+def make_rust_content(
+    rng: random.Random, n_items: int, entity_density: float = 1.0
+) -> str:
     """Deterministic Rust-source templates with entity names in doc comments."""
     items = []
     for i in range(n_items):
-        person = rng.choice(PEOPLE)
-        org = rng.choice(ORGANIZATIONS)
+        if rng.random() < entity_density:
+            person = rng.choice(PEOPLE)
+            org = rng.choice(ORGANIZATIONS)
+            doc = f"/// Module maintained by {person} at {org}.\n"
+        else:
+            doc = "/// Internal helper, no owner recorded.\n"
         items.append(
-            f"/// Module maintained by {person} at {org}.\n"
-            f"pub fn process_{i}(input: &str) -> usize {{\n"
+            doc
+            + f"pub fn process_{i}(input: &str) -> usize {{\n"
             f"    input.split_whitespace().count() + {i}\n"
             f"}}\n\n"
             f"pub struct Record{i} {{\n    pub id: u64,\n    pub name: String,\n}}\n"
@@ -112,36 +120,47 @@ EDGE_CASES = [
 ]
 
 
+def make_doc(
+    i: int, seed: int = 42, entity_density: float = 1.0, doc_scale: int = 1
+) -> dict:
+    """One deterministic corpus row — pure function of (seed, i), so corpus
+    generation parallelizes (see generate_corpus_distributed)."""
+    rng = random.Random(f"{seed}:{i}")
+    lang = LANGS[i % len(LANGS)]
+    repo = f"org{i % 5}/proj{i % 3}"
+    if lang == "text":
+        path = f"docs/chapter_{i}.txt"
+        content = make_text_content(
+            rng, rng.randrange(8, 40) * doc_scale, entity_density
+        )
+    elif lang == "markdown":
+        path = f"docs/guide_{i}.md"
+        content = make_markdown_content(
+            rng, rng.randrange(2, 6) * doc_scale, entity_density
+        )
+    else:
+        path = f"src/module_{i}.rs"
+        content = make_rust_content(
+            rng, rng.randrange(3, 10) * doc_scale, entity_density
+        )
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": _commit_for(repo, path),
+        "lang": lang,
+        "content": content,
+    }
+
+
 def generate_corpus(
     n_docs: int = 20,
     seed: int = 42,
     include_edge_cases: bool = True,
     entity_density: float = 1.0,
+    doc_scale: int = 1,
 ) -> list[dict]:
     """Rows of the north-rule input table: (repo, path, commit, lang, content)."""
-    rows = []
-    for i in range(n_docs):
-        rng = random.Random(f"{seed}:{i}")
-        lang = LANGS[i % len(LANGS)]
-        repo = f"org{i % 5}/proj{i % 3}"
-        if lang == "text":
-            path = f"docs/chapter_{i}.txt"
-            content = make_text_content(rng, rng.randrange(8, 40), entity_density)
-        elif lang == "markdown":
-            path = f"docs/guide_{i}.md"
-            content = make_markdown_content(rng, rng.randrange(2, 6))
-        else:
-            path = f"src/module_{i}.rs"
-            content = make_rust_content(rng, rng.randrange(3, 10))
-        rows.append(
-            {
-                "repo": repo,
-                "path": path,
-                "commit": _commit_for(repo, path),
-                "lang": lang,
-                "content": content,
-            }
-        )
+    rows = [make_doc(i, seed, entity_density, doc_scale) for i in range(n_docs)]
     if include_edge_cases:
         for j, (content, tag) in enumerate(EDGE_CASES):
             repo = "org-edge/proj-edge"
@@ -156,6 +175,36 @@ def generate_corpus(
                 }
             )
     return rows
+
+
+def generate_corpus_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    entity_density: float = 1.0,
+    doc_scale: int = 1,
+    partitions: int = 64,
+):
+    """Corpus generation as a Spark job (mapInPandas over an index range) —
+    the driver-side generator is single-threaded and becomes the bottleneck
+    past ~10^5 docs; this parallelizes the identical deterministic rows."""
+    import pandas as pd
+
+    from graphrag_rs_spark.schemas import SOURCE_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                make_doc(int(i), seed, entity_density, doc_scale)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_docs)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=SOURCE_SCHEMA)
+    )
 
 
 def doc_id_for(row: dict) -> str:

@@ -16,9 +16,8 @@ from pyspark.sql import DataFrame
 
 from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
 from graphrag_rs_spark.operators.chunking import chunk_documents
-from graphrag_rs_spark.operators.extraction import extract_mentions, rollup_entities
+from graphrag_rs_spark.operators.extraction import rollup_entities
 from graphrag_rs_spark.operators.ingest import ingest_documents
-from graphrag_rs_spark.operators.relationships import extract_triples
 
 
 def _scratch_materialize(df: DataFrame) -> DataFrame:
@@ -62,10 +61,10 @@ def build_graph(
 
     ``link=True`` adds entity linking/canonicalization + triple rewrite;
     ``communities=True`` adds label-propagation communities + summaries
-    (requires link). ``materialize=True`` eagerly localCheckpoints the
-    UDF stages so multiple downstream consumers don't re-run them (use
-    when collecting several tables in one session; ``run_checkpointed``
-    is the durable equivalent).
+    (requires link). ``materialize=True`` eagerly materializes the fused
+    extraction output to scratch parquet so multiple downstream consumers
+    don't re-run the UDF (use when collecting several tables in one
+    session; ``run_checkpointed`` is the durable equivalent).
     """
     from graphrag_rs_spark.operators.extraction import extract_mentions_fused
     from graphrag_rs_spark.operators.relationships import extract_triples_fused
