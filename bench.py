@@ -28,13 +28,9 @@ FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_FIXTURE_DOCS", "4000"))
 
 
 def main() -> None:
-    from graphrag_rs_spark.fixtures import generate_corpus
     from graphrag_rs_spark.operators.chunking import chunk_documents
     from graphrag_rs_spark.operators.extraction import extract_mentions, rollup_entities
-    from graphrag_rs_spark.operators.ingest import ingest_documents
-    from graphrag_rs_spark.operators.linking import link_entities, rewrite_triples
-    from graphrag_rs_spark.operators.relationships import extract_triples
-    from graphrag_rs_spark.schemas import SOURCE_SCHEMA
+    from graphrag_rs_spark.operators.linking import link_entities
     from graphrag_rs_spark.session import get_spark
 
     spark = get_spark(
@@ -69,21 +65,21 @@ def main() -> None:
 
     bench("chunk_extract_testdata", q_chunk_extract)
 
-    # 2. full KG pipeline on the entity-rich fixture corpus (headline)
-    corpus = generate_corpus(n_docs=FIXTURE_DOCS, seed=42, include_edge_cases=False)
-    src = spark.createDataFrame(corpus, schema=SOURCE_SCHEMA).repartition(
-        int(CPUS) if CPUS.isdigit() else 32
+    # 2. full KG pipeline (fused path) on the entity-rich fixture corpus
+    from graphrag_rs_spark.fixtures import generate_corpus_distributed
+    from graphrag_rs_spark.pipeline import build_graph
+
+    src = generate_corpus_distributed(
+        spark, FIXTURE_DOCS, seed=42, entity_density=0.25,
+        partitions=int(CPUS) * 2 if CPUS.isdigit() else 64,
     ).localCheckpoint(eager=True)  # exclude generation from timing
 
     fixture_state = {}
 
     def q_kg_pipeline():
-        documents = ingest_documents(src)
-        chunks = chunk_documents(documents).localCheckpoint(eager=True)
-        mentions = extract_mentions(chunks).localCheckpoint(eager=True)
-        triples = extract_triples(mentions, chunks)
-        n = triples.count()
-        fixture_state["mentions"] = mentions
+        tables = build_graph(src, materialize=True)
+        n = tables.triples.count()
+        fixture_state["mentions"] = tables.mentions
         fixture_state["triples_n"] = n
         return n
 
