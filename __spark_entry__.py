@@ -643,10 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_summarize"] = text_summarize
 
     def mm_image_features(spark, sf):
-        from graphrag_rs_spark.operators.multimodal import (
-            MEDIA_SCHEMA,
-            extract_image_features,
-        )
+        from graphrag_rs_spark.operators.multimodal import extract_image_features
 
         media = _docs(spark, sf).where(F.col("doc_id") < 100).select(
             F.col("doc_id").cast("string").alias("media_id"),
@@ -657,7 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(64).cast("long").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         )
-        feats = extract_image_features(spark.createDataFrame(media.collect(), MEDIA_SCHEMA))
+        feats = extract_image_features(media)
         return feats.select("media_id", F.size("feature").alias("dim"), "decode_ok")
 
     q["mm_image_features"] = mm_image_features
@@ -739,6 +736,27 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
             FROM customer
         ) WHERE rn = 1
+    """
+
+    # iterative hashmin CC, oracle-checked via a recursive CTE (reachability
+    # labels → min label per node == hashmin fixpoint)
+    sql["kg_cc_clusters"] = """
+        WITH RECURSIVE
+        edges AS (
+          SELECT CAST(a.l_partkey AS VARCHAR) AS src, CAST(b.l_partkey AS VARCHAR) AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        verts AS (SELECT DISTINCT src AS id FROM sym),
+        reach(id, comp) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT s.dst, r.comp FROM reach r JOIN sym s ON r.id = s.src
+        ),
+        cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        SELECT component, count(*) AS count FROM cc GROUP BY component
     """
 
     sql["rel_filter_pushdown"] = """

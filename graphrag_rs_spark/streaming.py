@@ -71,6 +71,64 @@ def stream_index(
     return writer.start()
 
 
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    workspace: str,
+    *,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+    trigger_available_now: bool = True,
+):
+    """Watermarked tumbling-window aggregation over an event stream
+    (event_id, ts, user_id, event_type, value) — the late-data-tolerant
+    streaming aggregation shape (watermark bounds state; events later than
+    ``watermark_delay`` are dropped, earlier stragglers update their
+    window). Output: append-mode parquet of finalized windows.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        src.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(workspace, "event_window_counts"))
+        .option("checkpointLocation", os.path.join(workspace, "_event_checkpoint"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def consolidated_triples(spark: SparkSession, workspace: str) -> DataFrame:
     """Merge the append-only stream output into the canonical triple set
     (max confidence, unioned contexts) — the read-side compaction."""
