@@ -250,6 +250,107 @@ def run_checkpointed(
     return tables
 
 
+def run_incremental(
+    new_source: DataFrame,
+    workspace: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Incremental update (reference G8 analog, incremental/mod.rs):
+
+    1. detect changed/new docs by (doc_id, content_sha256) anti-join
+       against the checkpointed documents table;
+    2. re-run chunk+extract ONLY for changed docs;
+    3. rewrite ONLY the doc_buckets containing changed docs in the
+       per-document tables (dynamic partition overwrite — the plain-parquet
+       stand-in for Iceberg ``MERGE INTO``);
+    4. recompute the global aggregates (entities, triples) from the merged
+       mentions table — one scan of already-extracted mentions, zero
+       re-extraction of unchanged docs.
+
+    Returns {"changed_docs": n, "buckets_rewritten": k}.
+    """
+    from graphrag_rs_spark.operators.extraction import extract_mentions_fused
+    from graphrag_rs_spark.operators.ingest import ingest_documents
+    from graphrag_rs_spark.operators.relationships import extract_triples_fused
+
+    spark = new_source.sparkSession
+    mgr = CheckpointManager(workspace)
+    n_buckets = config.salt_buckets * 4
+
+    changed = changed_documents(new_source, workspace)
+    changed = changed.withColumn(
+        "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+    ).localCheckpoint(eager=True)
+    n_changed = changed.count()
+    if n_changed == 0:
+        return {"changed_docs": 0, "buckets_rewritten": 0}
+
+    buckets = [r["doc_bucket"] for r in changed.select("doc_bucket").distinct().collect()]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # documents: merged view of affected buckets = old rows for unchanged
+    # docs + changed rows; dynamic overwrite rewrites only those buckets
+    docs_path = mgr.table_path("documents")
+    if os.path.exists(docs_path):
+        old_docs = spark.read.parquet(docs_path)
+        keep = old_docs.where(F.col("doc_bucket").isin(buckets)).join(
+            changed.select("doc_id"), "doc_id", "left_anti"
+        )
+        merged_docs = keep.unionByName(
+            changed.select(*old_docs.columns)
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting source path
+    else:
+        merged_docs = changed  # bootstrap: empty workspace, all docs are new
+    merged_docs.write.mode("overwrite").partitionBy("doc_bucket").parquet(docs_path)
+
+    # mentions for changed docs only (fused single-pass extraction)
+    mflag_path = mgr.table_path("mentions_flagged")
+    if os.path.exists(mflag_path):
+        new_flagged = extract_mentions_fused(changed, config).withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+        )
+        old_m = spark.read.parquet(mflag_path)
+        keep_m = old_m.where(F.col("doc_bucket").isin(buckets)).join(
+            changed.select("doc_id"), "doc_id", "left_anti"
+        )
+        merged_m = keep_m.unionByName(new_flagged).localCheckpoint(eager=True)
+    else:
+        # bootstrap (first incremental run, or workspace built by the plain
+        # checkpointed path): extract flagged mentions for the full corpus
+        merged_m = extract_mentions_fused(
+            spark.read.parquet(docs_path), config
+        ).withColumn("doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+    merged_m.write.mode("overwrite").partitionBy("doc_bucket").parquet(mflag_path)
+
+    # global aggregates from merged mentions (no re-extraction)
+    all_m = spark.read.parquet(mflag_path)
+    from graphrag_rs_spark.operators.extraction import rollup_entities
+
+    rollup_entities(all_m.drop("kw_bits", "doc_bucket")).write.mode("overwrite").parquet(
+        mgr.table_path("entities")
+    )
+    extract_triples_fused(all_m, config).write.mode("overwrite").parquet(
+        mgr.table_path("triples")
+    )
+
+    mgr._append_ledger(
+        {
+            "stage": "incremental",
+            "status": "ok",
+            "input_fingerprint": fingerprint(
+                changed.select("doc_id", "content_sha256"), ["doc_id", "content_sha256"]
+            ),
+            "output_fingerprint": None,
+            "rows": n_changed,
+            "partition_histogram": {"buckets_rewritten": len(buckets)},
+            "wall_seconds": None,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+    )
+    return {"changed_docs": n_changed, "buckets_rewritten": len(buckets)}
+
+
 def changed_documents(new_source: DataFrame, workspace: str) -> DataFrame:
     """Incremental change detection (incremental/mod.rs:87-91 analog):
     rows of ``new_source`` whose (doc_id, content_sha256) is not already
