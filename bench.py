@@ -80,6 +80,7 @@ def main() -> None:
         tables = build_graph(src, materialize=True)
         n = tables.triples.count()
         fixture_state["mentions"] = tables.mentions
+        fixture_state["tables"] = tables
         fixture_state["triples_n"] = n
         return n
 
@@ -92,6 +93,37 @@ def main() -> None:
         return clusters.count()
 
     bench("entity_linking_fixture", q_linking)
+
+    # 3b. linking at volume: synthetic 50k-entity catalog with name variants
+    # (typos/punctuation/suffix noise) — exercises blocking + CC at a size
+    # where an O(n²) sweep would need 1.25B comparisons
+    def q_linking_50k():
+        n = int(os.environ.get("SPARK_GRAFT_LINK_ENTITIES", "50000"))
+        base = spark.range(n).select(
+            F.concat(F.lit("PERSON_p"), F.col("id")).alias("entity_id"),
+            F.concat(
+                F.lit("Person"), (F.col("id") % (n // 10)).cast("string"),
+                F.when(F.col("id") % 7 == 0, F.lit(" Jr")).otherwise(F.lit("")),
+                F.when(F.col("id") % 11 == 0, F.lit(".")).otherwise(F.lit("")),
+            ).alias("name"),
+            F.lit("PERSON").alias("entity_type"),
+            (F.lit(0.5) + (F.col("id") % 50).cast("float") / 100).alias("confidence"),
+            F.lit(1).cast("long").alias("mention_count"),
+        )
+        return link_entities(base).select("canonical_id").distinct().count()
+
+    bench("entity_linking_50k", q_linking_50k)
+
+    # 3c. communities on the fixture graph (LP + CC refinement)
+    def q_communities():
+        from graphrag_rs_spark.operators.communities import detect_communities
+
+        tables = fixture_state.get("tables")
+        if tables is None:
+            return 0
+        return detect_communities(tables.triples).select("community_id").distinct().count()
+
+    bench("communities_fixture", q_communities)
 
     # 4. training-data ops on testdata
     def q_dedup_minhash():
