@@ -222,13 +222,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rel_filter_pushdown(spark, sf):
         li = _t(spark, sf, "lineitem")
+        # net_price left UNROUNDED: the raw IEEE double product is bitwise
+        # identical across engines, while round(x, 2) half-up vs banker's
+        # diverges at .5 boundaries (caught at sf0.01: 12655.995)
         return li.where(
             (F.col("l_discount") >= 0.05)
             & (F.col("l_quantity") < 10)
             & (F.col("l_returnflag") == "R")
         ).select(
             "l_orderkey", "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         )
 
     q["rel_filter_pushdown"] = rel_filter_pushdown
@@ -761,7 +764,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["rel_filter_pushdown"] = """
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount), 2) AS net_price
+               l_extendedprice * (1 - l_discount) AS net_price
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_quantity < 10 AND l_returnflag = 'R'
     """
