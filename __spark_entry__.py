@@ -140,10 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_levenshtein_pairs"] = kg_levenshtein_pairs
 
     def kg_jaccard_types(spark, sf):
-        p = _t(spark, sf, "part").select("p_type").distinct()
-        tok = F.array_distinct(F.split(F.col("p_type"), " "))
-        a = p.select(F.col("p_type").alias("type_a"), tok.alias("tok_a"))
-        b = p.select(F.col("p_type").alias("type_b"), tok.alias("tok_b"))
+        # token-jaccard over p_name (two-token names share tokens: 1/3
+        # pairs exist, so the check is non-vacuous; p_type is single-token
+        # in this corpus and produced a 0=0 row vacuous check in round 1)
+        p = _t(spark, sf, "part").select("p_name").distinct()
+        tok = F.array_distinct(F.split(F.col("p_name"), " "))
+        a = p.select(F.col("p_name").alias("type_a"), tok.alias("tok_a"))
+        b = p.select(F.col("p_name").alias("type_b"), tok.alias("tok_b"))
         jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
             F.array_union("tok_a", "tok_b")
         ).cast("double")
@@ -151,7 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             a.crossJoin(b)
             .where(F.col("type_a") < F.col("type_b"))
             .withColumn("jaccard", F.round(jac, 4))
-            .where(F.col("jaccard") >= 0.5)
+            .where(F.col("jaccard") >= 0.3)
             .select("type_a", "type_b", "jaccard")
         )
 
@@ -195,11 +198,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_communities(spark, sf):
         from graphrag_rs_spark.operators.communities import detect_communities
 
-        t = kg_cooccurrence_triples(spark, sf).withColumn(
-            "context_chunk_ids", F.array().cast("array<string>")
+        # part co-occurrence graph (same edges as kg_cc_clusters, weighted
+        # by co-order count) — a modular graph where community structure is
+        # meaningful; round 1 ran the complete K7 gazetteer graph, whose
+        # correct modularity answer is a single community (vacuous-looking)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        t = (
+            a.join(b, "l_orderkey")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .count()
+            .where(F.col("count") >= 2)
+            .select(
+                F.col("pa").cast("string").alias("subj"),
+                F.lit("CO_ORDERED").alias("pred"),
+                F.col("pb").cast("string").alias("obj"),
+                F.col("count").cast("float").alias("confidence"),
+                F.array().cast("array<string>").alias("context_chunk_ids"),
+            )
         )
         comm = detect_communities(t)
-        return comm.groupBy("community_id").count().orderBy("community_id")
+        # size histogram: (community size, number of communities of that size)
+        return (
+            comm.groupBy("community_id").count()
+            .groupBy(F.col("count").alias("community_size"))
+            .agg(F.count("*").alias("n_communities"))
+            .orderBy("community_size")
+        )
 
     q["kg_communities"] = kg_communities
 
@@ -307,11 +334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_semijoin"] = rel_semijoin
 
     def rel_antijoin(spark, sf):
-        c = _t(spark, sf, "customer")
+        # orders with no lineitems — non-empty at every sf (every customer
+        # has orders in this corpus, which made the round-1 customer-based
+        # anti-join a vacuous 0=0 check)
         o = _t(spark, sf, "orders")
-        return c.join(
-            o, c["c_custkey"] == o["o_custkey"], "left_anti"
-        ).select("c_custkey", "c_mktsegment")
+        li = _t(spark, sf, "lineitem")
+        return o.join(
+            li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
+        ).select("o_orderkey", "o_orderstatus")
 
     q["rel_antijoin"] = rel_antijoin
 
@@ -597,12 +627,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from graphrag_rs_spark.operators.pagerank import pagerank_from_triples
 
         t = kg_cooccurrence_triples(spark, sf)
+        # fixed 10 iterations, no tolerance exit: the DuckDB oracle unrolls
+        # exactly 10 power-iteration steps, so both sides run the same math
         pr = pagerank_from_triples(
-            t.withColumn("context_chunk_ids", F.array().cast("array<string>"))
+            t.withColumn("context_chunk_ids", F.array().cast("array<string>")),
+            max_iterations=10,
+            tol=0.0,
         )
         return pr.select("id", F.round("rank", 6).alias("rank"))
 
     q["kg_pagerank"] = kg_pagerank
+
+    def kg_ppr(spark, sf):
+        from graphrag_rs_spark.operators.pagerank import (
+            personalized_pagerank_from_triples,
+        )
+
+        t = kg_cooccurrence_triples(spark, sf)
+        seeds = spark.createDataFrame([("CONCEPT_spark", 1.0)], ["id", "prob"])
+        pr = personalized_pagerank_from_triples(
+            t.withColumn("context_chunk_ids", F.array().cast("array<string>")),
+            seeds,
+            max_iterations=10,
+            tol=0.0,
+        )
+        return pr.select("id", F.round("rank", 6).alias("rank"))
+
+    q["kg_ppr"] = kg_ppr
 
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
@@ -610,7 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ents = _t(spark, sf, "embeddings").select(
             F.col("vec_id").cast("string").alias("entity_id"), "embedding"
         )
-        return semantic_edges(ents, dim=64, similarity_threshold=0.7).select(
+        # threshold 0.25: random 64-dim embeddings have cosine ~ N(0, 1/64),
+        # so 0.7 never fired (0-row vacuous check in round 1)
+        return semantic_edges(ents, dim=64, similarity_threshold=0.25).select(
             "subj", "pred", "obj"
         )
 
@@ -719,16 +772,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_jaccard_types"] = """
         WITH t AS (
-            SELECT DISTINCT p_type, list_distinct(string_split(p_type, ' ')) AS toks
+            SELECT DISTINCT p_name, list_distinct(string_split(p_name, ' ')) AS toks
             FROM part
         )
-        SELECT a.p_type AS type_a, b.p_type AS type_b,
+        SELECT a.p_name AS type_a, b.p_name AS type_b,
                round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
         FROM t a, t b
-        WHERE a.p_type < b.p_type
+        WHERE a.p_name < b.p_name
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.3
     """
 
     sql["kg_window_canonical"] = """
@@ -760,6 +813,200 @@ def oracle_sql() -> dict[str, str]:
         ),
         cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
         SELECT component, count(*) AS count FROM cc GROUP BY component
+    """
+
+    # bounded BFS as a depth-limited recursive CTE: min depth per reachable
+    # node from the seed (edge weights are all 0.5 ≥ the 0.4 strength gate,
+    # so no weight filter is needed in SQL)
+    sql["kg_bfs"] = f"""
+        WITH RECURSIVE {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        sym AS (SELECT subj AS src, obj AS dst FROM tri
+                UNION SELECT obj, subj FROM tri),
+        walk(node, depth) AS (
+            SELECT 'CONCEPT_spark', 0
+            UNION
+            SELECT s.dst, w.depth + 1
+            FROM walk w JOIN sym s ON w.node = s.src
+            WHERE w.depth < 2
+        )
+        SELECT 'CONCEPT_spark' AS source, node,
+               CAST(min(depth) AS INTEGER) AS depth
+        FROM walk GROUP BY node
+    """
+
+    sql["kg_graph_stats"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        ents AS (SELECT DISTINCT eid FROM m),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        deg AS (
+            SELECT id, count(*) AS cnt FROM (
+                SELECT subj AS id FROM tri UNION ALL SELECT obj FROM tri
+            ) GROUP BY id
+        )
+        SELECT (SELECT count(*) FROM ents) AS n_entities,
+               (SELECT count(*) FROM tri) AS n_triples,
+               (SELECT round(avg(cnt), 4) FROM deg) AS avg_degree,
+               (SELECT max(cnt) FROM deg) AS max_degree
+    """
+
+    # argmax stopword-hit-ratio language ID; tie-break = lexicographically
+    # LARGEST language code (Spark's array_max over (score, lang) structs)
+    _langs = {
+        "en": "the a of and to in is it you that was for on are with as at be this",
+        "es": "el la de que y a en un ser se no haber por con su para es al lo como",
+        "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein",
+        "fr": "le la de et les des en un du une que est pour qui dans par sur au",
+    }
+    _score_exprs = ",\n               ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words.split())}], t))) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in _langs.items()
+    )
+    sql["text_langid"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS toks
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id,
+               {_score_exprs}
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.02 THEN 'und'
+                    WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM scores
+    """
+
+    # 10 unrolled power-iteration steps over the symmetrized co-occurrence
+    # graph — the exact math of operators/pagerank.py (teleport (1-d)/n,
+    # per-edge p = w/outw, no dangling nodes exist after symmetrization).
+    # All float literals forced to DOUBLE so DuckDB doesn't fall into
+    # DECIMAL arithmetic (Spark computes (1.0-0.85)/n in IEEE doubles).
+    _pr_iters = []
+    for _k in range(1, 11):
+        _pr_iters.append(f"""
+        pr{_k} AS (
+            SELECT v.id,
+                   (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * COALESCE(c.incoming, 0.0::DOUBLE) AS rank
+            FROM verts v LEFT JOIN (
+                SELECT e.dst AS id, sum(p.rank * e.p) AS incoming
+                FROM nedges e JOIN pr{_k - 1} p ON e.src = p.id
+                GROUP BY e.dst
+            ) c ON v.id = c.id
+        )""")
+    sql["kg_pagerank"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        sym AS (SELECT subj AS src, obj AS dst, 0.5::DOUBLE AS w FROM tri
+                UNION ALL SELECT obj, subj, 0.5::DOUBLE FROM tri),
+        verts AS (SELECT DISTINCT src AS id FROM sym),
+        nn AS (SELECT count(*) AS n FROM verts),
+        outw AS (SELECT src, sum(w) AS outw FROM sym GROUP BY src),
+        nedges AS (
+            SELECT s.src, s.dst, s.w / o.outw AS p
+            FROM sym s JOIN outw o ON s.src = o.src
+        ),
+        pr0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts),
+        {','.join(_pr_iters)}
+        SELECT id, round(rank, 6) AS rank FROM pr10
+    """
+
+    # personalized variant: same unrolled iteration with the reference's
+    # reset-vector quirk (seed overridden to prob/total=1.0, non-seeds KEEP
+    # the uniform 1/n default — build_reset_vector, pagerank.rs)
+    _ppr_iters = []
+    for _k in range(1, 11):
+        _ppr_iters.append(f"""
+        ppr{_k} AS (
+            SELECT v.id,
+                   (1.0::DOUBLE - 0.85::DOUBLE) * v.reset
+                   + 0.85::DOUBLE * COALESCE(c.incoming, 0.0::DOUBLE) AS rank
+            FROM rverts v LEFT JOIN (
+                SELECT e.dst AS id, sum(p.rank * e.p) AS incoming
+                FROM nedges e JOIN ppr{_k - 1} p ON e.src = p.id
+                GROUP BY e.dst
+            ) c ON v.id = c.id
+        )""")
+    sql["kg_ppr"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        sym AS (SELECT subj AS src, obj AS dst, 0.5::DOUBLE AS w FROM tri
+                UNION ALL SELECT obj, subj, 0.5::DOUBLE FROM tri),
+        verts AS (SELECT DISTINCT src AS id FROM sym),
+        nn AS (SELECT count(*) AS n FROM verts),
+        outw AS (SELECT src, sum(w) AS outw FROM sym GROUP BY src),
+        nedges AS (
+            SELECT s.src, s.dst, s.w / o.outw AS p
+            FROM sym s JOIN outw o ON s.src = o.src
+        ),
+        rverts AS (
+            SELECT id, CASE WHEN id = 'CONCEPT_spark' THEN 1.0::DOUBLE
+                            ELSE 1.0::DOUBLE / (SELECT n FROM nn) END AS reset
+            FROM verts
+        ),
+        ppr0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts),
+        {','.join(_ppr_iters)}
+        SELECT id, round(rank, 6) AS rank FROM ppr10
+    """
+
+    # portable rolling fingerprint: identical sha256-hex token hash + fold
+    # as operators/textstats.fingerprint_col (init 0 ≡ first-element init
+    # because (0*31 + h0) mod m = h0)
+    sql["text_fingerprint"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE list_reduce(
+                        list_transform(toks,
+                            t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT % 2147483647),
+                        (acc, h) -> (acc * 31 + h) % 2147483647)
+               END AS fingerprint
+        FROM toks
     """
 
     sql["rel_filter_pushdown"] = """
@@ -811,8 +1058,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["rel_antijoin"] = """
-        SELECT c_custkey, c_mktsegment FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """
 
     sql["rel_dedupe_merge"] = """
@@ -913,7 +1160,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         )
         SELECT user_id,
-               sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
     """
@@ -944,6 +1192,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM pairs WHERE jaccard >= 0.5
     """
+
+    # minhash+LSH verifies candidates exactly, so its output equals the
+    # exact all-pairs jaccard set whenever banding recall is 1 — which it
+    # deterministically is on this corpus (every true pair has jaccard
+    # ≥ 0.9; 16 bands × 4 rows miss such a pair with p ≈ 3.6e-8, and the
+    # hash family is seeded/deterministic). Verified pair-for-pair against
+    # the exact path at sf0.01 before wiring this oracle.
+    sql["dedup_minhash"] = sql["dedup_ngram_jaccard"]
 
     sql["ann_cosine_topk"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

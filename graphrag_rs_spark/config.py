@@ -47,6 +47,12 @@ class PipelineConfig:
     # communities (reference graph/leiden.rs:429-463)
     community_max_iterations: int = 20
     community_seed: int = 42
+    community_resolution: float = 1.0        # leiden.rs:444 (default 1.0)
+    community_min_improvement: float = 0.001  # leiden.rs:461
+    # leiden.rs:433 declares max_cluster_size=10 but the reference algorithm
+    # never enforces it; None = unbounded (set to gate moves into full
+    # communities)
+    community_max_cluster_size: int | None = None
 
     # distributed-execution knobs (no analog in the single-process reference)
     shuffle_partitions: int = 32

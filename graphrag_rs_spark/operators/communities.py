@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
+from graphrag_rs_spark.iterutil import cut_lineage
 from graphrag_rs_spark.operators.cc import connected_components
 
 
@@ -108,6 +109,272 @@ def label_propagation(
     return labels
 
 
+def modularity_local_moving(
+    edges: DataFrame,
+    *,
+    resolution: float = 1.0,
+    max_iterations: int = 20,
+    min_improvement: float = 0.001,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """edges(src, dst, weight) SYMMETRIC → (id, label): distributed greedy
+    modularity local moving (the Leiden phase-2 objective,
+    leiden.rs:519-535 / ΔQ Newman formula leiden.rs:711-736).
+
+    Per synchronous superstep, every eligible node evaluates moving to each
+    neighboring community using the reference's ΔQ:
+
+        ΔQ(i: from→to) = (k_{i,to} − k_{i,from}) / 2m
+                         − resolution · d_i · (Σtot_to − Σtot_from + d_i) / (2m)²
+
+    generalized to edge weights (the reference counts unweighted neighbor
+    edges, petgraph `neighbors()` — our formula reduces to it when all
+    weights are 1). Moves apply only when ΔQ > 0, argmax with smallest-label
+    tie-break (deterministic, honoring the seeded-determinism contract
+    leiden.rs:438-439).
+
+    Synchronous-update safety: the sequential reference can never oscillate;
+    a parallel sweep can (two singletons swapping forever). Each superstep
+    only nodes with pmod(xxhash64(id, iter), 2) == 0 may move — a
+    deterministic alternating subset that breaks swap symmetry while
+    preserving convergence (standard distributed-Louvain practice).
+
+    Stops on: no moves, modularity improvement < min_improvement
+    (leiden.rs:461 min_improvement config), or max_iterations.
+
+    ``max_cluster_size`` (leiden.rs:433, default 10 — declared but never
+    enforced by the reference's algorithm, so our default is None): when
+    set, a move into a community at or above the cap is gated. The cap is
+    soft under synchronous updates (several nodes may enter one community
+    in the same superstep); the connectivity refinement in
+    detect_communities can only shrink communities further.
+    """
+    sym = edges.localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.sum("weight").alias("deg")).withColumnRenamed("src", "id")
+    row = sym.agg(F.sum("weight").alias("m2")).collect()[0]
+    m2 = float(row["m2"] or 0.0)
+    verts = deg.select("id", "deg").localCheckpoint(eager=True)
+    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    if m2 <= 0.0:
+        return labels
+
+    labels = _local_moves(
+        sym, verts, labels, m2,
+        resolution=resolution, max_iterations=max_iterations,
+        min_improvement=min_improvement, max_cluster_size=max_cluster_size,
+    )
+    # community-level aggregation (the Louvain "second phase", distributed
+    # as parallel mutual-best matching): synchronous node-level moves stall
+    # on symmetric configurations (e.g. a clique split into two equal halves
+    # swaps members forever with zero net ΔQ, where the sequential reference
+    # would coalesce) — merging whole communities with positive merge-ΔQ
+    # resolves exactly those states
+    labels = _merge_communities(
+        sym, verts, labels, m2,
+        resolution=resolution, max_cluster_size=max_cluster_size,
+    )
+    # short node-level cleanup pass so individual nodes can re-seat after
+    # the merges
+    labels = _local_moves(
+        sym, verts, labels, m2,
+        resolution=resolution, max_iterations=min(5, max_iterations),
+        min_improvement=min_improvement, max_cluster_size=max_cluster_size,
+    )
+    return labels
+
+
+def _local_moves(
+    sym: DataFrame,
+    verts: DataFrame,
+    labels: DataFrame,
+    m2: float,
+    *,
+    resolution: float,
+    max_iterations: int,
+    min_improvement: float,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """Synchronous ΔQ local-moving supersteps (see modularity_local_moving).
+
+    Stop conditions account for the alternating eligibility gate: a single
+    zero-move round may just mean the movable nodes weren't eligible this
+    parity, so convergence requires TWO consecutive zero-move rounds, and
+    the modularity-improvement probe compares across two-round windows.
+    """
+    prev_q = None
+    zero_rounds = 0
+    for it in range(max_iterations):
+        lab = labels
+        # k_{i,c}: summed edge weight from each node to each neighbor community
+        k = (
+            sym.join(
+                lab.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src", "dst_label")
+            .agg(F.sum("weight").alias("k"))
+        )
+        cur = lab.select(F.col("id").alias("src"), F.col("label").alias("cur_label"))
+        k2 = k.join(cur, "src")
+        k_from = (
+            k2.where(F.col("dst_label") == F.col("cur_label"))
+            .select("src", F.col("k").alias("k_from"))
+        )
+        # Σtot per community (weighted degree mass)
+        sigma = (
+            lab.join(verts, "id")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("tot"))
+        )
+
+        cand = (
+            k2.where(F.col("dst_label") != F.col("cur_label"))
+            # eligibility gate first: halves the ΔQ work per superstep
+            .where(F.pmod(F.xxhash64("src", F.lit(it)), F.lit(2)) == 0)
+            .join(k_from, "src", "left")
+            .join(verts.select(F.col("id").alias("src"), "deg"), "src")
+            .join(
+                sigma.select(F.col("label").alias("dst_label"), F.col("tot").alias("tot_to")),
+                "dst_label",
+            )
+            .join(
+                sigma.select(F.col("label").alias("cur_label"), F.col("tot").alias("tot_from")),
+                "cur_label",
+            )
+            .withColumn(
+                "dq",
+                (F.col("k") - F.coalesce("k_from", F.lit(0.0))) / F.lit(m2)
+                - F.lit(resolution)
+                * F.col("deg")
+                * (F.col("tot_to") - F.col("tot_from") + F.col("deg"))
+                / F.lit(m2 * m2),
+            )
+            .where(F.col("dq") > 0)
+        )
+        if max_cluster_size is not None:
+            sizes = lab.groupBy("label").agg(F.count("*").alias("sz"))
+            cand = cand.join(
+                sizes.select(F.col("label").alias("dst_label"), "sz"), "dst_label"
+            ).where(F.col("sz") < max_cluster_size)
+
+        w = Window.partitionBy("src").orderBy(F.col("dq").desc(), F.col("dst_label").asc())
+        moves = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("dst_label").alias("new_label"))
+        )
+        new_labels = cut_lineage(
+            labels.join(moves, "id", "left").select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("new_label").isNotNull().alias("_moved"),
+            ),
+            tag="lm-labels",
+        )
+        n_moved = new_labels.where(F.col("_moved")).limit(1).count()
+        labels = new_labels.drop("_moved")
+        if n_moved == 0:
+            zero_rounds += 1
+            if zero_rounds >= 2:
+                break
+            continue
+        zero_rounds = 0
+        if min_improvement > 0 and it % 2 == 1:
+            # Q = Σ_intra w / 2m − resolution · Σ_c (tot_c / 2m)²
+            l_s = labels.select(F.col("id").alias("src"), F.col("label").alias("ls"))
+            l_d = labels.select(F.col("id").alias("dst"), F.col("label").alias("ld"))
+            intra = (
+                sym.join(l_s, "src").join(l_d, "dst")
+                .where(F.col("ls") == F.col("ld"))
+                .agg(F.coalesce(F.sum("weight"), F.lit(0.0)).alias("w"))
+            )
+            tots = (
+                labels.join(verts, "id").groupBy("label").agg(F.sum("deg").alias("tot"))
+                .agg(F.sum((F.col("tot") / F.lit(m2)) ** 2).alias("s"))
+            )
+            q_row = intra.crossJoin(tots).select(
+                (F.col("w") / F.lit(m2) - F.lit(resolution) * F.col("s")).alias("q")
+            ).collect()[0]
+            q = float(q_row["q"])
+            if prev_q is not None and q - prev_q < min_improvement:
+                break
+            prev_q = q
+    return labels
+
+
+def _merge_communities(
+    sym: DataFrame,
+    verts: DataFrame,
+    labels: DataFrame,
+    m2: float,
+    *,
+    resolution: float,
+    max_cluster_size: int | None,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Greedy community aggregation by parallel mutual-best matching.
+
+    Merge ΔQ for communities A, B (sym edge mass S_AB counts both
+    directions): ΔQ = S_AB / 2m − 2·resolution·Σtot_A·Σtot_B / (2m)².
+    Each round every community points at its best positive-ΔQ neighbor;
+    pairs that point at each other merge (label = smaller of the two) —
+    deterministic, no RNG, converges in ≤ log(n) rounds per chain.
+    """
+    for _ in range(max_rounds):
+        l_s = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+        l_d = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+        ce = (
+            sym.join(l_s, "src").join(l_d, "dst")
+            .where(F.col("la") != F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.sum("weight").alias("s"))
+        )
+        tots = labels.join(verts, "id").groupBy("label").agg(F.sum("deg").alias("tot"))
+        cand = (
+            ce.join(tots.select(F.col("label").alias("la"), F.col("tot").alias("tot_a")), "la")
+            .join(tots.select(F.col("label").alias("lb"), F.col("tot").alias("tot_b")), "lb")
+            .withColumn(
+                "dq",
+                # ce rows hold ONE direction of the symmetric edge mass
+                # (src∈A, dst∈B), hence the factor 2 on s
+                F.lit(2.0) * F.col("s") / F.lit(m2)
+                - F.lit(2.0 * resolution) * F.col("tot_a") * F.col("tot_b") / F.lit(m2 * m2),
+            )
+            .where(F.col("dq") > 0)
+        )
+        if max_cluster_size is not None:
+            sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+            cand = (
+                cand.join(sizes.select(F.col("label").alias("la"), F.col("sz").alias("sz_a")), "la")
+                .join(sizes.select(F.col("label").alias("lb"), F.col("sz").alias("sz_b")), "lb")
+                .where(F.col("sz_a") + F.col("sz_b") <= max_cluster_size)
+            )
+        w = Window.partitionBy("la").orderBy(F.col("dq").desc(), F.col("lb").asc())
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("la", "lb")
+        )
+        mutual = (
+            best.alias("x")
+            .join(
+                best.select(F.col("la").alias("lb"), F.col("lb").alias("la")).alias("y"),
+                ["la", "lb"],
+            )
+            .where(F.col("la") < F.col("lb"))
+            .select(F.col("lb").alias("label"), F.col("la").alias("new_label"))
+            .localCheckpoint(eager=True)
+        )
+        if mutual.limit(1).count() == 0:
+            break
+        labels = cut_lineage(
+            labels.join(mutual, "label", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label")),
+            tag="merge-labels",
+        )
+    return labels
+
+
 def detect_communities(
     triples: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -116,10 +383,19 @@ def detect_communities(
     level is always 0 (the reference's hierarchical variant also fills only
     level 0 in practice, leiden.rs:506-544). community_id is a dense long,
     stable across re-runs (derived from the min member id).
+
+    Round-2: the clustering objective is the reference's greedy-modularity
+    local moving (with resolution / min_improvement / max_cluster_size
+    knobs) instead of min-biased label propagation, which had no objective
+    and over-merged dense-but-modular graphs into one community.
     """
     edges = triples_to_edges(triples)
-    labels = label_propagation(
-        edges, max_iterations=config.community_max_iterations
+    labels = modularity_local_moving(
+        edges,
+        resolution=config.community_resolution,
+        max_iterations=config.community_max_iterations,
+        min_improvement=config.community_min_improvement,
+        max_cluster_size=config.community_max_cluster_size,
     )
 
     # refinement: split non-connected communities into connected components

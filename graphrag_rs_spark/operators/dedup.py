@@ -8,8 +8,8 @@ web-scale corpus dedup techniques, each expressed as pure DataFrame ops:
 - MinHash+LSH: shingle → k minhashes → band → bucket-join candidates →
                exact-jaccard verify → connected components
 - SimHash:     64-bit signed-bit-sum signature, hamming≤k candidate pairs
-               via 16-bit block banding (pigeonhole: d≤3 ⇒ one of 4 blocks
-               equal)
+               via (k+1)-block banding (pigeonhole: d≤k ⇒ at least one
+               block equal — complete for any k)
 - n-gram Jaccard: shared-shingle blocking + exact jaccard
 
 Everything JVM-side (higher-order array fns + xxhash64); no Python in any
@@ -51,27 +51,25 @@ def _shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingles_col, num_hashes: int = 64):
-    """k minhashes: per seed, min over shingle hashes (JVM-side, no UDF).
+def minhash_signatures(
+    shingled: DataFrame, *, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sh: array<string>) → (id, h0..h{k-1}): k minhashes per doc.
 
     Seeded family: xxhash64(shingle, seed_literal) — deterministic across
-    runs and executors.
-
-    NOTE the closure factory: a ``lambda s, i=i`` default-arg capture would
-    make pyspark bind ``i`` to transform's optional second lambda variable
-    (the element INDEX), silently collapsing every "seed" into the same
-    position-dependent hash and gutting LSH recall.
+    runs and executors (identical values to the round-1 array_min/transform
+    formulation). Computed by EXPLODING shingles and taking k codegen'd
+    hash-agg mins in ONE pass: 64 interpreted higher-order-function
+    traversals per row (round 1's shape, 38% of the bench) become one
+    whole-stage-codegen scan; map-side partial aggregation collapses the
+    shuffle to ~one 64-long row per doc per partition.
     """
-
-    def _hash_with_seed(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles_col, _hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    exploded = shingled.select("id", F.explode("sh").alias("g"))
+    aggs = [
+        F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_duplicates(
@@ -89,18 +87,26 @@ def minhash_lsh_duplicates(
 
     LSH recall knob: bands=16 × rows=4 catches pairs with jaccard ≳ 0.5
     w.h.p. — candidates are verified exactly, so precision is 1.0 by
-    construction. Shuffles: band explode → bucket groupBy-join → verify.
+    construction.
+
+    Scale shape (round-2 rework): the band self-join carries IDS ONLY —
+    candidate pairs are deduped as bare (id_a, id_b) rows, and the shingle
+    arrays are joined back exactly once for the exact-jaccard verify. At
+    100 TB the band shuffle is 16 × (id + 8-byte bucket) per doc instead of
+    16 × the full shingle mass.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), shingle_size).alias("sh"),
     ).where(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # consumed by the signature pass and twice by the verify join
+    base = base.persist()
+
+    sig = minhash_signatures(base, num_hashes=num_hashes)
 
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -110,7 +116,7 @@ def minhash_lsh_duplicates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -120,20 +126,25 @@ def minhash_lsh_duplicates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # single shingle rejoin for the exact verify (ids-only until here)
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+
     union_sz = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / union_sz.cast("double")
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -149,32 +160,48 @@ def dup_groups_from_pairs(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     return comp.select("id", F.col("component").alias("dup_group_id"))
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash of the whitespace token multiset, JVM-side.
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
+) -> DataFrame:
+    """→ (id, sig): 64-bit SimHash of the whitespace token multiset.
 
     Classic Charikar: signature bit i = sign of Σ_tokens (±1 by token-hash
-    bit i). Expressed as one aggregate over exploded bit contributions —
-    here as an array expression per row (no explode, no shuffle).
+    bit i). Round 1 expressed this as 64 separate interpreted F.aggregate
+    folds per row (O(64·tokens) expression evals — flagged weak at scale);
+    now it is ONE codegen pass: explode tokens, hash each once, 64 hash-agg
+    conditional sums, then a single bit-assembly projection. Signature
+    values are bit-identical to the round-1 formulation.
     """
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = exploded.groupBy("id").agg(*aggs)
 
-    def _bit_sum(bit: int):
-        # closure factory: default-arg capture would add a third lambda
-        # parameter, which pyspark maps to a lambda variable
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_exprs = []
+    # assemble the long: bit 63 via two's complement (long min) — no overflow
+    sig = None
     for i in range(bits):
-        # Σ over tokens of (bit_i ? 1 : -1)
-        s = F.aggregate(hashes, F.lit(0), _bit_sum(i))
-        bit_exprs.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2**i if i < 63 else -(2**63)).cast("long"))
-    # bit 63 handled via two's complement (long min) to avoid overflow
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("sig"))
+
+
+def _hamming_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_blocks`` contiguous (shift, width) blocks,
+    widths differing by at most 1."""
+    base, rem = divmod(bits, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        out.append((shift, width))
+        shift += width
     return out
 
 
@@ -187,12 +214,18 @@ def simhash_duplicates(
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) pairs with hamming(simhash) ≤ max_hamming.
 
-    Blocking by 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ at least one of
-    the 4 blocks identical), then exact hamming verify via bit_count(xor).
+    Pigeonhole blocking with ``max_hamming + 1`` blocks: if two signatures
+    differ in ≤ max_hamming bits, at least one block is untouched, so the
+    blocking is COMPLETE for any max_hamming (round 1 fixed 4 blocks, which
+    silently lost recall for max_hamming > 3). Wider thresholds mean
+    narrower block keys and larger candidate buckets — the usual
+    recall/cost trade, now explicit. Exact hamming verify via
+    bit_count(xor); the sig (one long) rides along in the join.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sig")
-    )
+    n_blocks = max_hamming + 1
+    if n_blocks > 32:
+        raise ValueError("max_hamming > 31 makes blocks narrower than 2 bits")
+    sigs = simhash_signatures(df, text_col, id_col)
     blocks = sigs.select(
         "id",
         "sig",
@@ -201,11 +234,13 @@ def simhash_duplicates(
                 *[
                     F.struct(
                         F.lit(blk).alias("block"),
-                        F.shiftright(F.col("sig"), blk * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for blk in range(4)
+                    for blk, (shift, width) in enumerate(
+                        _hamming_blocks(64, n_blocks)
+                    )
                 ]
             )
         ).alias("bk"),
@@ -242,22 +277,28 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_size).alias("sh")
     ).where(F.size("sh") > 0)
-    exploded = base.select("id", "sh", F.explode("sh").alias("g"))
+    base = base.persist()  # read by the explode and twice by the verify join
+    exploded = base.select("id", F.explode("sh").alias("g"))
     hot = exploded.groupBy("g").count().where(F.col("count") > max_block_size).select("g")
     pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
 
-    a = pruned.select("g", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = pruned.select("g", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # ids-only through the blocking join (same rework as minhash: the
+    # shingle arrays would otherwise be shuffled once per shared shingle)
+    a = pruned.select("g", F.col("id").alias("id_a"))
+    b = pruned.select("g", F.col("id").alias("id_b"))
     cand = (
         a.join(b, "g")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -115,14 +115,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_col(text_col, modulus: int = 2**31 - 1) -> Column:
     """Deterministic rolling document fingerprint over tokens:
-    acc ← (acc * 31 + (xxhash64(token) mod m)) mod m.
+    acc ← (acc * 31 + (h(token) mod m)) mod m,
+    h(token) = first 15 hex chars of sha256(token) as a 60-bit int.
 
-    Overflow-safe under ANSI (acc < 2³¹, so acc*31 + h < 2⁶³).
-    Order-SENSITIVE by design (unlike sha2-of-bytes it survives
-    whitespace normalization)."""
+    The token hash is ENGINE-PORTABLE (sha256 + hex parse exist in Spark,
+    DuckDB, Trino, ...), so the fingerprint is oracle-checkable — round 1
+    used xxhash64, which no other engine reproduces. Overflow-safe under
+    ANSI (acc < 2³¹, so acc*31 + h < 2³⁶). Order-SENSITIVE by design
+    (unlike sha2-of-bytes it survives whitespace normalization)."""
     toks = _tokens(text_col)
+    m = F.lit(modulus)
+
+    def _tok_hash(t):
+        return F.pmod(
+            F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long"), m
+        )
+
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(modulus)), F.lit(modulus)),
+        lambda acc, t: F.pmod(acc * 31 + _tok_hash(t), m),
     )

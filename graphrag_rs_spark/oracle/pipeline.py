@@ -9,8 +9,8 @@ this is the golden set the distributed pipeline is scored against
 
 Triple canonicalization convention (documented, applied identically to both
 sides): subj/obj ordered ascending by entity_id; pairs whose two entities
-normalize to the same entity_id are kept as self-loops (the reference's
-petgraph happily stores them).
+normalize to the same entity_id are DROPPED (no self-loops) — matching the
+distributed operators' ``subj < obj`` pair convention.
 """
 
 from __future__ import annotations

@@ -62,4 +62,12 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # scratch dir for iterutil.cut_lineage (true plan truncation for
+    # iterative kernels — checkpoint()/localCheckpoint() materialize data
+    # but retain originStats plan back-references, which makes Catalyst
+    # planning exponential in iteration count; see iterutil.py)
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        ckpt = os.path.join(local_dir or "/tmp", "graphrag-checkpoints")
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

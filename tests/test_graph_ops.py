@@ -31,6 +31,51 @@ def test_pagerank_uniform_cycle(spark):
     assert all(r == pytest.approx(1 / 3, abs=1e-4) for r in ranks)
 
 
+def test_personalized_pagerank_hand_computed(spark):
+    """PPR vs a pure-python replica of the reference iteration
+    (pagerank.rs pagerank_iteration_parallel + build_reset_vector,
+    including the non-seed-keeps-1/n reset quirk)."""
+    from graphrag_rs_spark.operators.pagerank import pagerank
+
+    edge_rows = [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0), ("c", "b", 1.0)]
+    edges = spark.createDataFrame(edge_rows, ["src", "dst", "weight"])
+    seeds = spark.createDataFrame([("a", 1.0)], ["id", "prob"])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, reset_probs=seeds, max_iterations=40, tol=0.0
+        ).collect()
+    }
+
+    nodes = ["a", "b", "c"]
+    n = len(nodes)
+    reset = {"a": 1.0, "b": 1.0 / n, "c": 1.0 / n}  # quirk: non-seeds keep 1/n
+    outw = {}
+    for s, _, w in [(s, d, w) for s, d, w in edge_rows]:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(40):
+        new = {v: (1 - d) * reset[v] for v in nodes}
+        for s, t, w in edge_rows:
+            new[t] += d * rank[s] * w / outw[s]
+        rank = new
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-9), v
+    # seed attracts teleport mass: a outranks c (symmetric otherwise)
+    assert got["a"] > got["c"]
+
+
+def test_pagerank_dangling_mass(spark):
+    from graphrag_rs_spark.operators.pagerank import pagerank
+
+    # b has no out-edges → dangling; Σ ranks must stay 1
+    edges = spark.createDataFrame([("a", "b", 1.0)], ["src", "dst", "weight"])
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, max_iterations=30).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    assert ranks["b"] > ranks["a"]
+
+
 def test_tfidf_keywords(spark):
     from graphrag_rs_spark.operators.keywords import tfidf_keywords
 
