@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
+                     # ('pd.Series') against these globals
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -159,6 +161,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_jaccard_types"] = kg_jaccard_types
+
+    def kg_canonical_names(spark, sf):
+        # L10 canonical naming + L1 clustering, oracle-checkable variant:
+        # at min_similarity=1.0 only exact-normalized names link, so the
+        # cluster structure (and the most-frequent-then-longest naming
+        # rule) is reproducible in pure SQL. Fuzzy scoring is pytest-
+        # covered (jaro-winkler has no portable SQL twin).
+        from graphrag_rs_spark.config import PipelineConfig
+        from graphrag_rs_spark.operators.linking import link_entities
+
+        docs = _docs(spark, sf)
+        # single-token names (token-set equality ⇔ exact equality, so the
+        # max-combiner hits 1.0 only on exact normalized matches) with
+        # case variation on even doc_ids so the frequency/length/lexical
+        # naming tie-breaks actually fire
+        tok1 = F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+        cased = F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.upper(F.substring(tok1, 1, 1)), F.substring(tok1, 2, 1000)),
+        ).otherwise(tok1)
+        ents = docs.select(
+            F.col("doc_id").cast("string").alias("entity_id"),
+            F.concat(cased, F.lit("-"), F.pmod(F.col("doc_id"), F.lit(50)).cast("string")).alias("name"),
+            F.lit("DOC").alias("entity_type"),
+            (F.pmod(F.col("doc_id"), F.lit(97)) / F.lit(100.0)).alias("confidence"),
+        )
+        clusters = link_entities(ents, PipelineConfig(link_min_similarity=1.0))
+        return clusters.select(
+            "entity_id", "canonical_id", "cluster_id", "canonical_name"
+        )
+
+    q["kg_canonical_names"] = kg_canonical_names
 
     def kg_window_canonical(spark, sf):
         c = _t(spark, sf, "customer")
@@ -608,6 +642,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_chunking_hierarchical"] = kg_chunking_hierarchical
 
+    def kg_chunking_semantic(spark, sf):
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+
+        docs = _docs(spark, sf).where(F.col("doc_id") < 200).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
+        chunks = chunk_documents(docs, strategy="semantic")
+        return chunks.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_offset").alias("n_sentences"),
+        )
+
+    q["kg_chunking_semantic"] = kg_chunking_semantic
+
+    def kg_chunk_enrich(spark, sf):
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+        from graphrag_rs_spark.operators.enrich import enrich_chunks
+
+        docs = _docs(spark, sf).where(F.col("doc_id") < 200).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
+        chunks = chunk_documents(docs)
+        enriched = enrich_chunks(chunks, docs)
+        return enriched.select(
+            "chunk_id",
+            F.size("keywords").alias("n_keywords"),
+            (F.col("summary").isNotNull()).alias("has_summary"),
+            F.round("position_in_document", 4).alias("pos"),
+        )
+
+    q["kg_chunk_enrich"] = kg_chunk_enrich
+
     def kg_bfs(spark, sf):
         from graphrag_rs_spark.operators.traversal import bfs
 
@@ -688,6 +756,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_graph_stats"] = kg_graph_stats
 
+    def _temporal_edges(spark, sf):
+        e = _t(spark, sf, "events")
+        ep = F.unix_timestamp("ts").cast("long")
+        return e.select(
+            F.col("user_id").cast("string").alias("src"),
+            F.col("event_type").alias("dst"),
+            ep.alias("ts"),
+            ep.alias("valid_from"),
+            (ep + F.lit(300)).alias("valid_to"),
+        )
+
+    def kg_temporal_evolution(spark, sf):
+        from graphrag_rs_spark.operators.temporal import evolution_metrics
+
+        edges = _temporal_edges(spark, sf)
+        start = edges.agg(F.min("valid_from")).collect()[0][0]
+        m = evolution_metrics(
+            edges, start_time=start, end_time=start + 3600, granularity=600
+        )
+        return m.select(
+            "timestamp", "edge_count", "node_count",
+            F.round("density", 6).alias("density"),
+            F.round("avg_degree", 6).alias("avg_degree"),
+        )
+
+    q["kg_temporal_evolution"] = kg_temporal_evolution
+
+    def kg_node_lifetime(spark, sf):
+        from graphrag_rs_spark.operators.temporal import node_lifetime
+
+        return node_lifetime(_temporal_edges(spark, sf))
+
+    q["kg_node_lifetime"] = kg_node_lifetime
+
     def text_summarize(spark, sf):
         from graphrag_rs_spark.operators.summarizer import extractive_summary
 
@@ -699,21 +801,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_summarize"] = text_summarize
 
     def mm_image_features(spark, sf):
-        from graphrag_rs_spark.operators.multimodal import extract_image_features
+        from graphrag_rs_spark.operators.multimodal import (
+            extract_image_features,
+            make_png,
+        )
+        from pyspark.sql.types import BinaryType
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            # REAL deterministic PNGs (stdlib encoder) — the decode path
+            # runs on genuine files, not text masquerading as images
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
 
         media = _docs(spark, sf).where(F.col("doc_id") < 100).select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.lit("image").alias("modality"),
             F.lit("png").alias("format"),
-            F.encode(F.col("text"), "utf-8").alias("payload"),
-            F.lit(64).cast("long").alias("width"),
-            F.lit(64).cast("long").alias("height"),
+            png_bytes(F.col("doc_id")).alias("payload"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         )
         feats = extract_image_features(media)
         return feats.select("media_id", F.size("feature").alias("dim"), "decode_ok")
 
     q["mm_image_features"] = mm_image_features
+
+    def mm_probe_media(spark, sf):
+        from graphrag_rs_spark.operators.multimodal import (
+            make_png,
+            make_wav,
+            probe_media,
+        )
+        from pyspark.sql.types import BinaryType
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf(BinaryType())
+        def payload_bytes(doc_ids: pd.Series) -> pd.Series:
+            out = []
+            for d in doc_ids:
+                d = int(d)
+                if d % 2 == 0:
+                    out.append(make_png(8 + d % 16, 4 + d % 8, seed=d))
+                else:
+                    out.append(make_wav(100 + (d % 10) * 50))
+            return pd.Series(out)
+
+        media = _docs(spark, sf).where(F.col("doc_id") < 100).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image"))
+            .otherwise(F.lit("audio"))
+            .alias("modality"),
+            payload_bytes(F.col("doc_id")).alias("payload"),
+        )
+        return probe_media(media).select(
+            "media_id", "modality", "width", "height", "duration_ms", "decode_ok"
+        )
+
+    q["mm_probe_media"] = mm_probe_media
 
     return q
 
@@ -782,6 +932,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.p_name < b.p_name
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.3
+    """
+
+    sql["kg_canonical_names"] = """
+        WITH t1 AS (
+            SELECT CAST(doc_id AS VARCHAR) AS entity_id,
+                   doc_id,
+                   string_split_regex(trim(text), '\\s+')[1] AS tok
+            FROM documents
+        ),
+        ents AS (
+            SELECT entity_id,
+                   (CASE WHEN doc_id % 2 = 0
+                         THEN upper(substr(tok, 1, 1)) || substr(tok, 2)
+                         ELSE tok END) || '-' || CAST(doc_id % 50 AS VARCHAR) AS name,
+                   (doc_id % 97) / 100.0 AS confidence
+            FROM t1
+        ),
+        n AS (
+            SELECT *,
+                   trim(regexp_replace(regexp_replace(lower(name), '[^a-z0-9\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g')) AS nname
+            FROM ents
+        ),
+        canon AS (
+            SELECT nname, entity_id AS canonical_id FROM (
+                SELECT nname, entity_id,
+                       row_number() OVER (PARTITION BY nname
+                                          ORDER BY confidence DESC, entity_id ASC) AS rn
+                FROM n
+            ) WHERE rn = 1
+        ),
+        comp AS (SELECT nname, min(entity_id) AS cluster_id FROM n GROUP BY nname),
+        cname AS (
+            SELECT nname, name AS canonical_name FROM (
+                SELECT nname, name,
+                       row_number() OVER (PARTITION BY nname
+                                          ORDER BY count(*) DESC, length(name) DESC, name ASC) AS rn
+                FROM n GROUP BY nname, name
+            ) WHERE rn = 1
+        )
+        SELECT n.entity_id, canon.canonical_id, comp.cluster_id, cname.canonical_name
+        FROM n JOIN canon USING (nname) JOIN comp USING (nname) JOIN cname USING (nname)
     """
 
     sql["kg_window_canonical"] = """
@@ -1166,6 +1358,54 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY user_id
     """
 
+    # temporal edges over events: interval = [epoch, epoch+300]; buckets of
+    # 600s over the first hour, inclusive-bound overlap (temporal.rs
+    # is_active_in_range semantics)
+    sql["kg_temporal_evolution"] = """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS src, event_type AS dst,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 300 AS vt
+            FROM events
+        ),
+        s AS (SELECT min(vf) AS start FROM e),
+        b AS (
+            SELECT (SELECT start FROM s) + 600 * unnest(generate_series(0, 6)) AS timestamp
+        ),
+        j AS (
+            SELECT b.timestamp, e.src, e.dst
+            FROM b JOIN e ON e.vf <= b.timestamp + 600 AND e.vt >= b.timestamp
+        ),
+        c AS (SELECT timestamp, count(*) AS edge_count FROM j GROUP BY timestamp),
+        n AS (
+            SELECT timestamp, count(DISTINCT node) AS node_count
+            FROM (SELECT timestamp, unnest([src, dst]) AS node FROM j)
+            GROUP BY timestamp
+        )
+        SELECT b.timestamp,
+               COALESCE(c.edge_count, 0) AS edge_count,
+               COALESCE(n.node_count, 0) AS node_count,
+               CASE WHEN COALESCE(n.node_count, 0) < 2 THEN 0.0
+                    ELSE round(CAST(c.edge_count AS DOUBLE)
+                               / (n.node_count * (n.node_count - 1) / 2), 6) END AS density,
+               CASE WHEN COALESCE(n.node_count, 0) = 0 THEN 0.0
+                    ELSE round(2.0 * c.edge_count / n.node_count, 6) END AS avg_degree
+        FROM b LEFT JOIN c ON b.timestamp = c.timestamp
+               LEFT JOIN n ON b.timestamp = n.timestamp
+    """
+
+    sql["kg_node_lifetime"] = """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS src, event_type AS dst,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 300 AS vt
+            FROM events
+        )
+        SELECT node, min(lo) AS first_seen, max(hi) AS last_seen
+        FROM (SELECT unnest([src, dst]) AS node, vf AS lo, vt AS hi FROM e)
+        GROUP BY node
+    """
+
     sql["dedup_exact"] = """
         WITH h AS (SELECT doc_id AS id, sha256(text) AS h FROM documents),
         g AS (SELECT h, min(id) AS dup_group_id, count(*) AS group_size FROM h GROUP BY h)
@@ -1221,6 +1461,19 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
         FROM documents
+    """
+
+    # the payloads are REAL stdlib-encoded PNG/WAV bytes built from doc_id
+    # formulas; the oracle recomputes the formulas, so a hash match proves
+    # the full encode→header-decode round trip
+    sql["mm_probe_media"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+               CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 8 END AS height,
+               CASE WHEN doc_id % 2 = 1 THEN 100 + (doc_id % 10) * 50 END AS duration_ms,
+               'ok' AS decode_ok
+        FROM documents WHERE doc_id < 100
     """
 
     sql["text_quality"] = """

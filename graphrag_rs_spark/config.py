@@ -23,6 +23,12 @@ class PipelineConfig:
     chunk_overlap: int = 64
     min_chunk_size: int = 50
 
+    # semantic chunking C5 (reference text/semantic_chunking.rs:64-74)
+    semantic_breakpoint_strategy: str = "percentile"  # percentile|stddev|absolute
+    semantic_threshold_amount: float = 95.0
+    semantic_min_sentences: int = 1
+    semantic_max_sentences: int = 0  # 0 = unlimited
+
     # entity extraction (reference entity/mod.rs:114-173)
     min_confidence: float = 0.6
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")

@@ -35,8 +35,11 @@ def chunk_documents(
     Narrow transformation: no shuffle; the chunk explosion happens inside
     the Arrow batch. chunk_id = ``{doc_id}_{idx}`` (text/mod.rs:161).
 
-    ``strategy``: "legacy" (C1 — the reference pipeline default) or
-    "hierarchical" (C2/C3 recursive-separator cascade).
+    ``strategy``: "legacy" (C1 — the reference pipeline default),
+    "hierarchical" (C2/C3 recursive-separator cascade), or "semantic"
+    (C5 embedding-similarity breakpoints, text/semantic_chunking.rs —
+    start/end offsets hold SENTENCE indices, the reference's
+    SemanticChunk convention, not char offsets).
     """
     chunk_size, overlap = config.chunk_size, config.chunk_overlap
     if strategy == "hierarchical":
@@ -49,6 +52,17 @@ def chunk_documents(
     elif strategy == "legacy":
         def chunker(content):
             return chunk_text(content, chunk_size, overlap)
+    elif strategy == "semantic":
+        from graphrag_rs_spark.kernel.semantic import semantic_chunk_text
+
+        def chunker(content):
+            return semantic_chunk_text(
+                content,
+                strategy=config.semantic_breakpoint_strategy,
+                threshold_amount=config.semantic_threshold_amount,
+                min_chunk_size=config.semantic_min_sentences,
+                max_chunk_size=config.semantic_max_sentences,
+            )
     else:
         raise ValueError(f"unknown chunking strategy: {strategy}")
 

@@ -33,8 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import os
+
 from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
 from graphrag_rs_spark.iterutil import cut_lineage
+
+_DEBUG = bool(os.environ.get("GRAPHRAG_COMM_DEBUG"))
 from graphrag_rs_spark.operators.cc import connected_components
 
 
@@ -177,7 +181,7 @@ def modularity_local_moving(
     # the merges
     labels = _local_moves(
         sym, verts, labels, m2,
-        resolution=resolution, max_iterations=min(5, max_iterations),
+        resolution=resolution, max_iterations=min(3, max_iterations),
         min_improvement=min_improvement, max_cluster_size=max_cluster_size,
     )
     return labels
@@ -197,10 +201,14 @@ def _local_moves(
     """Synchronous ΔQ local-moving supersteps (see modularity_local_moving).
 
     Stop conditions account for the alternating eligibility gate: a single
-    zero-move round may just mean the movable nodes weren't eligible this
-    parity, so convergence requires TWO consecutive zero-move rounds, and
-    the modularity-improvement probe compares across two-round windows.
+    quiet round may just mean the movable nodes weren't eligible this
+    parity, so convergence requires TWO consecutive quiet rounds (quiet =
+    fewer than 0.2% of nodes moved — tail iterations shuffling a handful
+    of nodes cost a full superstep each for negligible ΔQ), plus the
+    modularity-improvement probe across two-round windows.
     """
+    n_nodes = verts.count()
+    quiet_threshold = max(1, n_nodes // 500)
     prev_q = None
     zero_rounds = 0
     for it in range(max_iterations):
@@ -271,15 +279,18 @@ def _local_moves(
             ),
             tag="lm-labels",
         )
-        n_moved = new_labels.where(F.col("_moved")).limit(1).count()
+        n_moved = new_labels.where(F.col("_moved")).count()
         labels = new_labels.drop("_moved")
-        if n_moved == 0:
+        if _DEBUG:
+            import sys
+            print(f"[communities] iter={it} moved={n_moved}/{n_nodes}", file=sys.stderr)
+        if n_moved < quiet_threshold:
             zero_rounds += 1
             if zero_rounds >= 2:
                 break
             continue
         zero_rounds = 0
-        if min_improvement > 0 and it % 2 == 1:
+        if min_improvement > 0 and it % 3 == 2:
             # Q = Σ_intra w / 2m − resolution · Σ_c (tot_c / 2m)²
             l_s = labels.select(F.col("id").alias("src"), F.col("label").alias("ls"))
             l_d = labels.select(F.col("id").alias("dst"), F.col("label").alias("ld"))
@@ -418,6 +429,85 @@ def detect_communities(
         F.lit(0).cast("long").alias("level"),
         F.col("id").alias("entity_id"),
         F.xxhash64("component").alias("community_id"),
+    )
+
+
+def community_context(
+    communities: DataFrame,
+    entities: DataFrame,
+    triples: DataFrame,
+) -> DataFrame:
+    """G4: LLM-ready context per community (leiden.rs:260-312
+    prepare_community_context).
+
+    → (community_id, context): a markdown block with the entity list
+    ("- name (TYPE): confidence c.cc, N mentions") and every
+    INTRA-community triple ("- subj --[pred]--> obj (confidence: c.cc)").
+    Lines are sorted for determinism (the reference iterates hash maps).
+    One join per triple endpoint + two groupBys — no per-community work.
+    """
+    members = communities.select("community_id", "entity_id").join(
+        entities.select(
+            "entity_id", "name", "entity_type", "confidence",
+            F.coalesce("mention_count", F.lit(0)).alias("mention_count"),
+        ),
+        "entity_id",
+        "left",
+    )
+    ent_lines = members.select(
+        "community_id",
+        F.format_string(
+            "- %s (%s): confidence %.2f, %d mentions",
+            F.coalesce("name", F.col("entity_id")),
+            F.coalesce("entity_type", F.lit("UNKNOWN")),
+            F.coalesce("confidence", F.lit(0.0)).cast("double"),
+            F.col("mention_count").cast("long"),
+        ).alias("line"),
+    ).groupBy("community_id").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("entity_block")
+    )
+
+    mem_s = members.select(
+        F.col("entity_id").alias("subj"),
+        F.col("community_id").alias("c_s"),
+        F.col("name").alias("subj_name"),
+    )
+    mem_o = members.select(
+        F.col("entity_id").alias("obj"),
+        F.col("community_id").alias("c_o"),
+        F.col("name").alias("obj_name"),
+    )
+    intra = (
+        triples.join(mem_s, "subj")
+        .join(mem_o, "obj")
+        .where(F.col("c_s") == F.col("c_o"))
+        .select(
+            F.col("c_s").alias("community_id"),
+            F.format_string(
+                "- %s --[%s]--> %s (confidence: %.2f)",
+                F.coalesce("subj_name", F.col("subj")),
+                F.col("pred"),
+                F.coalesce("obj_name", F.col("obj")),
+                F.col("confidence").cast("double"),
+            ).alias("line"),
+        )
+        .groupBy("community_id")
+        .agg(
+            F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("rel_block")
+        )
+    )
+
+    return (
+        ent_lines.join(intra, "community_id", "left")
+        .select(
+            "community_id",
+            F.concat(
+                F.lit("# Community "), F.col("community_id").cast("string"),
+                F.lit(" at Level 0\n\n## Entities:\n"), F.col("entity_block"),
+                F.lit("\n\n## Relationships:\n"),
+                F.coalesce("rel_block", F.lit("")),
+            ).alias("context"),
+        )
     )
 
 

@@ -1,0 +1,181 @@
+"""C6: ChunkEnricher — chapter/section/subsection, keywords, summary,
+position metadata on the chunks table.
+
+Reference: text/chunk_enricher.rs enrich_single_chunk (:79-140):
+1. parse the document's heading structure once (layout parser),
+2. per chunk, resolve the heading path in effect at its start offset →
+   chapter / section / subsection (path levels 1-3) + structural level,
+3. TF-IDF top-5 keywords of the chunk content,
+4. extractive summary when the chunk exceeds 150 chars (bounded ~150),
+5. position_in_document = start_offset / len(document).
+
+Distributed shape: heading extraction is a pure per-document function →
+one Arrow ``mapInPandas`` pass emitting a (doc_id, offset, level, title)
+headings table; the path resolution is a range join (heading.offset ≤
+chunk.start_offset, latest wins per level, each level nested inside the
+previous); keywords reuse the C10 TF-IDF operator with chunks as the
+corpus (distributed DF/TF — the reference computes per-chunk maps in
+memory); summaries reuse the Q5 extractive summarizer (top-2 sentences,
+truncated to ~150 chars like the reference's max_length).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from graphrag_rs_spark.operators.keywords import tfidf_keywords
+from graphrag_rs_spark.operators.summarizer import extractive_summary
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+
+HEADINGS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("level", LongType(), False),
+        StructField("title", StringType(), False),
+    ]
+)
+
+
+def extract_headings(documents: DataFrame, *, text_col: str = "content") -> DataFrame:
+    """documents(doc_id, content) → (doc_id, offset, level, title):
+    markdown-style headings with their char offsets (the layout-parser
+    surface the enricher consumes, text/parsers/*; markdown headings are
+    the C11 subset implemented in-container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, offs, levels, titles = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf[text_col]):
+                if content is None:
+                    continue
+                pos = 0
+                for line in content.splitlines(keepends=True):
+                    m = _HEADING_RE.match(line.rstrip("\n"))
+                    if m:
+                        docs.append(doc_id)
+                        offs.append(pos)
+                        levels.append(len(m.group(1)))
+                        titles.append(m.group(2).strip())
+                    pos += len(line)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(docs, dtype="string"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "level": pd.Series(levels, dtype="int64"),
+                    "title": pd.Series(titles, dtype="string"),
+                }
+            )
+
+    return documents.select("doc_id", F.col(text_col)).mapInPandas(
+        run, schema=HEADINGS_SCHEMA
+    )
+
+
+def _level_heading(chunks: DataFrame, headings: DataFrame, level: int, alias: str) -> DataFrame:
+    """Latest level-N heading at or before each chunk's start offset."""
+    h = headings.where(F.col("level") == level).select(
+        "doc_id",
+        F.col("offset").alias(f"{alias}_off"),
+        F.col("title").alias(alias),
+    )
+    joined = chunks.select("chunk_id", "doc_id", "start_offset").join(
+        h, "doc_id"
+    ).where(F.col(f"{alias}_off") <= F.col("start_offset"))
+    w = Window.partitionBy("chunk_id").orderBy(F.col(f"{alias}_off").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("chunk_id", alias, f"{alias}_off")
+    )
+
+
+def enrich_chunks(
+    chunks: DataFrame,
+    documents: DataFrame,
+    *,
+    doc_text_col: str = "content",
+    top_keywords: int = 5,
+    summary_min_chars: int = 150,
+    summary_max_chars: int = 150,
+) -> DataFrame:
+    """chunks + documents → chunks with chapter / section / subsection /
+    keywords / summary / position_in_document columns filled
+    (chunk_enricher.rs:79-140). Nesting is enforced: a section only
+    applies if it appears at/after its chapter, a subsection at/after its
+    section (heading-path semantics of get_heading_path)."""
+    headings = extract_headings(documents, text_col=doc_text_col).localCheckpoint(
+        eager=True
+    )
+    chap = _level_heading(chunks, headings, 1, "chapter")
+    sect = _level_heading(chunks, headings, 2, "section")
+    sub = _level_heading(chunks, headings, 3, "subsection")
+
+    kw = (
+        tfidf_keywords(
+            chunks, id_col="chunk_id", text_col="content", top_k=top_keywords
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "keyword"))),
+                lambda s: s["keyword"],
+            ).alias("keywords")
+        )
+        .withColumnRenamed("doc_id", "chunk_id")
+    )
+
+    long_chunks = chunks.where(F.length("content") > summary_min_chars).select(
+        "chunk_id", "content"
+    )
+    summ = extractive_summary(
+        long_chunks, id_col="chunk_id", text_col="content", top_k_sentences=2
+    ).select(
+        F.col("doc_id").alias("chunk_id"),
+        F.substring(F.col("summary"), 1, summary_max_chars).alias("summary"),
+    )
+
+    doc_len = documents.select(
+        "doc_id", F.greatest(F.length(doc_text_col), F.lit(1)).alias("_doc_len")
+    )
+
+    out = (
+        chunks.join(chap, "chunk_id", "left")
+        .join(sect, "chunk_id", "left")
+        .join(sub, "chunk_id", "left")
+        .join(kw, "chunk_id", "left")
+        .join(summ, "chunk_id", "left")
+        .join(doc_len, "doc_id", "left")
+        .select(
+            *chunks.columns,
+            "chapter",
+            # nesting: section must start at/after its chapter, subsection
+            # at/after its section — otherwise it belongs to an earlier arc
+            F.when(
+                F.col("section_off") >= F.coalesce("chapter_off", F.lit(-1)),
+                F.col("section"),
+            ).alias("section"),
+            F.when(
+                F.col("subsection_off") >= F.coalesce("section_off", F.lit(-1)),
+                F.col("subsection"),
+            ).alias("subsection"),
+            F.coalesce("keywords", F.array().cast("array<string>")).alias("keywords"),
+            "summary",
+            (
+                F.col("start_offset").cast("double") / F.col("_doc_len").cast("double")
+            ).alias("position_in_document"),
+        )
+    )
+    return out

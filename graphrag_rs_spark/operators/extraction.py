@@ -170,12 +170,20 @@ def rollup_entities(mentions: DataFrame) -> DataFrame:
     One shuffle on entity_id with map-side combine; ``max_by`` keeps the
     name variant of the highest-confidence mention deterministically
     (ties broken by name) so re-runs are stable.
+
+    first_mentioned / last_mentioned (core/mod.rs:237-240) are populated
+    as chunk-order surrogate timestamps — min/max chunk ordinal across
+    the entity's mentions (see operators/temporal.entity_temporal_bounds;
+    real epoch columns drop in when the corpus carries them).
     """
+    ordinal = F.regexp_extract(F.col("chunk_id"), r"_(\d+)$", 1).cast("long")
     return mentions.groupBy("entity_id").agg(
         F.max_by(F.col("name"), F.struct(F.col("confidence"), F.col("name"))).alias("name"),
         F.first("entity_type").alias("entity_type"),
         F.max("confidence").alias("confidence"),
         F.sum("n_mentions").alias("mention_count"),
+        F.min(ordinal).alias("first_mentioned"),
+        F.max(ordinal).alias("last_mentioned"),
     )
 
 

@@ -157,10 +157,17 @@ def score_pairs(
 def link_entities(
     entities: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """entities → clusters(entity_id, canonical_id, cluster_id).
+    """entities → clusters(entity_id, canonical_id, cluster_id,
+    canonical_name).
 
     Every entity appears exactly once; unlinked entities are their own
-    canonical (cluster of one).
+    canonical (cluster of one). Canonical *id* = max-confidence member
+    (string_similarity_linker.rs:101-117); canonical *name* = the
+    cluster's most frequent name, ties broken by longest
+    (corpus/entity_linker.rs:524-536 select_canonical_name — the name
+    users see on cluster outputs), further ties by name ascending for
+    determinism (the reference's HashMap iteration order is unstable
+    there).
     """
     pairs = candidate_pairs(entities)
     scored = score_pairs(pairs, config)
@@ -178,20 +185,107 @@ def link_entities(
         F.col("confidence").desc(), F.col("entity_id").asc()
     )
     ranked = (
-        comp.join(entities.select("entity_id", "confidence"),
+        comp.join(entities.select("entity_id", "confidence", "name"),
                   comp["id"] == F.col("entity_id"))
-        .select("entity_id", "component", "confidence")
+        .select("entity_id", "component", "confidence", "name")
         .withColumn("rank", F.row_number().over(w))
     )
     canon = ranked.where(F.col("rank") == 1).select(
         F.col("component"), F.col("entity_id").alias("canonical_id")
     )
+
+    # L10 canonical name: most frequent, then longest, then lexical
+    name_counts = ranked.groupBy("component", "name").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("component").orderBy(
+        F.col("n").desc(), F.length("name").desc(), F.col("name").asc()
+    )
+    cnames = (
+        name_counts.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("name").alias("canonical_name"))
+    )
     return (
         ranked.join(canon, "component")
+        .join(cnames, "component")
         .select(
             "entity_id",
             "canonical_id",
             F.col("component").alias("cluster_id"),
+            "canonical_name",
+        )
+    )
+
+
+def find_canonical(
+    new_mentions: DataFrame,
+    canonical_entities: DataFrame,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    max_block_size: int = 100,
+) -> DataFrame:
+    """L9: link NEW mentions against an existing canonical dictionary
+    (string_similarity_linker.rs:408-465 find_canonical_entity).
+
+    new_mentions(name, entity_type) × canonical_entities(entity_id, name,
+    entity_type) → (name, entity_type, canonical_id, similarity) for
+    mentions whose best same-type candidate scores ≥ min_similarity
+    (max-combiner; exact normalized match short-circuits at 1.0).
+    Blocking mirrors candidate_pairs (token / soundex / 4-prefix keys per
+    entity_type, hot blocks capped), so the dictionary join never goes
+    n×m. Best match per mention, ties by candidate id (the reference
+    keeps the first strictly-better candidate — order-dependent; ours is
+    deterministic).
+    """
+    m = new_mentions.select(
+        "name", "entity_type", normalized_name_col(F.col("name")).alias("norm_a")
+    ).dropDuplicates(["name", "entity_type"])
+    d = canonical_entities.select(
+        F.col("entity_id").alias("cand_id"),
+        "entity_type",
+        normalized_name_col(F.col("name")).alias("norm_b"),
+    )
+
+    def _keys(df, norm_col):
+        tok = df.select(
+            *df.columns, F.explode(F.split(F.col(norm_col), " ")).alias("key_raw")
+        ).select(*df.columns, F.concat(F.lit("tok:"), F.col("key_raw")).alias("key"))
+        sdx = df.select(
+            *df.columns,
+            F.concat(
+                F.lit("sdx:"), F.soundex(F.split(F.col(norm_col), " ").getItem(0))
+            ).alias("key"),
+        )
+        pre = df.select(
+            *df.columns,
+            F.concat(F.lit("pre:"), F.substring(F.col(norm_col), 1, 4)).alias("key"),
+        )
+        return tok.unionByName(sdx).unionByName(pre).where(F.col("key").isNotNull())
+
+    dk = _keys(d, "norm_b")
+    hot = (
+        dk.groupBy("entity_type", "key").count()
+        .where(F.col("count") > max_block_size)
+        .select("entity_type", "key")
+    )
+    dk = dk.join(F.broadcast(hot), ["entity_type", "key"], "left_anti")
+    mk = _keys(m, "norm_a")
+
+    cand = mk.join(dk, ["entity_type", "key"]).drop("key").dropDuplicates(
+        ["name", "entity_type", "cand_id"]
+    )
+    scored = score_pairs(cand, config)
+    w = Window.partitionBy("name", "entity_type").orderBy(
+        F.col("similarity").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.where(F.col("similarity") >= config.link_min_similarity)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "name",
+            "entity_type",
+            F.col("cand_id").alias("canonical_id"),
+            F.round("similarity", 6).alias("similarity"),
         )
     )
 

@@ -97,6 +97,10 @@ ENTITIES_SCHEMA = StructType(
         StructField("entity_type", StringType(), False),
         StructField("confidence", FloatType(), False),
         StructField("mention_count", LongType(), False),
+        # G10 temporal bounds (core/mod.rs:237-240) — chunk-order
+        # surrogate timestamps, nullable
+        StructField("first_mentioned", LongType(), True),
+        StructField("last_mentioned", LongType(), True),
     ]
 )
 
@@ -115,6 +119,9 @@ ENTITY_CLUSTERS_SCHEMA = StructType(
         StructField("entity_id", StringType(), False),
         StructField("canonical_id", StringType(), False),
         StructField("cluster_id", StringType(), False),
+        # L10: most-frequent-then-longest member name
+        # (corpus/entity_linker.rs:524-536)
+        StructField("canonical_name", StringType(), True),
     ]
 )
 

@@ -215,3 +215,68 @@ def test_stream_index_available_now(spark, tmp_path):
     got = {(r["subj"], r["pred"], r["obj"]) for r in triples.collect()}
     want = {(r["subj"], r["pred"], r["obj"]) for r in batch.collect()}
     assert got == want
+
+
+GRAPHML = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="G" edgedefault="undirected">
+    <node id="n0"><data key="name">Alice</data><data key="type">PERSON</data></node>
+    <node id="n1"><data key="label">Acme Corp</data></node>
+    <node id="n2"/>
+    <edge source="n0" target="n1"><data key="type">WORKS_FOR</data></edge>
+    <edge source="n1" target="n2"/>
+  </graph>
+</graphml>
+"""
+
+
+def test_import_graphml(spark, tmp_path):
+    from graphrag_rs_spark.operators.import_data import import_graphml
+
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML)
+    ents, rels = import_graphml(spark, str(p))
+    e = {r["entity_id"]: (r["name"], r["entity_type"]) for r in ents.collect()}
+    assert e["n0"] == ("Alice", "PERSON")
+    assert e["n1"] == ("Acme Corp", "node")   # label fallback, default type
+    assert e["n2"] == ("n2", "node")          # id fallback
+    r = {(x["subj"], x["pred"], x["obj"]) for x in rels.collect()}
+    assert r == {("n0", "WORKS_FOR", "n1"), ("n1", "related_to", "n2")}
+
+
+TURTLE = """# a comment
+@prefix ex: <http://example.org/> .
+<http://example.org/alice> <http://example.org/name> "Alice" .
+<http://example.org/alice> <http://example.org/type> "PERSON" .
+<http://example.org/alice> <http://xmlns.com/foaf/0.1/knows> <http://example.org/bob> .
+<http://example.org/bob> <http://example.org/worksFor> <http://example.org/acme#corp> .
+"""
+
+
+def test_import_rdf_turtle(spark, tmp_path):
+    from graphrag_rs_spark.operators.import_data import import_rdf_turtle
+
+    p = tmp_path / "t.ttl"
+    p.write_text(TURTLE)
+    ents, rels = import_rdf_turtle(spark, str(p))
+    e = {r["entity_id"]: (r["name"], r["entity_type"]) for r in ents.collect()}
+    assert e["alice"] == ("Alice", "PERSON")       # literal attrs applied
+    assert e["bob"] == ("bob", "resource")         # defaults
+    assert e["corp"] == ("corp", "resource")       # fragment local name
+    r = {(x["subj"], x["pred"], x["obj"]) for x in rels.collect()}
+    assert r == {("alice", "knows", "bob"), ("bob", "worksFor", "corp")}
+
+
+def test_imported_graph_referential_validation(spark, tmp_path):
+    # imports wire into R5 validation like any other entity/rel source
+    from graphrag_rs_spark.operators.import_data import (
+        import_graphml,
+        validate_referential,
+    )
+
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML)
+    ents, rels = import_graphml(spark, str(p))
+    valid, dangling = validate_referential(rels, ents)
+    assert valid.count() == 2
+    assert dangling.count() == 0

@@ -179,8 +179,13 @@ def test_link_fixture_corpus_pair_f1(spark):
     golden_entities = build_golden(corpus)["entities"]
     ents = spark.createDataFrame(
         [
-            (e["entity_id"], e["name"], e["entity_type"],
-             float(e["confidence"]), e["mention_count"])
+            {
+                "entity_id": e["entity_id"],
+                "name": e["name"],
+                "entity_type": e["entity_type"],
+                "confidence": float(e["confidence"]),
+                "mention_count": e["mention_count"],
+            }
             for e in golden_entities
         ],
         schema=ENTITIES_SCHEMA,
@@ -248,3 +253,55 @@ def test_link_config_threshold(spark):
     }
     assert canon["ORGANIZATION_acmecorp2"] == "ORGANIZATION_acmecorp"  # exact after norm
     assert canon["PERSON_jhonsmith"] == "PERSON_jhonsmith"  # typo no longer links
+
+
+def test_canonical_name_most_frequent_then_longest(spark):
+    # L10 (corpus/entity_linker.rs:524-536): name frequency wins, then length
+    ents = _entities(spark, [
+        ("PERSON_a1", "Jon Smith", "PERSON", 0.5),
+        ("PERSON_a2", "Jon Smith", "PERSON", 0.6),
+        ("PERSON_a3", "Jon Smithe", "PERSON", 0.99),  # max confidence, rare name
+    ])
+    rows = link_entities(ents).collect()
+    assert len({r["cluster_id"] for r in rows}) == 1
+    # canonical id = max-confidence member; canonical NAME = most frequent
+    assert all(r["canonical_id"] == "PERSON_a3" for r in rows)
+    assert all(r["canonical_name"] == "Jon Smith" for r in rows)
+
+
+def test_canonical_name_length_tiebreak(spark):
+    ents = _entities(spark, [
+        ("PERSON_b1", "Jon Smith", "PERSON", 0.5),
+        ("PERSON_b2", "Jonn Smith", "PERSON", 0.5),  # 1 edit, same freq, longer
+    ])
+    rows = link_entities(ents).collect()
+    assert len({r["cluster_id"] for r in rows}) == 1
+    assert all(r["canonical_name"] == "Jonn Smith" for r in rows)
+
+
+def test_find_canonical_exact_fuzzy_and_type_gate(spark):
+    from graphrag_rs_spark.operators.linking import find_canonical
+
+    dictionary = _entities(spark, [
+        ("PERSON_jonsmith", "Jon Smith", "PERSON", 0.9),
+        ("ORGANIZATION_acme", "ACME Corp", "ORGANIZATION", 0.9),
+        ("PERSON_mariacurie", "Maria Curie", "PERSON", 0.9),
+    ])
+    mentions = spark.createDataFrame(
+        [
+            ("jon smith", "PERSON"),        # exact after normalization
+            ("Jhon Smith", "PERSON"),       # typo -> fuzzy match
+            ("ACME Corp", "PERSON"),        # right name, wrong type -> no link
+            ("Zzyzx Quux", "PERSON"),       # nothing similar -> no link
+        ],
+        ["name", "entity_type"],
+    )
+    got = {
+        (r["name"], r["entity_type"]): (r["canonical_id"], r["similarity"])
+        for r in find_canonical(mentions, dictionary).collect()
+    }
+    assert got[("jon smith", "PERSON")][0] == "PERSON_jonsmith"
+    assert got[("jon smith", "PERSON")][1] == 1.0
+    assert got[("Jhon Smith", "PERSON")][0] == "PERSON_jonsmith"
+    assert ("ACME Corp", "PERSON") not in got
+    assert ("Zzyzx Quux", "PERSON") not in got

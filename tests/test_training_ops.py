@@ -202,8 +202,10 @@ def test_multimodal_features_and_frames(spark):
         sample_video_frames,
     )
 
+    from graphrag_rs_spark.operators.multimodal import make_png
+
     rows = [
-        ("img1", "image", "png", b"\x89PNG fake bytes", 32, 32, None),
+        ("img1", "image", "png", make_png(32, 32, seed=1), 32, 32, None),
         ("img2", "image", "png", None, None, None, None),
         ("vid1", "video", "mp4", b"\x00" * 256, None, None, 3500),
     ]
@@ -212,7 +214,8 @@ def test_multimodal_features_and_frames(spark):
     feats = {r["media_id"]: r for r in extract_image_features(media, dim=16).collect()}
     assert set(feats) == {"img1", "img2"}
     assert len(feats["img1"]["feature"]) == 16
-    assert feats["img1"]["decode_ok"] == "ok"
+    assert feats["img1"]["decode_ok"] == "ok"       # real PNG header accepted
+    assert feats["img2"]["decode_ok"] == "decode_error"  # null payload rejected
     # determinism: same payload → same feature
     feats2 = {r["media_id"]: r for r in extract_image_features(media, dim=16).collect()}
     assert feats["img1"]["feature"] == feats2["img1"]["feature"]
@@ -234,3 +237,32 @@ def test_bm25_monotonic(spark):
            bm25_scores(df, ["spark"], id_col="doc_id", text_col="text").collect()}
     assert set(got) == {0, 1}
     assert got[0] > got[1] > 0
+
+
+def test_png_wav_header_decode_roundtrip(spark):
+    from graphrag_rs_spark.operators.multimodal import (
+        decode_png_header,
+        decode_wav_header,
+        make_png,
+        make_wav,
+        probe_media,
+    )
+
+    # pure-python round trips
+    assert decode_png_header(make_png(17, 9, seed=3)) == (17, 9)
+    assert decode_png_header(b"not a png") is None
+    assert decode_wav_header(make_wav(750)) == 750
+    assert decode_wav_header(b"RIFFxxxx") is None
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", make_png(12, 5)),
+            ("m2", "audio", make_wav(400)),
+            ("m3", "image", b"garbage"),
+        ],
+        "media_id string, modality string, payload binary",
+    )
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert (got["m1"]["width"], got["m1"]["height"], got["m1"]["decode_ok"]) == (12, 5, "ok")
+    assert (got["m2"]["duration_ms"], got["m2"]["decode_ok"]) == (400, "ok")
+    assert got["m3"]["decode_ok"] == "decode_error"
