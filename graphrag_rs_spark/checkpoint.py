@@ -38,16 +38,40 @@ LEDGER = "_checkpoints.jsonl"
 
 
 def fingerprint(df: DataFrame, cols: list[str]) -> dict:
-    """Order-independent content fingerprint: (rows, xor of xxhash64(cols)).
+    """Order-independent content fingerprint: (rows, SUM of xxhash64(cols)).
 
-    One distributed agg — xor is commutative/associative and cannot
-    overflow (ANSI-safe), so partitioning/order can't change it.
+    One distributed agg — addition is commutative/associative so
+    partitioning/order can't change it, and unlike XOR it is sensitive to
+    row multiplicity (XOR self-cancels duplicate pairs: swapping two
+    identical copies of row A for two copies of row B left the round-1
+    hashsum unchanged). Summed as decimal(38,0) so ANSI mode can't
+    overflow (2⁶³·n_rows fits until ~10¹⁹ rows).
     """
     row = df.select(
         F.count(F.lit(1)).alias("rows"),
-        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("hashsum"),
+        F.expr(
+            f"sum(cast(xxhash64({', '.join(cols)}) as decimal(38,0)))"
+        ).alias("hashsum"),
     ).collect()[0]
-    return {"rows": row["rows"], "hashsum": int(row["hashsum"] or 0)}
+    return {"rows": row["rows"], "hashsum": str(row["hashsum"] or 0)}
+
+
+def config_fingerprint(config: PipelineConfig) -> str:
+    """Deterministic hash of every config field (except the free-form
+    ``extra`` escape hatch): folded into stage input fingerprints so a
+    re-run on the same workspace with a CHANGED config (chunk_size,
+    thresholds, ...) rebuilds instead of silently reusing checkpoints
+    built under the old config."""
+    import dataclasses
+    import hashlib
+
+    fields = {
+        f.name: getattr(config, f.name)
+        for f in dataclasses.fields(config)
+        if f.name != "extra"
+    }
+    blob = json.dumps(fields, sort_keys=True, default=repr)
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
 
 
 def partition_histogram(df: DataFrame) -> dict:
@@ -176,6 +200,8 @@ def run_checkpointed(
         ingest_documents(source).select("doc_id", "content_sha256"),
         ["doc_id", "content_sha256"],
     )
+    # a config change must invalidate checkpoints built under the old one
+    src_fp["config"] = config_fingerprint(config)
 
     def stage(name, build, parents_fp, fp_cols, partition_by=None):
         if mgr.is_current(name, parents_fp):
@@ -250,24 +276,47 @@ def run_checkpointed(
     return tables
 
 
+def _clear_buckets(path: str, buckets: list[int]) -> None:
+    """Delete the parquet directories of the affected doc_buckets BEFORE
+    the dynamic-overwrite write. Dynamic partition overwrite only rewrites
+    partitions PRESENT in the incoming frame — a changed doc whose new
+    content contributes zero rows to a table would otherwise leave its old
+    bucket files (and its stale rows) in place. Local-FS implementation;
+    on a cluster this is the FileSystem delete / Iceberg
+    ``overwritePartitions`` equivalent."""
+    import shutil
+
+    for b in buckets:
+        d = os.path.join(path, f"doc_bucket={b}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+
 def run_incremental(
     new_source: DataFrame,
     workspace: str,
     config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    full_snapshot: bool = True,
 ) -> dict:
     """Incremental update (reference G8 analog, incremental/mod.rs):
 
     1. detect changed/new docs by (doc_id, content_sha256) anti-join
-       against the checkpointed documents table;
+       against the checkpointed documents table; with ``full_snapshot``
+       (default) also detect DELETED docs (checkpointed doc_ids absent
+       from ``new_source``) and remove their rows — pass False when
+       ``new_source`` is a partial delta rather than the whole corpus;
     2. re-run chunk+extract ONLY for changed docs;
-    3. rewrite ONLY the doc_buckets containing changed docs in the
-       per-document tables (dynamic partition overwrite — the plain-parquet
-       stand-in for Iceberg ``MERGE INTO``);
+    3. rewrite ONLY the doc_buckets containing changed/deleted docs in the
+       per-document tables (affected buckets are explicitly cleared first,
+       so buckets whose merged content is empty don't retain stale files —
+       then dynamic partition overwrite writes the survivors; the
+       plain-parquet stand-in for Iceberg ``MERGE INTO``);
     4. recompute the global aggregates (entities, triples) from the merged
        mentions table — one scan of already-extracted mentions, zero
        re-extraction of unchanged docs.
 
-    Returns {"changed_docs": n, "buckets_rewritten": k}.
+    Returns {"changed_docs": n, "deleted_docs": d, "buckets_rewritten": k}.
     """
     from graphrag_rs_spark.operators.extraction import extract_mentions_fused
     from graphrag_rs_spark.operators.ingest import ingest_documents
@@ -282,24 +331,48 @@ def run_incremental(
         "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
     ).localCheckpoint(eager=True)
     n_changed = changed.count()
-    if n_changed == 0:
-        return {"changed_docs": 0, "buckets_rewritten": 0}
 
-    buckets = [r["doc_bucket"] for r in changed.select("doc_bucket").distinct().collect()]
+    docs_path = mgr.table_path("documents")
+    deleted = None
+    n_deleted = 0
+    if full_snapshot and os.path.exists(docs_path):
+        deleted = (
+            spark.read.parquet(docs_path)
+            .select("doc_id", "doc_bucket")
+            .join(
+                ingest_documents(new_source).select("doc_id"), "doc_id", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_deleted = deleted.count()
+
+    if n_changed == 0 and n_deleted == 0:
+        return {"changed_docs": 0, "deleted_docs": 0, "buckets_rewritten": 0}
+
+    bucket_rows = changed.select("doc_bucket").distinct().collect()
+    if deleted is not None and n_deleted:
+        bucket_rows += deleted.select("doc_bucket").distinct().collect()
+    buckets = sorted({r["doc_bucket"] for r in bucket_rows})
+    gone_ids = (
+        changed.select("doc_id")
+        if deleted is None
+        else changed.select("doc_id").union(deleted.select("doc_id"))
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    # documents: merged view of affected buckets = old rows for unchanged
-    # docs + changed rows; dynamic overwrite rewrites only those buckets
-    docs_path = mgr.table_path("documents")
+    # documents: merged view of affected buckets = old rows for surviving
+    # unchanged docs + changed rows; affected buckets are cleared first so
+    # deletions (and empty merges) actually remove files
     if os.path.exists(docs_path):
         old_docs = spark.read.parquet(docs_path)
         keep = old_docs.where(F.col("doc_bucket").isin(buckets)).join(
-            changed.select("doc_id"), "doc_id", "left_anti"
+            gone_ids, "doc_id", "left_anti"
         )
         merged_docs = keep.unionByName(
             changed.select(*old_docs.columns)
         ).localCheckpoint(eager=True)  # materialize BEFORE overwriting source path
+        _clear_buckets(docs_path, buckets)
     else:
         merged_docs = changed  # bootstrap: empty workspace, all docs are new
     merged_docs.write.mode("overwrite").partitionBy("doc_bucket").parquet(docs_path)
@@ -312,9 +385,10 @@ def run_incremental(
         )
         old_m = spark.read.parquet(mflag_path)
         keep_m = old_m.where(F.col("doc_bucket").isin(buckets)).join(
-            changed.select("doc_id"), "doc_id", "left_anti"
+            gone_ids, "doc_id", "left_anti"
         )
         merged_m = keep_m.unionByName(new_flagged).localCheckpoint(eager=True)
+        _clear_buckets(mflag_path, buckets)
     else:
         # bootstrap (first incremental run, or workspace built by the plain
         # checkpointed path): extract flagged mentions for the full corpus
@@ -348,7 +422,11 @@ def run_incremental(
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
     )
-    return {"changed_docs": n_changed, "buckets_rewritten": len(buckets)}
+    return {
+        "changed_docs": n_changed,
+        "deleted_docs": n_deleted,
+        "buckets_rewritten": len(buckets),
+    }
 
 
 def changed_documents(new_source: DataFrame, workspace: str) -> DataFrame:

@@ -63,7 +63,7 @@ def test_incremental_noop(spark, tmp_path):
     corpus = generate_corpus(n_docs=6, include_edge_cases=False)
     run_checkpointed(_src(spark, corpus), ws)
     stats = run_incremental(_src(spark, corpus), ws)
-    assert stats == {"changed_docs": 0, "buckets_rewritten": 0}
+    assert stats == {"changed_docs": 0, "deleted_docs": 0, "buckets_rewritten": 0}
 
 
 def test_incremental_ledger_records(spark, tmp_path):
@@ -77,3 +77,72 @@ def test_incremental_ledger_records(spark, tmp_path):
     inc = [r for r in ledger if r["stage"] == "incremental"]
     assert inc and inc[-1]["rows"] == 1
     assert inc[-1]["partition_histogram"]["buckets_rewritten"] >= 1
+
+
+def test_incremental_deletion_and_empty_bucket(spark, tmp_path):
+    """Deleted docs are removed from documents/mentions; a changed doc
+    whose new content yields zero mentions leaves no stale rows even when
+    its bucket becomes empty (round-1 dynamic-overwrite gap)."""
+    ws = str(tmp_path / "ws")
+    corpus = generate_corpus(n_docs=8, include_edge_cases=False)
+    run_checkpointed(_src(spark, corpus), ws)
+    docs0 = spark.read.parquet(os.path.join(ws, "documents"))
+    n0 = docs0.count()
+
+    # snapshot 2: drop the last doc entirely, blank out the first one
+    corpus2 = [dict(r) for r in corpus[:-1]]
+    corpus2[0]["content"] = "zzz qqq www"  # no extractable entities
+    stats = run_incremental(_src(spark, corpus2), ws)
+    assert stats["deleted_docs"] == 1
+    assert stats["changed_docs"] == 1
+
+    docs = spark.read.parquet(os.path.join(ws, "documents"))
+    assert docs.count() == n0 - 1
+    blank_id = [r["doc_id"] for r in docs.collect() if r["path"] == corpus[0]["path"]]
+    mentions = spark.read.parquet(os.path.join(ws, "mentions_flagged"))
+    # no mentions survive for the blanked doc or the deleted doc
+    assert mentions.where(mentions["doc_id"].isin(blank_id)).count() == 0
+    deleted_path = corpus[-1]["path"]
+    assert docs.where(docs["path"] == deleted_path).count() == 0
+
+    # result converges to a fresh rebuild of snapshot 2
+    ws2 = str(tmp_path / "ws2")
+    run_incremental(_src(spark, corpus2), ws2)
+    assert _triples_set(spark, ws) == _triples_set(spark, ws2)
+
+
+def test_incremental_delta_mode_skips_deletion(spark, tmp_path):
+    ws = str(tmp_path / "ws")
+    corpus = generate_corpus(n_docs=6, include_edge_cases=False)
+    run_checkpointed(_src(spark, corpus), ws)
+    # delta carries ONE updated doc; full_snapshot=False must not treat
+    # the absent docs as deletions
+    delta = [dict(corpus[0])]
+    delta[0]["content"] = "Dr. Emily Chen works for Initech LLC in Berlin."
+    stats = run_incremental(_src(spark, delta), ws, full_snapshot=False)
+    assert stats["deleted_docs"] == 0
+    docs = spark.read.parquet(os.path.join(ws, "documents"))
+    assert docs.count() == 6
+
+
+def test_config_change_invalidates_checkpoints(spark, tmp_path):
+    from graphrag_rs_spark.config import PipelineConfig
+
+    ws = str(tmp_path / "ws")
+    corpus = generate_corpus(n_docs=5, include_edge_cases=False)
+    run_checkpointed(_src(spark, corpus), ws)
+    n_chunks_default = spark.read.parquet(os.path.join(ws, "chunks")).count()
+
+    # same workspace, smaller chunk_size → chunks MUST be rebuilt
+    cfg = PipelineConfig(chunk_size=128, chunk_overlap=16)
+    run_checkpointed(_src(spark, corpus), ws, cfg)
+    n_chunks_small = spark.read.parquet(os.path.join(ws, "chunks")).count()
+    assert n_chunks_small > n_chunks_default
+
+    # and re-running with the same config skips (ledger gains no new rows)
+    with open(os.path.join(ws, LEDGER)) as f:
+        before = sum(1 for _ in f)
+    run_checkpointed(_src(spark, corpus), ws, cfg)
+    with open(os.path.join(ws, LEDGER)) as f:
+        after = sum(1 for _ in f)
+    assert after == before
