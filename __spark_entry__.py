@@ -1463,6 +1463,64 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # Q5 extractive summarizer: tf scoring + first-sentence bonus + top-2
+    # selection, replicated exactly (stopword list = operators/keywords.py)
+    _stop = (
+        "the a an and or but in on at to for of with by from as is was are were "
+        "be been being have has had do does did will would could should may "
+        "might this that these those it its"
+    ).split()
+    _stop_sql = ", ".join(f"'{w}'" for w in sorted(_stop))
+    sql["text_summarize"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                              x -> trim(x)), x -> x != '') AS arr
+            FROM documents WHERE doc_id < 100
+        ),
+        sents AS (
+            SELECT doc_id, u[2] - 1 AS pos, u[1] AS s
+            FROM (SELECT doc_id,
+                         unnest(list_zip(arr, generate_series(1, len(arr)))) AS u
+                  FROM base)
+        ),
+        terms AS (
+            SELECT doc_id, pos,
+                   unnest(list_filter(string_split_regex(lower(s), '[^a-z0-9'']+'),
+                          t -> length(t) >= 3 AND NOT list_contains([{_stop_sql}], t))) AS term
+            FROM sents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        scored AS (
+            SELECT s.doc_id, s.pos,
+                   COALESCE(x.term_score, 0) + CASE WHEN s.pos = 0 THEN 2 ELSE 0 END AS score
+            FROM sents s LEFT JOIN (
+                SELECT t.doc_id, t.pos, sum(tf.tf) AS term_score
+                FROM terms t JOIN tf ON t.doc_id = tf.doc_id AND t.term = tf.term
+                GROUP BY t.doc_id, t.pos
+            ) x ON s.doc_id = x.doc_id AND s.pos = x.pos
+        ),
+        picked AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, pos ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 2
+        )
+        SELECT s.doc_id, string_agg(s.s, '. ' ORDER BY s.pos) AS summary
+        FROM picked p JOIN sents s ON p.doc_id = s.doc_id AND p.pos = s.pos
+        GROUP BY s.doc_id
+    """
+
+    # REAL PNG payloads (built from doc_id) always decode, features are a
+    # fixed 64-dim vector — dim/decode_ok are fully determined, so the
+    # oracle verifies the decode gate end-to-end on genuine bytes
+    sql["mm_image_features"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id, 64 AS dim, 'ok' AS decode_ok
+        FROM documents WHERE doc_id < 100
+    """
+
     # the payloads are REAL stdlib-encoded PNG/WAV bytes built from doc_id
     # formulas; the oracle recomputes the formulas, so a hash match proves
     # the full encode→header-decode round trip
