@@ -756,6 +756,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_graph_stats"] = kg_graph_stats
 
+    def kg_rel_hierarchy(spark, sf):
+        from graphrag_rs_spark.operators.hierarchical_rels import (
+            cluster_relationships,
+            summarize_relationship_clusters,
+        )
+
+        # relationship corpus: part co-order pairs with preds bucketed by
+        # co-order strength (gives the same-type similarity signal teeth)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        t = (
+            a.join(b, "l_orderkey")
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .count()
+            .where(F.col("count") >= 3)
+            .select(
+                F.col("pa").cast("string").alias("subj"),
+                F.when(F.col("count") >= 5, F.lit("CO_ORDERED_STRONG"))
+                .otherwise(F.lit("CO_ORDERED_WEAK"))
+                .alias("pred"),
+                F.col("pb").cast("string").alias("obj"),
+                F.col("count").cast("float").alias("confidence"),
+            )
+        )
+        h = cluster_relationships(t, resolutions=(1.0, 0.2), max_iterations=8)
+        s = summarize_relationship_clusters(h, t)
+        return s.groupBy("level").agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("n_relationships").alias("n_rels"),
+        ).orderBy("level")
+
+    q["kg_rel_hierarchy"] = kg_rel_hierarchy
+
     def _temporal_edges(spark, sf):
         e = _t(spark, sf, "events")
         ep = F.unix_timestamp("ts").cast("long")
@@ -1005,6 +1040,73 @@ def oracle_sql() -> dict[str, str]:
         ),
         cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
         SELECT component, count(*) AS count FROM cc GROUP BY component
+    """
+
+    # C1 sliding-window chunker as a recursive CTE: replicates the kernel
+    # (kernel/chunking.py ← text/mod.rs:141-186) step-exactly — window
+    # end = min(start+512, n); last [.!?]-followed-by-whitespace in the
+    # final 200 chars (found via reverse+regexp on the tail), else last
+    # space in the final 50, else hard cut; whitespace-only chunks are
+    # not emitted; next start = max(start+1, end-64). Validated
+    # chunk-count + max-offset identical to the Python kernel on every
+    # document at sf0.001 and sf0.01 before wiring.
+    def _c1_window_term(base_rows: str) -> str:
+        return f"""
+    SELECT doc_id, w_start, a_end,
+           trim(substr(text, w_start + 1, a_end - w_start)) != '' AS emitted,
+           greatest(w_start + 1, a_end - 64) AS next_start
+    FROM (
+        SELECT doc_id, text, n, w_start,
+               CASE WHEN w_end < n THEN COALESCE(sb_abs, wb_abs, w_end)
+                    ELSE w_end END AS a_end
+        FROM (
+            SELECT doc_id, text, n, w_start, w_end,
+                   CASE WHEN k > 0 THEN w_start + ss + (ls - k + 1) END AS sb_abs,
+                   CASE WHEN rpos > 0
+                        THEN w_start + ss50 + (ls50 - rpos + 1) - 1 END AS wb_abs
+            FROM (
+                SELECT doc_id, text, n, w_start, w_end, ss, ss50,
+                       length(s) AS ls, length(s50) AS ls50,
+                       CASE WHEN regexp_matches(reverse(s), '^[.!?]') THEN 1
+                            WHEN regexp_extract(reverse(s), '^([\\s\\S]*?[\\s])[.!?]', 1) != ''
+                            THEN length(regexp_extract(reverse(s), '^([\\s\\S]*?[\\s])[.!?]', 1)) + 1
+                            ELSE 0 END AS k,
+                       position(' ' IN reverse(s50)) AS rpos
+                FROM (
+                    SELECT doc_id, text, n, w_start, w_end,
+                           greatest(w_end - w_start - 200, 0) AS ss,
+                           greatest(w_end - w_start - 50, 0) AS ss50,
+                           substr(text, w_start + greatest(w_end - w_start - 200, 0) + 1,
+                                  (w_end - w_start) - greatest(w_end - w_start - 200, 0)) AS s,
+                           substr(text, w_start + greatest(w_end - w_start - 50, 0) + 1,
+                                  (w_end - w_start) - greatest(w_end - w_start - 50, 0)) AS s50
+                    FROM ({base_rows})
+                )
+            )
+        )
+    )"""
+
+    sql["kg_chunking"] = f"""
+        WITH RECURSIVE
+        d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS n
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        win(doc_id, w_start, a_end, emitted, next_start) AS (
+            {_c1_window_term(
+                "SELECT doc_id, text, n, 0 AS w_start, least(512, n) AS w_end FROM d"
+            )}
+            UNION ALL
+            {_c1_window_term(
+                '''SELECT d.doc_id, d.text, d.n, w.next_start AS w_start,
+                          least(w.next_start + 512, d.n) AS w_end
+                   FROM win w JOIN d ON w.doc_id = d.doc_id
+                   WHERE w.a_end < d.n AND w.next_start < d.n'''
+            )}
+        )
+        SELECT doc_id, count(*) FILTER (emitted) AS n_chunks,
+               max(a_end) FILTER (emitted) AS max_end
+        FROM win GROUP BY doc_id HAVING count(*) FILTER (emitted) > 0
     """
 
     # bounded BFS as a depth-limited recursive CTE: min depth per reachable
