@@ -106,3 +106,46 @@ def test_triples_partial_aggregation(spark, parquet_docs):
     plan = _plan(extract_triples_fused(flagged))
     # ObjectHashAggregate (collect_set/list) appears in partial + final pairs
     assert plan.count("ObjectHashAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_minhash_band_join_ships_ids_only(spark, parquet_docs):
+    """The band self-join must NOT shuffle the shingle arrays — round 2's
+    ids-only rework. Assert no Exchange in the plan carries the `sh`
+    column (shingles are rejoined once, AFTER the pair dedupe)."""
+    from graphrag_rs_spark.operators.dedup import minhash_lsh_duplicates
+
+    docs = parquet_docs.select(F.col("path").alias("doc_id"), F.col("content").alias("text"))
+    plan = _plan(minhash_lsh_duplicates(docs, "text", "doc_id"))
+    # structural check on the formatted plan: every Exchange node's Input
+    # list that contains band/bucket must not also contain sh
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange[\s\S]*?Input \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        if "band" in cols and "bucket" in cols:
+            assert "sh#" not in cols, f"band exchange carries shingles: {cols}"
+
+
+def test_simhash_single_pass_signature(spark, parquet_docs):
+    """Signatures come from ONE explode + hash-aggregate pass (64 partial
+    sums), not 64 interpreted per-row folds: the plan must contain a
+    partial aggregate over the exploded tokens."""
+    from graphrag_rs_spark.operators.dedup import simhash_signatures
+
+    docs = parquet_docs.select(F.col("path").alias("doc_id"), F.col("content").alias("text"))
+    plan = _plan(simhash_signatures(docs, "text", "doc_id"))
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "partial_sum" in plan
+
+
+def test_find_canonical_blocks_not_cartesian(spark):
+    """L9 must block the dictionary join — no CartesianProduct, no
+    BroadcastNestedLoopJoin over the full mention×dictionary space."""
+    from graphrag_rs_spark.operators.linking import find_canonical
+
+    mentions = spark.createDataFrame([("Jon Smith", "PERSON")], ["name", "entity_type"])
+    dictionary = spark.createDataFrame(
+        [("PERSON_jonsmith", "Jon Smith", "PERSON", 0.9, 1)],
+        "entity_id string, name string, entity_type string, confidence float, mention_count long",
+    )
+    plan = _plan(find_canonical(mentions, dictionary))
+    assert "CartesianProduct" not in plan
