@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels — no
+SparkSession needed, so these run in milliseconds and fuzz the invariants
+the golden tests can't enumerate."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphrag_rs_spark.kernel.chunking import chunk_text
+from graphrag_rs_spark.kernel.linking import (
+    jaro_winkler_similarity,
+    normalize_string,
+    soundex,
+)
+from graphrag_rs_spark.kernel.semantic import semantic_chunk_text, split_sentences
+
+text_st = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"), include_characters=".!? \n"
+    ),
+    max_size=3000,
+)
+
+
+@given(text_st, st.integers(64, 600), st.integers(0, 63))
+@settings(max_examples=150, deadline=None)
+def test_chunk_text_invariants(text, chunk_size, overlap):
+    chunks = chunk_text(text, chunk_size, overlap)
+    n = len(text)
+    prev_start = -1
+    for i, (idx, content, start, end) in enumerate(chunks):
+        assert 0 <= start < end <= n
+        assert content == text[start:end]
+        assert content.strip()                      # whitespace-only dropped
+        assert end - start <= chunk_size
+        assert start > prev_start                   # strictly advancing
+        prev_start = start
+    assert [c[0] for c in chunks] == list(range(len(chunks)))  # dense ids
+    # every non-space char of the text is covered by at least one chunk
+    covered = [False] * n
+    for _, _, s, e in chunks:
+        for k in range(s, e):
+            covered[k] = True
+    for k, ch in enumerate(text):
+        if not ch.isspace() and not covered[k]:
+            # only permissible when the char sits in a whitespace-only
+            # region that the chunker dropped entirely
+            assert not text[k:].strip() or not text[: k + 1].strip() or False, (
+                f"uncovered non-space char at {k}"
+            )
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_split_sentences_invariants(text):
+    sents = split_sentences(text)
+    for s in sents:
+        assert s == s.strip() and s != ""
+
+
+@given(text_st)
+@settings(max_examples=50, deadline=None)
+def test_semantic_chunk_coverage(text):
+    out = semantic_chunk_text(text, strategy="absolute", threshold_amount=2.0)
+    sents = split_sentences(text)
+    if sents:
+        # threshold 2.0 → no breakpoints → one chunk covering all sentences
+        # (unless max splits, not set here)
+        assert sum(c[3] - c[2] for c in out) == len(sents)
+        assert [c[0] for c in out] == list(range(len(out)))
+    else:
+        assert out == []
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_jaro_winkler_properties(a, b):
+    s = jaro_winkler_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jaro_winkler_similarity(b, a)       # symmetric
+    if a == b and a:
+        assert s == 1.0
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_soundex_shape(word):
+    # the kernel is a pinned reference transcription: it keys off the FIRST
+    # CHARACTER (kept only if alphabetic), pads to 4 with zeros
+    code = soundex(word)
+    if not word:
+        assert code == ""
+    else:
+        assert len(code) == 4
+        if word[0].isalpha():
+            assert code[0] == word[0].upper()
+            assert all(c.isdigit() for c in code[1:])
+        else:
+            assert all(c.isdigit() for c in code)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_string(s)
+    assert normalize_string(once) == once
+    assert once == once.strip()
