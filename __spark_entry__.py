@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_cc_clusters"] = kg_cc_clusters
 
     def kg_communities(spark, sf):
+        from graphrag_rs_spark.config import PipelineConfig
         from graphrag_rs_spark.operators.communities import detect_communities
 
         # part co-occurrence graph (same edges as kg_cc_clusters, weighted
@@ -253,7 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.array().cast("array<string>").alias("context_chunk_ids"),
             )
         )
-        comm = detect_communities(t)
+        # 10 supersteps keep the driver query fast; quality converges long
+        # before the default 20 on this graph (rows-only check)
+        comm = detect_communities(t, PipelineConfig(community_max_iterations=10))
         # size histogram: (community size, number of communities of that size)
         return (
             comm.groupBy("community_id").count()

@@ -9,23 +9,31 @@ distribute, so we re-express it as the standard scalable equivalent
 (SURVEY §4, accepted semantic substitution — communities feed summaries,
 not the scored triples):
 
-1. **weighted synchronous label propagation** as iterative DataFrame
-   self-joins: each superstep every node adopts the label with the largest
-   incident edge-weight sum, ties broken by smallest label (total order ⇒
-   deterministic under any execution order; no RNG, honoring the
-   reference's seeded-determinism contract leiden.rs:438-439).
-2. **connectivity refinement** (the part of Leiden that label propagation
-   shares with the reference exactly): final communities are split into
-   their connected components via the shared hashmin CC kernel, so every
-   emitted community is a connected subgraph — the invariant Leiden adds
-   over Louvain (leiden.rs:598-708).
-3. **summaries** (G3): per community, members grouped by entity type, top-5
-   names per type + "and N more" (leiden.rs:145-242) — pure column ops.
+1. **ΔQ modularity local moving** (modularity_local_moving): synchronous
+   supersteps evaluating the reference's Newman ΔQ per candidate move,
+   with resolution / min_improvement / max_cluster_size knobs — replacing
+   round 1's min-biased label propagation, which had no objective and
+   over-merged dense-but-modular graphs into one community.
+2. **mutual-best community merging** (the distributed Louvain second
+   phase): resolves the symmetric stall states synchronous node moves
+   can't escape (e.g. a clique split into equal halves).
+3. **connectivity refinement** (the part of Leiden the reference adds over
+   Louvain, leiden.rs:598-708): final communities are split into their
+   connected components via the shared hashmin CC kernel, so every
+   emitted community is a connected subgraph.
+4. **summaries** (G3): per community, members grouped by entity type, top-5
+   names per type + "and N more" (leiden.rs:145-242) — pure column ops;
+   **context** (G4): LLM-ready entity + intra-community-triple rendering.
 
-Scale notes: supersteps are join+groupBy pairs (two shuffles each) with
-lineage cut by localCheckpoint; hot vertices are handled by map-side
-partial aggregation of the (dst, label) weight sums; iteration count is
-bounded by config (LP converges in a handful of rounds on KG graphs).
+`label_propagation` (the round-1 kernel) is kept as a cheap alternative
+for callers that only need connectivity-ish grouping.
+
+Scale notes: supersteps are joins+groupBys with lineage cut per round by
+iterutil.cut_lineage (checkpoint/localCheckpoint retain originStats plan
+back-references → exponential planning in iterative self-join algorithms;
+see iterutil.py); hot vertices are handled by map-side partial
+aggregation; iteration count is bounded by config. Per-superstep cost is
+scheduling-dominated on small graphs and shuffle-dominated at scale.
 """
 
 from __future__ import annotations
