@@ -129,6 +129,124 @@ def stream_windowed_event_counts(
     return writer.start()
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    workspace: str,
+    *,
+    gap_seconds: int = 300,
+    watermark_delay: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Custom STATEFUL streaming operator: per-user sessionization with a
+    gap timeout, via ``applyInPandasWithState`` (arbitrary per-key state —
+    the shape Structured Streaming's built-in windows can't express).
+
+    State per user: (session_start, last_ts, n_events) as epoch seconds.
+    Each micro-batch merges the user's new events (sorted within the
+    buffered window; cross-batch disorder is bounded by the watermark),
+    emits every session CLOSED by a ``gap_seconds`` gap, and keeps the
+    open session in state with an event-time timeout at
+    last_ts + gap_seconds — when the watermark passes it, the open
+    session is emitted with ``closed_by='timeout'`` and the state is
+    dropped (bounded state, the 100 TB requirement).
+
+    Output: (user_id, session_start, session_end, n_events, closed_by)
+    appended as parquet under ``workspace/sessions``.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+
+        def _emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "session_start": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "session_end": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "n_events": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "closed_by": pd.Series([r[4] for r in rows], dtype="string"),
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _emit([(user_id, start, last, n, "timeout")])
+            return
+
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.timestamp()) for t in pdf["ts"] if t is not None)
+        ts_list.sort()
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        closed = []
+        for t in ts_list:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((user_id, start, last, n, "gap"))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        yield _emit(closed)
+
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark_delay)
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start long, session_end long, "
+            "n_events long, closed_by string"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(workspace, "sessions"))
+        .option("checkpointLocation", os.path.join(workspace, "_sessions_checkpoint"))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def consolidated_triples(spark: SparkSession, workspace: str) -> DataFrame:
     """Merge the append-only stream output into the canonical triple set
     (max confidence, unioned contexts) — the read-side compaction."""
