@@ -639,8 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col("text").alias("content"),
         )
+        # max(end_offset) == Σ emitted chunk lengths (the C3 cumulative-
+        # offset quirk makes offsets running sums) — oracle-checkable
         return chunk_documents(docs, strategy="hierarchical").groupBy("doc_id").agg(
-            F.count("*").alias("n_chunks")
+            F.count("*").alias("n_chunks"),
+            F.max("end_offset").alias("total_len"),
         )
 
     q["kg_chunking_hierarchical"] = kg_chunking_hierarchical
@@ -912,6 +915,15 @@ def oracle_sql() -> dict[str, str]:
     gaz_values = ", ".join(f"('{w}')" for w in GAZETTEER)
     gaz_cte = f"gaz(name) AS (VALUES {gaz_values})"
 
+    # stopword list shared by the keyword/summary oracles
+    # (= operators/keywords.STOP_WORDS)
+    _stop = (
+        "the a an and or but in on at to for of with by from as is was are were "
+        "be been being have has had do does did will would could should may "
+        "might this that these those it its"
+    ).split()
+    _stop_sql = ", ".join(f"'{w}'" for w in sorted(_stop))
+
     sql: dict[str, str] = {}
 
     sql["kg_gazetteer_mentions"] = f"""
@@ -1109,6 +1121,121 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, count(*) FILTER (emitted) AS n_chunks,
                max(a_end) FILTER (emitted) AS max_end
+        FROM win GROUP BY doc_id HAVING count(*) FILTER (emitted) > 0
+    """
+
+    # C6 enricher over C1 chunks, fully in SQL: reuse the kg_chunking CTE
+    # body for the chunk rows (offsets → chunk ids → content substrings),
+    # then keyword counts (distinct qualifying terms capped at top-k),
+    # summary presence (content > 150 chars), and document position.
+    # Validated row-identical to the Spark query at sf0.001 and sf0.01.
+    _c1_body = sql["kg_chunking"].split("WITH RECURSIVE", 1)[1].rsplit(
+        "SELECT doc_id, count(*)", 1
+    )[0].rstrip()
+    sql["kg_chunk_enrich"] = f"""
+        WITH RECURSIVE {_c1_body},
+        chunks AS (
+            SELECT w.doc_id,
+                   w.doc_id || '_' || CAST(row_number() OVER (
+                       PARTITION BY w.doc_id ORDER BY w.w_start) - 1 AS VARCHAR) AS chunk_id,
+                   substr(d.text, w.w_start + 1, w.a_end - w.w_start) AS content,
+                   w.w_start AS start_offset,
+                   d.n AS doc_len
+            FROM win w JOIN d ON w.doc_id = d.doc_id
+            WHERE w.emitted AND CAST(w.doc_id AS BIGINT) < 200
+        ),
+        terms AS (
+            SELECT chunk_id,
+                   unnest(list_distinct(list_filter(
+                       string_split_regex(lower(content), '[^a-z0-9'']+'),
+                       t -> length(t) >= 3 AND NOT list_contains([{_stop_sql}], t)))) AS term
+            FROM chunks
+        ),
+        kw AS (SELECT chunk_id, least(count(*), 5) AS n_keywords FROM terms GROUP BY chunk_id)
+        SELECT c.chunk_id,
+               COALESCE(kw.n_keywords, 0) AS n_keywords,
+               length(c.content) > 150 AS has_summary,
+               round(CAST(c.start_offset AS DOUBLE) / greatest(c.doc_len, 1), 4) AS pos
+        FROM chunks c LEFT JOIN kw ON c.chunk_id = kw.chunk_id
+    """
+
+    # C2/C3 hierarchical chunker as a recursive CTE: separator-priority
+    # cascade ("\n\n","\n",". ","! ","? ","; ",": "," ") with the ¼-window
+    # guard (rfind per separator via reverse+strpos), word-boundary
+    # fallback, min-50-stripped-chars emission filter, overlap advance
+    # snapped backward to a word boundary (kernel/hierarchical.py ←
+    # text/chunking.rs:48-152 + text/mod.rs:106-138). Validated
+    # count+total-length identical to the Python kernel on every document
+    # at sf0.001 and sf0.01 before wiring.
+    _H_SEPS = ["\n\n", "\n", ". ", "! ", "? ", "; ", ": ", " "]
+
+    def _sql_lit(s: str) -> str:
+        return "e'" + s.replace("\\", "\\\\").replace("\n", "\\n").replace("'", "''") + "'"
+
+    def _h_sep_case(w: str, w_start: str, L: str) -> str:
+        branches = []
+        for sep in _H_SEPS:
+            rs = _sql_lit(sep[::-1])
+            qq = f"strpos(reverse({w}), {rs})"
+            bb = f"({w_start} + {L} - {qq} + 1)"
+            branches.append(f"WHEN {qq} > 0 AND {bb} > {w_start} + ({L} // 4) THEN {bb}")
+        return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+    def _h_wb(text: str, pos: str) -> str:
+        prefix = f"substr({text}, 1, {pos})"
+        nw = f"length(regexp_extract(reverse({prefix}), '^([^\\s]*)', 1))"
+        return (
+            f"CASE WHEN {pos} <= 0 THEN 0 "
+            f"WHEN {nw} >= length({prefix}) THEN 0 "
+            f"ELSE {pos} - {nw} END"
+        )
+
+    def _h_term(base_rows: str) -> str:
+        w = "substr(text, w_start + 1, w_end - w_start)"
+        L = "(w_end - w_start)"
+        stripped = (
+            "length(regexp_replace(substr(text, w_start + 1, c_end - w_start),"
+            " '^[\\s]+|[\\s]+$', '', 'g'))"
+        )
+        return f"""
+        SELECT doc_id, w_start, c_end,
+               {stripped} >= 50 AS emitted,
+               (c_end - w_start) AS c_len,
+               CASE WHEN tail THEN n
+                    ELSE greatest({_h_wb("text", "greatest(c_end - 64, 0)")}, w_start + 1)
+               END AS next_start,
+               tail, n
+        FROM (
+            SELECT doc_id, text, n, w_start, w_end, tail,
+                   CASE WHEN tail THEN n
+                        WHEN opt IS NOT NULL AND opt > w_start THEN opt
+                        WHEN fb > w_start THEN fb
+                        ELSE w_end END AS c_end
+            FROM (
+                SELECT doc_id, text, n, w_start, w_end,
+                       (w_end >= n) AS tail,
+                       {_h_sep_case(w, "w_start", L)} AS opt,
+                       {_h_wb("text", "w_end")} AS fb
+                FROM ({base_rows})
+            )
+        )"""
+
+    sql["kg_chunking_hierarchical"] = f"""
+        WITH RECURSIVE
+        d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS n
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        win(doc_id, w_start, c_end, emitted, c_len, next_start, tail, n) AS (
+            {_h_term("SELECT doc_id, text, n, 0 AS w_start, least(512, n) AS w_end FROM d")}
+            UNION ALL
+            {_h_term('''SELECT d.doc_id, d.text, d.n, w.next_start AS w_start,
+                               least(w.next_start + 512, d.n) AS w_end
+                        FROM win w JOIN d ON w.doc_id = d.doc_id
+                        WHERE NOT w.tail AND w.next_start < d.n''')}
+        )
+        SELECT doc_id, count(*) FILTER (emitted) AS n_chunks,
+               CAST(sum(c_len) FILTER (emitted) AS BIGINT) AS total_len
         FROM win GROUP BY doc_id HAVING count(*) FILTER (emitted) > 0
     """
 
@@ -1570,12 +1697,6 @@ def oracle_sql() -> dict[str, str]:
 
     # Q5 extractive summarizer: tf scoring + first-sentence bonus + top-2
     # selection, replicated exactly (stopword list = operators/keywords.py)
-    _stop = (
-        "the a an and or but in on at to for of with by from as is was are were "
-        "be been being have has had do does did will would could should may "
-        "might this that these those it its"
-    ).split()
-    _stop_sql = ", ".join(f"'{w}'" for w in sorted(_stop))
     sql["text_summarize"] = f"""
         WITH base AS (
             SELECT doc_id,
