@@ -38,6 +38,71 @@ from graphrag_rs_spark.operators.keywords import tfidf_keywords
 from graphrag_rs_spark.operators.summarizer import extractive_summary
 
 _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_HTML_H_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>", re.IGNORECASE | re.DOTALL)
+
+
+def _plaintext_headings(content: str) -> list[tuple[int, int, str]]:
+    """Plaintext heading heuristics (text/parsers/plaintext.rs:147-210 +
+    text/analysis.rs): setext-style underlines (=== level 1, --- level 2,
+    ___ level 3, ≥3 chars) and ALL-CAPS lines (≥5 chars; <20 chars →
+    level 1, <40 → 2, else 3). Offsets here are TRUE source offsets (the
+    reference's current_offset bookkeeping skips advancing on heading
+    lines — a bug we do not reproduce; the enricher consumes offsets
+    positionally so correctness matters more than quirk parity)."""
+    out = []
+    lines = content.splitlines(keepends=True)
+    pos = 0
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
+        trimmed = raw.strip()
+        if not trimmed:
+            pos += len(raw)
+            i += 1
+            continue
+        level = None
+        if i + 1 < len(lines):
+            nxt = lines[i + 1].strip()
+            if len(nxt) >= 3:
+                if set(nxt) == {"="}:
+                    level = 1
+                elif set(nxt) == {"-"}:
+                    level = 2
+                elif set(nxt) == {"_"}:
+                    level = 3
+        skip_next = level is not None
+        if level is None and len(trimmed) >= 5:
+            letters = [c for c in trimmed if c.isalpha()]
+            if letters and trimmed.upper() == trimmed:
+                level = 1 if len(trimmed) < 20 else (2 if len(trimmed) < 40 else 3)
+        if level is not None:
+            out.append((pos, level, trimmed))
+        pos += len(raw)
+        if skip_next:
+            pos += len(lines[i + 1])
+            i += 1
+        i += 1
+    return out
+
+
+def _detect_headings(content: str, fmt: str) -> list[tuple[int, int, str]]:
+    """→ [(offset, level, title)] for one document."""
+    if fmt == "markdown":
+        out, pos = [], 0
+        for line in content.splitlines(keepends=True):
+            m = _HEADING_RE.match(line.rstrip("\n"))
+            if m:
+                out.append((pos, len(m.group(1)), m.group(2).strip()))
+            pos += len(line)
+        return out
+    if fmt == "html":
+        return [
+            (m.start(), int(m.group(1)), re.sub(r"<[^>]+>", "", m.group(2)).strip())
+            for m in _HTML_H_RE.finditer(content)
+        ]
+    if fmt == "plaintext":
+        return _plaintext_headings(content)
+    raise ValueError(f"unknown layout format: {fmt}")
 
 HEADINGS_SCHEMA = StructType(
     [
@@ -49,11 +114,13 @@ HEADINGS_SCHEMA = StructType(
 )
 
 
-def extract_headings(documents: DataFrame, *, text_col: str = "content") -> DataFrame:
-    """documents(doc_id, content) → (doc_id, offset, level, title):
-    markdown-style headings with their char offsets (the layout-parser
-    surface the enricher consumes, text/parsers/*; markdown headings are
-    the C11 subset implemented in-container)."""
+def extract_headings(
+    documents: DataFrame, *, text_col: str = "content", fmt: str = "markdown"
+) -> DataFrame:
+    """documents(doc_id, content) → (doc_id, offset, level, title): the
+    layout-parser surface the enricher consumes (C11, text/parsers/*).
+    ``fmt``: "markdown" (# headings), "html" (<h1>-<h6> tags), or
+    "plaintext" (setext underlines + ALL-CAPS heuristics)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -61,15 +128,11 @@ def extract_headings(documents: DataFrame, *, text_col: str = "content") -> Data
             for doc_id, content in zip(pdf["doc_id"], pdf[text_col]):
                 if content is None:
                     continue
-                pos = 0
-                for line in content.splitlines(keepends=True):
-                    m = _HEADING_RE.match(line.rstrip("\n"))
-                    if m:
-                        docs.append(doc_id)
-                        offs.append(pos)
-                        levels.append(len(m.group(1)))
-                        titles.append(m.group(2).strip())
-                    pos += len(line)
+                for pos, level, title in _detect_headings(content, fmt):
+                    docs.append(doc_id)
+                    offs.append(pos)
+                    levels.append(level)
+                    titles.append(title)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(docs, dtype="string"),

@@ -138,3 +138,38 @@ def test_enrich_chunks_heading_path_and_metadata(spark):
     assert out["c2"]["summary"] is None
     # position in [0, 1), increasing with offset
     assert 0.0 < out["c0"]["position_in_document"] < out["c2"]["position_in_document"] < 1.0
+
+
+def test_extract_headings_html(spark):
+    from graphrag_rs_spark.operators.enrich import extract_headings
+
+    html = "<html><body><h1 class='t'>Chapter 1</h1>\n<p>x</p>\n<h2>Section <b>1.1</b></h2></body></html>"
+    docs = spark.createDataFrame([("d1", html)], ["doc_id", "content"])
+    got = {(r["level"], r["title"]): r["offset"]
+           for r in extract_headings(docs, fmt="html").collect()}
+    assert (1, "Chapter 1") in got
+    assert (2, "Section 1.1") in got          # inner tags stripped
+    assert got[(1, "Chapter 1")] == html.index("<h1")
+
+
+def test_extract_headings_plaintext(spark):
+    from graphrag_rs_spark.operators.enrich import extract_headings
+
+    txt = (
+        "My Chapter\n"
+        "==========\n"
+        "body text here\n"
+        "A Section Title\n"
+        "---------------\n"
+        "more body\n"
+        "SHORT CAPS\n"
+        "THIS IS A MEDIUM LENGTH CAPS LINE\n"
+        "lower case line\n"
+    )
+    docs = spark.createDataFrame([("d1", txt)], ["doc_id", "content"])
+    got = {(r["level"], r["title"]) for r in extract_headings(docs, fmt="plaintext").collect()}
+    assert (1, "My Chapter") in got            # === underline
+    assert (2, "A Section Title") in got       # --- underline
+    assert (1, "SHORT CAPS") in got            # ALL CAPS < 20 chars
+    assert (2, "THIS IS A MEDIUM LENGTH CAPS LINE") in got
+    assert all(t != "lower case line" for _, t in got)
