@@ -533,8 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         from graphrag_rs_spark.operators.dedup import simhash_duplicates
 
+        # portable hash family → the DuckDB oracle reproduces the exact
+        # signatures; production default stays the cheaper xxhash64
         return simhash_duplicates(
-            _docs(spark, sf), text_col="text", id_col="doc_id", max_hamming=8
+            _docs(spark, sf), text_col="text", id_col="doc_id",
+            max_hamming=8, hash_fn="portable",
         )
 
     q["dedup_simhash"] = dedup_simhash
@@ -1672,6 +1675,37 @@ def oracle_sql() -> dict[str, str]:
     # hash family is seeded/deterministic). Verified pair-for-pair against
     # the exact path at sf0.01 before wiring this oracle.
     sql["dedup_minhash"] = sql["dedup_ngram_jaccard"]
+
+    # SimHash uses the engine-portable sha256-hex token hash (60-bit), so
+    # the signature — and therefore the pair set — is exactly reproducible
+    # in SQL. The operator's (k+1)-block pigeonhole candidates are COMPLETE
+    # for hamming ≤ k, so its output equals the all-pairs check below.
+    _sh_bits = 60
+    _sh_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_sh_bits)
+    )
+    _sh_sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_sh_bits)
+    )
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ),
+        h AS (SELECT id, ('0x' || substr(sha256(t), 1, 15))::BIGINT AS h FROM toks),
+        sums AS (
+            SELECT id,
+               {_sh_sums}
+            FROM h GROUP BY id
+        ),
+        sigs AS (SELECT id, CAST({_sh_sig} AS BIGINT) AS sig FROM sums)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """
 
     sql["ann_cosine_topk"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)

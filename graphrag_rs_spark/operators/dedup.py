@@ -177,23 +177,38 @@ def dup_groups_from_pairs(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     return comp.select("id", F.col("component").alias("dup_group_id"))
 
 
+# hash families for simhash: "fast" = xxhash64, 64-bit (production —
+# cheapest per token); "portable" = first 15 hex chars of sha256 as a
+# 60-bit int (reproducible in DuckDB/Trino SQL — same construction as
+# textstats.fingerprint_col — used by the driver's oracle-checked query).
+# Same operator code either way; only the token-hash expression differs.
+SIMHASH_HASHES = {"fast": 64, "portable": 60}
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    hash_fn: str = "fast",
 ) -> DataFrame:
-    """→ (id, sig): 64-bit SimHash of the whitespace token multiset.
+    """→ (id, sig): SimHash of the whitespace token multiset.
 
     Classic Charikar: signature bit i = sign of Σ_tokens (±1 by token-hash
     bit i). Round 1 expressed this as 64 separate interpreted F.aggregate
     folds per row (O(64·tokens) expression evals — flagged weak at scale);
-    now it is ONE codegen pass: explode tokens, hash each once, 64 hash-agg
-    conditional sums, then a single bit-assembly projection. Signature
-    values are bit-identical to the round-1 formulation.
+    now it is ONE codegen pass: explode tokens, hash each once, ``bits``
+    hash-agg conditional sums, then a single bit-assembly projection.
     """
+    bits = SIMHASH_HASHES[hash_fn]
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     exploded = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", F.explode(toks).alias("t")
     )
-    h = F.xxhash64(F.col("t"))
+    if hash_fn == "portable":
+        h = F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("t"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -202,12 +217,14 @@ def simhash_signatures(
     ]
     sums = exploded.groupBy("id").agg(*aggs)
 
-    # assemble the long: bit 63 via two's complement (long min) — no overflow
     sig = None
     for i in range(bits):
+        # top bit of the 64-bit family lands on the sign bit — two's
+        # complement keeps the arithmetic in range
+        weight = 2**i if i < 63 else -(2**63)
         term = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ) * F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        ) * F.lit(weight).cast("long")
         sig = term if sig is None else sig + term
     return sums.select("id", sig.alias("sig"))
 
@@ -230,6 +247,7 @@ def simhash_duplicates(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    hash_fn: str = "fast",
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) pairs with hamming(simhash) ≤ max_hamming.
 
@@ -242,9 +260,10 @@ def simhash_duplicates(
     bit_count(xor); the sig (one long) rides along in the join.
     """
     n_blocks = max_hamming + 1
-    if n_blocks > 32:
-        raise ValueError("max_hamming > 31 makes blocks narrower than 2 bits")
-    sigs = simhash_signatures(df, text_col, id_col)
+    if n_blocks > 30:
+        raise ValueError("max_hamming > 29 makes blocks narrower than 2 bits")
+    sig_bits = SIMHASH_HASHES[hash_fn]
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     blocks = sigs.select(
         "id",
         "sig",
@@ -258,7 +277,7 @@ def simhash_duplicates(
                         .alias("key"),
                     )
                     for blk, (shift, width) in enumerate(
-                        _hamming_blocks(64, n_blocks)
+                        _hamming_blocks(sig_bits, n_blocks)
                     )
                 ]
             )

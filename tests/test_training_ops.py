@@ -266,3 +266,17 @@ def test_png_wav_header_decode_roundtrip(spark):
     assert (got["m1"]["width"], got["m1"]["height"], got["m1"]["decode_ok"]) == (12, 5, "ok")
     assert (got["m2"]["duration_ms"], got["m2"]["decode_ok"]) == (400, "ok")
     assert got["m3"]["decode_ok"] == "decode_error"
+
+
+def test_simhash_hash_families_agree_on_pairs(spark):
+    from graphrag_rs_spark.operators.dedup import simhash_duplicates
+
+    base = " ".join(f"tok{k}" for k in range(200))
+    near = base.replace("tok100", "changed", 1)
+    far = " ".join(f"other{k}" for k in range(200, 400))
+    df = _docs(spark, [base, near, far])
+    for fn in ("fast", "portable"):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 simhash_duplicates(df, "text", "doc_id", max_hamming=6, hash_fn=fn).collect()}
+        assert (0, 1) in pairs, fn
+        assert (0, 2) not in pairs, fn
