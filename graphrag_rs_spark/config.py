@@ -59,6 +59,11 @@ class PipelineConfig:
     # never enforces it; None = unbounded (set to gate moves into full
     # communities)
     community_max_cluster_size: int | None = None
+    # graphs whose symmetric edge list fits under this bound are clustered
+    # by the exact sequential kernel in the driver (the reference itself is
+    # in-memory, leiden.rs:465-783) — byte-identical output, none of the
+    # per-superstep distributed fixed cost. 0/None disables the fast path.
+    community_small_graph_edges: int = 100_000
 
     # distributed-execution knobs (no analog in the single-process reference)
     shuffle_partitions: int = 32

@@ -121,6 +121,32 @@ def label_propagation(
     return labels
 
 
+def _collect_inner_hashes(sym: DataFrame) -> dict:
+    """Per-id Spark xxhash64 (seed 42) for the eligibility-gate mirror: the
+    sequential kernel chains XXH64.hashInt(it, seed=this) exactly as
+    ``F.xxhash64(src, lit(it))`` does (one tiny job on a materialized frame)."""
+    rows = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("h", F.xxhash64("id"))
+        .collect()
+    )
+    return {r["id"]: r["h"] for r in rows}
+
+
+def _labels_df(sym: DataFrame, labels: dict, col: str = "label") -> DataFrame:
+    """Materialize a sequential-kernel label dict as (id, label) with the
+    same id type as the edge endpoints."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sym.schema["src"].dataType
+    schema = StructType(
+        [StructField("id", id_type, False), StructField(col, id_type, False)]
+    )
+    spark = sym.sparkSession
+    return spark.createDataFrame(sorted(labels.items()), schema)
+
+
 def modularity_local_moving(
     edges: DataFrame,
     *,
@@ -128,6 +154,8 @@ def modularity_local_moving(
     max_iterations: int = 20,
     min_improvement: float = 0.001,
     max_cluster_size: int | None = None,
+    small_graph_edges: int | None = 100_000,
+    materialized: bool = False,
 ) -> DataFrame:
     """edges(src, dst, weight) SYMMETRIC → (id, label): distributed greedy
     modularity local moving (the Leiden phase-2 objective,
@@ -160,13 +188,34 @@ def modularity_local_moving(
     soft under synchronous updates (several nodes may enter one community
     in the same superstep); the connectivity refinement in
     detect_communities can only shrink communities further.
+
+    ``small_graph_edges``: symmetric edge lists at or under this bound run
+    the exact sequential mirror (kernel/communities.py) in the driver —
+    byte-identical labels (parity-tested in tests/test_communities.py),
+    none of the per-superstep distributed fixed cost. The distributed path
+    below is the scale path.
     """
-    sym = edges.localCheckpoint(eager=True)
+    sym = edges if materialized else edges.localCheckpoint(eager=True)
+    if small_graph_edges and sym.count() <= small_graph_edges:
+        from graphrag_rs_spark.kernel.communities import modularity_sequential
+
+        rows = sym.collect()
+        labels = modularity_sequential(
+            [(r["src"], r["dst"], float(r["weight"])) for r in rows],
+            _collect_inner_hashes(sym),
+            resolution=resolution,
+            max_iterations=max_iterations,
+            min_improvement=min_improvement,
+            max_cluster_size=max_cluster_size,
+        )
+        return _labels_df(sym, labels)
+
     deg = sym.groupBy("src").agg(F.sum("weight").alias("deg")).withColumnRenamed("src", "id")
-    row = sym.agg(F.sum("weight").alias("m2")).collect()[0]
-    m2 = float(row["m2"] or 0.0)
     verts = deg.select("id", "deg").localCheckpoint(eager=True)
-    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    # Σ deg over all vertices == Σ weight over the symmetric edges == 2m
+    row = verts.agg(F.sum("deg").alias("m2")).collect()[0]
+    m2 = float(row["m2"] or 0.0)
+    labels = verts.select("id", F.col("id").alias("label"))
     if m2 <= 0.0:
         return labels
 
@@ -279,16 +328,24 @@ def _local_moves(
             .where(F.col("rn") == 1)
             .select(F.col("src").alias("id"), F.col("dst_label").alias("new_label"))
         )
-        new_labels = cut_lineage(
-            labels.join(moves, "id", "left").select(
+        # fold the move count into the lineage-cut write: an Observation on
+        # the written plan is computed during the write job itself, so each
+        # superstep costs exactly ONE Spark action (was write + count)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        labels = cut_lineage(
+            labels.join(moves, "id", "left")
+            .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),
                 F.col("new_label").isNotNull().alias("_moved"),
-            ),
+            )
+            .observe(obs, F.sum(F.col("_moved").cast("long")).alias("n_moved"))
+            .drop("_moved"),
             tag="lm-labels",
         )
-        n_moved = new_labels.where(F.col("_moved")).count()
-        labels = new_labels.drop("_moved")
+        n_moved = int(obs.get["n_moved"] or 0)
         if _DEBUG:
             import sys
             print(f"[communities] iter={it} moved={n_moved}/{n_nodes}", file=sys.stderr)
@@ -374,7 +431,10 @@ def _merge_communities(
             .where(F.col("rn") == 1)
             .select("la", "lb")
         )
-        mutual = (
+        # mutual pairs are ≤ one per two communities — collect them (one
+        # action, was checkpoint + count) and re-broadcast as a literal
+        # frame for the relabel join
+        mutual_rows = (
             best.alias("x")
             .join(
                 best.select(F.col("la").alias("lb"), F.col("lb").alias("la")).alias("y"),
@@ -382,12 +442,24 @@ def _merge_communities(
             )
             .where(F.col("la") < F.col("lb"))
             .select(F.col("lb").alias("label"), F.col("la").alias("new_label"))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if mutual.limit(1).count() == 0:
+        if not mutual_rows:
             break
+        from pyspark.sql.types import StructField, StructType
+
+        lab_type = labels.schema["label"].dataType
+        mutual = labels.sparkSession.createDataFrame(
+            [(r["label"], r["new_label"]) for r in mutual_rows],
+            StructType(
+                [
+                    StructField("label", lab_type, False),
+                    StructField("new_label", lab_type, False),
+                ]
+            ),
+        )
         labels = cut_lineage(
-            labels.join(mutual, "label", "left")
+            labels.join(F.broadcast(mutual), "label", "left")
             .select("id", F.coalesce("new_label", "label").alias("label")),
             tag="merge-labels",
         )
@@ -408,26 +480,58 @@ def detect_communities(
     knobs) instead of min-biased label propagation, which had no objective
     and over-merged dense-but-modular graphs into one community.
     """
-    edges = triples_to_edges(triples)
-    labels = modularity_local_moving(
-        edges,
-        resolution=config.community_resolution,
-        max_iterations=config.community_max_iterations,
-        min_improvement=config.community_min_improvement,
-        max_cluster_size=config.community_max_cluster_size,
-    )
+    # materialize the projected edges once: both the clustering and the
+    # refinement read them, and the upstream triple pipeline must not rerun
+    edges = triples_to_edges(triples).localCheckpoint(eager=True)
+    threshold = getattr(config, "community_small_graph_edges", 100_000)
 
-    # refinement: split non-connected communities into connected components
-    # (leiden.rs:598-708) — restrict edges to same-label endpoints, CC within
-    lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lab_s"))
-    lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("lab_d"))
-    intra = (
-        edges.join(lab_src, "src")
-        .join(lab_dst, "dst")
-        .where(F.col("lab_s") == F.col("lab_d"))
-        .select("src", "dst")
-    )
-    refined = connected_components(intra, vertices=labels.select("id"))
+    if threshold and edges.count() <= threshold:
+        # exact sequential path (kernel/communities.py): clustering AND the
+        # connectivity refinement in the driver — ~4 tiny Spark jobs total
+        # instead of ~1 per superstep. Byte-identical to the distributed
+        # path (parity-tested); the reference itself is in-memory
+        # (leiden.rs:465-783).
+        from graphrag_rs_spark.kernel.communities import (
+            modularity_sequential,
+            union_find_components,
+        )
+
+        rows = edges.collect()
+        erows = [(r["src"], r["dst"], float(r["weight"])) for r in rows]
+        labels = modularity_sequential(
+            erows,
+            _collect_inner_hashes(edges),
+            resolution=config.community_resolution,
+            max_iterations=config.community_max_iterations,
+            min_improvement=config.community_min_improvement,
+            max_cluster_size=config.community_max_cluster_size,
+        )
+        intra = [(s, d) for s, d, _ in erows if labels[s] == labels[d]]
+        comp = union_find_components(intra, labels.keys())
+        refined = _labels_df(edges, comp, col="component")
+    else:
+        labels = modularity_local_moving(
+            edges,
+            resolution=config.community_resolution,
+            max_iterations=config.community_max_iterations,
+            min_improvement=config.community_min_improvement,
+            max_cluster_size=config.community_max_cluster_size,
+            small_graph_edges=0,
+            materialized=True,
+        )
+
+        # refinement: split non-connected communities into connected
+        # components (leiden.rs:598-708) — restrict edges to same-label
+        # endpoints, CC within
+        lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lab_s"))
+        lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("lab_d"))
+        intra = (
+            edges.join(lab_src, "src")
+            .join(lab_dst, "dst")
+            .where(F.col("lab_s") == F.col("lab_d"))
+            .select("src", "dst")
+        )
+        refined = connected_components(intra, vertices=labels.select("id"))
 
     # stable long community ids: hash of the component key (min member id).
     # A global dense_rank would funnel every row through one task — at

@@ -179,3 +179,81 @@ def test_summaries_top5_and_more(spark):
     s = summarize_communities(comm, ents).collect()[0]
     assert "and 3 more" in s["summary"]
     assert s["summary"].count("Name") == 5
+
+
+def test_xxh64_int_mirror_matches_spark(spark):
+    # the sequential kernel's eligibility gate must chain exactly like
+    # F.xxhash64(src, lit(it)): inner = xxhash64(src), outer = hashInt(it, inner)
+    from graphrag_rs_spark.kernel.communities import xxh64_int
+
+    ids = ["PERSON_a", "ORG_x", "n0", "LOCATION_new_york", ""]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    for it in (0, 1, 5, 19):
+        rows = df.select(
+            "id",
+            F.xxhash64("id").alias("inner"),
+            F.xxhash64("id", F.lit(it)).alias("chain"),
+            F.pmod(F.xxhash64("id", F.lit(it)), F.lit(2)).alias("gate"),
+        ).collect()
+        for r in rows:
+            mine = xxh64_int(it, r["inner"])
+            signed = mine - (1 << 64) if mine >= (1 << 63) else mine
+            assert signed == r["chain"]
+            assert mine % 2 == r["gate"]
+
+
+def _parity_graphs():
+    # shapes that exercise moves, merges, refinement, ties and bridges
+    g1 = _clique("a", 3) + _clique("b", 3) + [("a0", "b0", 0.1)]
+    g2 = _clique("a", 5) + _clique("b", 5) + [("a0", "b0", 1.0)]
+    g3 = [("a", "b", 1.0), ("x", "y", 1.0), ("p", "q", 0.5)]
+    # deterministic pseudo-random graph, 80 nodes, dyadic weights
+    g4 = []
+    for i in range(80):
+        for j in (1, 3, 7):
+            a, b = f"n{i:02d}", f"n{(i * j + 13) % 80:02d}"
+            if a != b:
+                g4.append((a, b, ((i + j) % 8 + 1) / 4.0))
+    return [g1, g2, g3, g4]
+
+
+def test_sequential_path_byte_identical_to_distributed(spark):
+    # the small-graph fast path must produce EXACTLY the distributed
+    # output: same supersteps, same gate, same tie-breaks
+    import dataclasses
+
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+
+    dist_cfg = dataclasses.replace(DEFAULT_CONFIG, community_small_graph_edges=0)
+    for rows in _parity_graphs():
+        t = _triples(spark, rows)
+        fast = sorted(map(tuple, detect_communities(t).collect()))
+        dist = sorted(map(tuple, detect_communities(t, dist_cfg).collect()))
+        assert fast == dist
+
+
+def test_modularity_local_moving_parity(spark):
+    from graphrag_rs_spark.operators.communities import modularity_local_moving
+
+    for rows in _parity_graphs():
+        edges = triples_to_edges(_triples(spark, rows))
+        fast = sorted(map(tuple, modularity_local_moving(edges).collect()))
+        dist = sorted(
+            map(tuple, modularity_local_moving(edges, small_graph_edges=0).collect())
+        )
+        assert fast == dist
+
+
+def test_cc_union_find_parity(spark):
+    from graphrag_rs_spark.operators.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "q")], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",), ("z",), ("q",)], ["id"])
+    fast = sorted(map(tuple, connected_components(edges, verts).collect()))
+    dist = sorted(
+        map(tuple, connected_components(edges, verts, collect_threshold=0).collect())
+    )
+    assert fast == dist
+    assert dict(fast)["z"] == "z"
