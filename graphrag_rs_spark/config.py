@@ -28,6 +28,9 @@ class PipelineConfig:
     semantic_threshold_amount: float = 95.0
     semantic_min_sentences: int = 1
     semantic_max_sentences: int = 0  # 0 = unlimited
+    # word-vector hash family: "fast" (blake2b) | "portable" (sha256 —
+    # reproducible in the DuckDB oracle; see kernel/semantic._word_vector)
+    semantic_hash_fn: str = "fast"
 
     # entity extraction (reference entity/mod.rs:114-173)
     min_confidence: float = 0.6

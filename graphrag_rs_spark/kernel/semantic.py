@@ -33,7 +33,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-_WORD_VEC_CACHE: dict[tuple[str, int], list[float]] = {}
+_WORD_VEC_CACHE: dict[tuple[str, int, str], list[float]] = {}
 
 
 def split_sentences(text: str) -> list[str]:
@@ -72,26 +72,42 @@ def _split_inclusive(s: str, seps: str) -> list[str]:
     return out
 
 
-def _word_vector(word: str, dim: int) -> list[float]:
+def _word_vector(word: str, dim: int, hash_fn: str = "fast") -> list[float]:
     """Deterministic hash vector in [-1,1]^dim (vector/mod.rs:640-660
-    construction; blake2b in place of Rust's DefaultHasher)."""
-    key = (word, dim)
+    construction; blake2b in place of Rust's DefaultHasher).
+
+    ``hash_fn="portable"`` derives each component from the first 15 hex
+    chars of sha256 — reproducible in ANY engine with a sha256 function
+    (the DuckDB oracle recomputes it exactly; same pattern as the simhash
+    portable family, operators/dedup.py). "fast" (blake2b-8) stays the
+    production default.
+    """
+    key = (word, dim, hash_fn)
     cached = _WORD_VEC_CACHE.get(key)
     if cached is not None:
         return cached
     vec = []
     for i in range(dim):
-        h = hashlib.blake2b(
-            f"{word}\x00{i}".encode("utf-8"), digest_size=8
-        ).digest()
-        v = int.from_bytes(h, "big") / float(2**64)  # [0, 1)
+        if hash_fn == "portable":
+            hx = hashlib.sha256(f"{word}\x00{i}".encode("utf-8")).hexdigest()
+            # cast-to-double FIRST, then divide: matches the SQL engines'
+            # BIGINT→DOUBLE cast + double division (Python's int/int is
+            # correctly-rounded in one step and can differ by 1 ulp)
+            v = float(int(hx[:15], 16)) / float(2**60)  # [0, 1)
+        else:
+            h = hashlib.blake2b(
+                f"{word}\x00{i}".encode("utf-8"), digest_size=8
+            ).digest()
+            v = int.from_bytes(h, "big") / float(2**64)  # [0, 1)
         vec.append(v * 2.0 - 1.0)
     if len(_WORD_VEC_CACHE) < 200_000:  # bound executor-side cache
         _WORD_VEC_CACHE[key] = vec
     return vec
 
 
-def sentence_embedding(sentence: str, dim: int = 64) -> list[float]:
+def sentence_embedding(
+    sentence: str, dim: int = 64, hash_fn: str = "fast"
+) -> list[float]:
     """Mean of word vectors, unit-normalized (vector/mod.rs:601-638).
     dim defaults to 64 here (the reference test uses 384; cosine between
     hash vectors is dimension-stable and 6× cheaper at 64)."""
@@ -100,7 +116,7 @@ def sentence_embedding(sentence: str, dim: int = 64) -> list[float]:
         return [0.0] * dim
     acc = [0.0] * dim
     for w in words:
-        wv = _word_vector(w.lower(), dim)
+        wv = _word_vector(w.lower(), dim, hash_fn)
         for i in range(dim):
             acc[i] += wv[i]
     n = float(len(words))
@@ -150,6 +166,7 @@ def semantic_chunk_text(
     max_chunk_size: int = 0,
     buffer_size: int = 1,
     dim: int = 64,
+    hash_fn: str = "fast",
 ) -> list[tuple[int, str, int, int]]:
     """→ [(idx, content, start_sentence, end_sentence)] — defaults mirror
     SemanticChunkerConfig::default (semantic_chunking.rs:64-74)."""
@@ -159,7 +176,7 @@ def semantic_chunk_text(
     if len(sentences) == 1:
         return [(0, text, 0, 1)]
 
-    embeddings = [sentence_embedding(s, dim) for s in sentences]
+    embeddings = [sentence_embedding(s, dim, hash_fn) for s in sentences]
     diffs = [
         1.0 - _cosine(embeddings[i], embeddings[i + buffer_size])
         for i in range(max(0, len(embeddings) - buffer_size))

@@ -62,6 +62,7 @@ def chunk_documents(
                 threshold_amount=config.semantic_threshold_amount,
                 min_chunk_size=config.semantic_min_sentences,
                 max_chunk_size=config.semantic_max_sentences,
+                hash_fn=config.semantic_hash_fn,
             )
     else:
         raise ValueError(f"unknown chunking strategy: {strategy}")

@@ -24,16 +24,23 @@ def semantic_edges(
     dim: int,
     similarity_threshold: float = 0.8,
     max_connections: int = 10,
+    method: str = "lsh",
 ) -> DataFrame:
     """entities(entity_id, embedding) →
-    triples(subj, pred=SEMANTICALLY_SIMILAR, obj, confidence=cosine)."""
-    topk = cosine_topk_lsh(
-        entities_with_embeddings.select(
-            F.col("entity_id").alias("vec_id"), "embedding"
-        ),
-        dim=dim,
-        k=max_connections,
+    triples(subj, pred=SEMANTICALLY_SIMILAR, obj, confidence=cosine).
+
+    ``method``: "lsh" (default — bucketed candidates, the scale path) or
+    "exact" (brute-force cosine top-k, matching the reference's O(n²) loop
+    literally; SQL-oracle-able, sized for dim-scale entity sets)."""
+    vecs = entities_with_embeddings.select(
+        F.col("entity_id").alias("vec_id"), "embedding"
     )
+    if method == "exact":
+        from graphrag_rs_spark.operators.similarity import cosine_topk_bruteforce
+
+        topk = cosine_topk_bruteforce(vecs, vecs, k=max_connections)
+    else:
+        topk = cosine_topk_lsh(vecs, dim=dim, k=max_connections)
     return (
         topk.where(
             (F.col("cosine") > similarity_threshold)
