@@ -276,20 +276,94 @@ def run_checkpointed(
     return tables
 
 
-def _clear_buckets(path: str, buckets: list[int]) -> None:
-    """Delete the parquet directories of the affected doc_buckets BEFORE
-    the dynamic-overwrite write. Dynamic partition overwrite only rewrites
-    partitions PRESENT in the incoming frame — a changed doc whose new
-    content contributes zero rows to a table would otherwise leave its old
-    bucket files (and its stale rows) in place. Local-FS implementation;
-    on a cluster this is the FileSystem delete / Iceberg
-    ``overwritePartitions`` equivalent."""
+def _swap_buckets(
+    merged: DataFrame, path: str, buckets: list, mgr: "CheckpointManager", table: str
+) -> None:
+    """Crash-safe bucket rewrite: stage the merged affected-bucket rows in
+    a sibling tmp dir, then swap each bucket directory into place.
+
+    The old scheme (clear buckets, then write) had a window where a crash
+    between the rmtree and the write silently lost the KEPT rows of
+    unchanged docs in those buckets — unrecoverable in delta mode, where
+    the lost docs are absent from the partial new_source. Here the
+    workspace stays intact until the tmp write has fully landed; a
+    'started' ledger marker (appended only after the tmp write completes)
+    carries the bucket list so ``_recover_incomplete_swaps`` can finish an
+    interrupted swap idempotently on the next run. On a real catalog this
+    whole dance is Iceberg's atomic ``overwritePartitions``."""
     import shutil
 
-    for b in buckets:
-        d = os.path.join(path, f"doc_bucket={b}")
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    tmp = path + ".incr_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy("doc_bucket").parquet(tmp)
+    staged = [
+        int(b)
+        for b in buckets
+        if os.path.exists(os.path.join(tmp, f"doc_bucket={b}"))
+    ]
+    emptied = [int(b) for b in buckets if int(b) not in set(staged)]
+    mgr._append_ledger(
+        {
+            "stage": f"swap:{table}",
+            "status": "started",
+            "tmp": tmp,
+            "staged": staged,
+            "emptied": emptied,
+        }
+    )
+    _apply_swap(tmp, path, staged, emptied)
+    mgr._append_ledger({"stage": f"swap:{table}", "status": "ok"})
+
+
+def _apply_swap(tmp: str, path: str, staged: list, emptied: list) -> None:
+    """Move staged bucket dirs into place. Idempotent on re-application
+    after a crash: a staged bucket already swapped has no tmp subdir and
+    is SKIPPED (its target holds the new data); an ``emptied`` bucket (all
+    its docs deleted — no staged rows) has its target removed, which is a
+    no-op the second time."""
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    for b in staged:
+        src = os.path.join(tmp, f"doc_bucket={b}")
+        dst = os.path.join(path, f"doc_bucket={b}")
+        if os.path.exists(src):
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+    for b in emptied:
+        dst = os.path.join(path, f"doc_bucket={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_incomplete_swaps(mgr: "CheckpointManager") -> int:
+    """Finish bucket swaps whose 'started' marker has no matching 'ok'
+    (crash between staging and swap completion). Returns swaps recovered.
+    Safe because the marker is only written AFTER the staged tmp data has
+    fully landed — if the tmp dir is gone the swap already completed and
+    only the ok record was lost, which is also fine to re-append."""
+    recs = mgr._read_ledger()
+    open_swaps: dict[str, dict] = {}
+    for r in recs:
+        stage = r.get("stage", "")
+        if not stage.startswith("swap:"):
+            continue
+        if r.get("status") == "started":
+            open_swaps[stage] = r
+        elif r.get("status") == "ok":
+            open_swaps.pop(stage, None)
+    n = 0
+    for stage, r in open_swaps.items():
+        tmp = r["tmp"]
+        path = tmp[: -len(".incr_tmp")]
+        if os.path.exists(tmp):
+            _apply_swap(tmp, path, r.get("staged", []), r.get("emptied", []))
+        mgr._append_ledger({"stage": stage, "status": "ok", "recovered": True})
+        n += 1
+    return n
 
 
 def run_incremental(
@@ -308,10 +382,11 @@ def run_incremental(
        ``new_source`` is a partial delta rather than the whole corpus;
     2. re-run chunk+extract ONLY for changed docs;
     3. rewrite ONLY the doc_buckets containing changed/deleted docs in the
-       per-document tables (affected buckets are explicitly cleared first,
-       so buckets whose merged content is empty don't retain stale files —
-       then dynamic partition overwrite writes the survivors; the
-       plain-parquet stand-in for Iceberg ``MERGE INTO``);
+       per-document tables — merged rows are STAGED to a tmp dir and the
+       bucket directories swapped in afterwards (crash-safe: old buckets
+       survive until the staged write lands; a 'started' ledger marker
+       lets the next run finish an interrupted swap — the plain-parquet
+       stand-in for Iceberg's atomic ``overwritePartitions``);
     4. recompute the global aggregates (entities, triples) from the merged
        mentions table — one scan of already-extracted mentions, zero
        re-extraction of unchanged docs.
@@ -324,6 +399,7 @@ def run_incremental(
 
     spark = new_source.sparkSession
     mgr = CheckpointManager(workspace)
+    _recover_incomplete_swaps(mgr)  # finish any crash-interrupted rewrite
     n_buckets = config.salt_buckets * 4
 
     changed = changed_documents(new_source, workspace)
@@ -359,25 +435,16 @@ def run_incremental(
         else changed.select("doc_id").union(deleted.select("doc_id"))
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # ORDERING = the transaction protocol: the documents table is what
+    # changed-doc detection compares against, so it is swapped LAST (the
+    # commit point). A crash anywhere earlier leaves the old documents
+    # table in place → the next run re-flags the same docs and redoes the
+    # (idempotent) mention swap and aggregate overwrites; a crash during
+    # the final documents swap is finished by _recover_incomplete_swaps,
+    # after which every other table is already consistent with it.
+    old_docs = spark.read.parquet(docs_path) if os.path.exists(docs_path) else None
 
-    # documents: merged view of affected buckets = old rows for surviving
-    # unchanged docs + changed rows; affected buckets are cleared first so
-    # deletions (and empty merges) actually remove files
-    if os.path.exists(docs_path):
-        old_docs = spark.read.parquet(docs_path)
-        keep = old_docs.where(F.col("doc_bucket").isin(buckets)).join(
-            gone_ids, "doc_id", "left_anti"
-        )
-        merged_docs = keep.unionByName(
-            changed.select(*old_docs.columns)
-        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting source path
-        _clear_buckets(docs_path, buckets)
-    else:
-        merged_docs = changed  # bootstrap: empty workspace, all docs are new
-    merged_docs.write.mode("overwrite").partitionBy("doc_bucket").parquet(docs_path)
-
-    # mentions for changed docs only (fused single-pass extraction)
+    # 1. mentions for changed docs only (fused single-pass extraction)
     mflag_path = mgr.table_path("mentions_flagged")
     if os.path.exists(mflag_path):
         new_flagged = extract_mentions_fused(changed, config).withColumn(
@@ -387,17 +454,27 @@ def run_incremental(
         keep_m = old_m.where(F.col("doc_bucket").isin(buckets)).join(
             gone_ids, "doc_id", "left_anti"
         )
-        merged_m = keep_m.unionByName(new_flagged).localCheckpoint(eager=True)
-        _clear_buckets(mflag_path, buckets)
+        _swap_buckets(
+            keep_m.unionByName(new_flagged), mflag_path, buckets, mgr, "mentions_flagged"
+        )
     else:
         # bootstrap (first incremental run, or workspace built by the plain
-        # checkpointed path): extract flagged mentions for the full corpus
-        merged_m = extract_mentions_fused(
-            spark.read.parquet(docs_path), config
-        ).withColumn("doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
-    merged_m.write.mode("overwrite").partitionBy("doc_bucket").parquet(mflag_path)
+        # checkpointed path): extract flagged mentions for the full MERGED
+        # corpus — surviving old docs plus changed docs (the documents
+        # table on disk is still the pre-update one at this point)
+        full_docs = (
+            changed
+            if old_docs is None
+            else old_docs.join(gone_ids, "doc_id", "left_anti").unionByName(
+                changed.select(*old_docs.columns)
+            )
+        )
+        extract_mentions_fused(full_docs, config).withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+        ).write.mode("overwrite").partitionBy("doc_bucket").parquet(mflag_path)
 
-    # global aggregates from merged mentions (no re-extraction)
+    # 2. global aggregates from merged mentions (no re-extraction;
+    # idempotent full overwrites)
     all_m = spark.read.parquet(mflag_path)
     from graphrag_rs_spark.operators.extraction import rollup_entities
 
@@ -407,6 +484,19 @@ def run_incremental(
     extract_triples_fused(all_m, config).write.mode("overwrite").parquet(
         mgr.table_path("triples")
     )
+
+    # 3. documents — the COMMIT: merged view of affected buckets = old
+    # rows for surviving unchanged docs + changed rows, staged to a tmp
+    # dir and swapped in
+    if old_docs is not None:
+        keep = old_docs.where(F.col("doc_bucket").isin(buckets)).join(
+            gone_ids, "doc_id", "left_anti"
+        )
+        merged_docs = keep.unionByName(changed.select(*old_docs.columns))
+        _swap_buckets(merged_docs, docs_path, buckets, mgr, "documents")
+    else:
+        # bootstrap: empty workspace, all docs are new
+        changed.write.mode("overwrite").partitionBy("doc_bucket").parquet(docs_path)
 
     mgr._append_ledger(
         {

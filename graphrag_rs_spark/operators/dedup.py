@@ -160,11 +160,17 @@ def minhash_lsh_duplicates(
 
     union_sz = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / union_sz.cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small) verified-pair set eagerly so the cached
+    # shingle base can be released NOW — a long-lived session calling this
+    # repeatedly must not accumulate shingle blocks until LRU pressure
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def dup_groups_from_pairs(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
@@ -335,8 +341,13 @@ def ngram_jaccard_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # eager-materialize the small pair set, then release the shingle cache
+    # (see minhash_lsh_duplicates — same repeated-invocation leak)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

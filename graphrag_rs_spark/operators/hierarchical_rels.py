@@ -193,11 +193,22 @@ def cluster_relationships(
 
 
 def summarize_relationship_clusters(
-    hierarchy: DataFrame, triples: DataFrame, *, top_types: int = 3
+    hierarchy: DataFrame,
+    triples: DataFrame,
+    *,
+    top_types: int = 3,
+    edges: DataFrame | None = None,
+    max_block_size: int = 200,
 ) -> DataFrame:
     """→ (level, cluster_id, n_relationships, cohesion, summary):
     extractive per-cluster summary (top relation types) + cohesion =
-    mean intra-cluster pair similarity."""
+    mean intra-cluster pair similarity.
+
+    Pass ``edges`` (the symmetrized/combined frame is fine — weights are
+    averaged) or at least the same ``max_block_size`` given to
+    ``cluster_relationships``: cohesion must be computed over the SAME
+    similarity edge set that produced the clusters, and recomputing with a
+    different blocking cap silently scores a different graph."""
     rels = _with_rel_ids(triples).select("rel_id", "pred")
     members = hierarchy.join(rels, "rel_id")
     type_counts = members.groupBy("level", "cluster_id", "pred").agg(
@@ -222,8 +233,11 @@ def summarize_relationship_clusters(
         )
     )
 
-    # cohesion over intra-cluster similarity edges
-    e = relationship_edges(triples)
+    # cohesion over intra-cluster similarity edges (reuse the caller's
+    # edge frame when provided — avoids a full recompute AND a cap drift)
+    e = edges if edges is not None else relationship_edges(
+        triples, max_block_size=max_block_size
+    )
     h = hierarchy.select("level", "rel_id", "cluster_id")
     intra = (
         e.join(h.withColumnRenamed("rel_id", "src").withColumnRenamed("cluster_id", "c_s"), "src")

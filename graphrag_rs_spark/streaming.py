@@ -207,9 +207,36 @@ def stream_sessionize(
             start, last, n = None, None, 0
 
         closed = []
+        # cross-batch late arrivals (allowed while inside the watermark,
+        # which is wider than the gap): an event may precede the open
+        # session held in state. Merge ORDER-INSENSITIVELY — three zones:
+        #   t <  start - gap : strictly before the open session, can never
+        #                      join it → sessionized among themselves and
+        #                      closed (their own gap logic, sorted order)
+        #   t <= last        : inside/adjacent to the open session →
+        #                      start = min(start, t); last NEVER regresses
+        #   t >  last        : the normal forward gap logic
+        if start is not None:
+            pre = [t for t in ts_list if t < start - gap_seconds]
+            ts_list = [t for t in ts_list if t >= start - gap_seconds]
+            p_start = p_last = None
+            p_n = 0
+            for t in pre:
+                if p_start is None:
+                    p_start, p_last, p_n = t, t, 1
+                elif t - p_last > gap_seconds:
+                    closed.append((user_id, p_start, p_last, p_n, "gap"))
+                    p_start, p_last, p_n = t, t, 1
+                else:
+                    p_last, p_n = t, p_n + 1
+            if p_start is not None:
+                closed.append((user_id, p_start, p_last, p_n, "gap"))
         for t in ts_list:
             if start is None:
                 start, last, n = t, t, 1
+            elif t <= last:
+                start = min(start, t)
+                n += 1
             elif t - last > gap_seconds:
                 closed.append((user_id, start, last, n, "gap"))
                 start, last, n = t, t, 1

@@ -146,3 +146,57 @@ def test_config_change_invalidates_checkpoints(spark, tmp_path):
     with open(os.path.join(ws, LEDGER)) as f:
         after = sum(1 for _ in f)
     assert after == before
+
+
+def test_crash_between_stage_and_swap_loses_nothing(spark, tmp_path, monkeypatch):
+    """A crash after staging but before the bucket swap must leave the old
+    workspace fully intact (the round-2 advice scenario: the old scheme
+    rmtree'd buckets before writing, so a crash lost kept rows of unchanged
+    docs); the NEXT run recovers the interrupted swap from the ledger
+    marker and converges to the full-rebuild result."""
+    import graphrag_rs_spark.checkpoint as cp
+
+    ws = str(tmp_path / "ws")
+    corpus = generate_corpus(n_docs=10, include_edge_cases=False)
+    run_checkpointed(_src(spark, corpus), ws)
+    docs_before = {
+        (r["doc_id"], r["content_sha256"])
+        for r in spark.read.parquet(os.path.join(ws, "documents")).collect()
+    }
+
+    corpus2 = [dict(r) for r in corpus]
+    corpus2[0]["content"] = "Dr. Emily Chen works for Initech LLC in Berlin."
+
+    # crash INSIDE the first swap: staged data + 'started' marker are on
+    # disk, the bucket directories are untouched
+    real_apply = cp._apply_swap
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before swap")
+
+    monkeypatch.setattr(cp, "_apply_swap", boom)
+    try:
+        run_incremental(_src(spark, corpus2), ws)
+        raise AssertionError("expected injected crash")
+    except RuntimeError:
+        pass
+
+    # old documents table fully intact — nothing lost
+    docs_now = {
+        (r["doc_id"], r["content_sha256"])
+        for r in spark.read.parquet(os.path.join(ws, "documents")).collect()
+    }
+    assert docs_now == docs_before
+
+    # next run: recovery + redo converges to the full rebuild
+    monkeypatch.setattr(cp, "_apply_swap", real_apply)
+    run_incremental(_src(spark, corpus2), ws)
+    ws2 = str(tmp_path / "ws2")
+    run_incremental(_src(spark, corpus2), ws2)
+    assert _triples_set(spark, ws) == _triples_set(spark, ws2)
+    d1 = spark.read.parquet(os.path.join(ws, "documents"))
+    assert d1.count() == 10
+
+    # ledger shows the recovered swap
+    recs = [json.loads(x) for x in open(os.path.join(ws, LEDGER)) if x.strip()]
+    assert any(r.get("recovered") for r in recs)

@@ -106,3 +106,51 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 3  # user1: 1 closed, user2: 2 closed
+
+
+def test_stream_sessionize_late_events_across_batches(spark, tmp_path):
+    """Cross-batch LATE arrivals (allowed: the 10-min watermark is wider
+    than the 300 s gap) must merge order-insensitively — the round-2
+    advice scenario: a late t < last must never regress session_end below
+    session_start or falsely gap-split the open session."""
+    import datetime
+    import os
+
+    from graphrag_rs_spark.streaming import stream_sessionize
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, offset_s):
+        return (eid, base + datetime.timedelta(seconds=offset_s), user, "click", 1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    in_dir = str(tmp_path / "in"); ws = str(tmp_path / "ws")
+
+    # batch 1: user 1 opens [1800,1900], user 2 opens [2000,2100];
+    # watermark after batch 1 = 2100 - 600 = 1500
+    b1 = [ev(0, 1, 1800), ev(1, 1, 1900), ev(2, 2, 2000), ev(3, 2, 2100)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, ws, gap_seconds=300)
+    q.awaitTermination(180)
+
+    # batch 2 (same checkpoint → state carries over):
+    #   user 1: late 1700 (inside open session zone → start extends DOWN,
+    #           last must NOT regress), 2050 (forward merge), 4000 (closes)
+    #   user 2: late 1600 (strictly before open session − gap → its own
+    #           closed 1-event session), 2200 (extends open session)
+    b2 = [ev(4, 1, 1700), ev(5, 1, 2050), ev(6, 1, 4000),
+          ev(7, 2, 1600), ev(8, 2, 2200)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(in_dir)
+    q = stream_sessionize(spark, in_dir, ws, gap_seconds=300)
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(os.path.join(ws, "sessions")).collect()
+    for r in rows:
+        assert r["session_end"] >= r["session_start"], rows
+    t0 = int(base.timestamp())
+    gap_closed = {
+        (r["user_id"], r["session_start"] - t0, r["session_end"] - t0, r["n_events"])
+        for r in rows if r["closed_by"] == "gap"
+    }
+    assert gap_closed == {(1, 1700, 2050, 4), (2, 1600, 1600, 1)}
