@@ -11,9 +11,11 @@ Reference: text/chunk_enricher.rs enrich_single_chunk (:79-140):
 
 Distributed shape: heading extraction is a pure per-document function →
 one Arrow ``mapInPandas`` pass emitting a (doc_id, offset, level, title)
-headings table; the path resolution is a range join (heading.offset ≤
-chunk.start_offset, latest wins per level, each level nested inside the
-previous); keywords reuse the C10 TF-IDF operator with chunks as the
+headings table; the path resolution is an AS-OF window (chunks and
+headings unioned into one per-doc offset timeline, latest title per
+level carried forward with last-ignorenulls — linear per doc, no
+chunk×heading join; each level nested inside the previous is enforced
+afterwards); keywords reuse the C10 TF-IDF operator with chunks as the
 corpus (distributed DF/TF — the reference computes per-chunk maps in
 memory); summaries reuse the Q5 extractive summarizer (top-2 sentences,
 truncated to ~150 chars like the reference's max_length).
@@ -147,22 +149,59 @@ def extract_headings(
     )
 
 
-def _level_heading(chunks: DataFrame, headings: DataFrame, level: int, alias: str) -> DataFrame:
-    """Latest level-N heading at or before each chunk's start offset."""
-    h = headings.where(F.col("level") == level).select(
+def _asof_headings(chunks: DataFrame, headings: DataFrame) -> DataFrame:
+    """Heading path in effect at each chunk's start offset — ONE as-of
+    window pass per document instead of three per-level range joins.
+
+    The old shape (chunks ⋈ headings-of-level on doc_id, then
+    offset ≤ start_offset + top-1 window) multiplied each doc's chunks by
+    its headings of that level: a heading-dense 100k-chunk doc made one
+    doc's intermediate pairs explode. Here chunks and headings are
+    UNIONED into one per-doc timeline ordered by offset — headings sort
+    before chunks on ties, so a heading AT the chunk start applies — and
+    ``last(..., ignorenulls=True)`` carries each level's latest title
+    forward. Linear per doc, one shuffle, all three levels in one pass
+    (the classic streaming as-of pattern)."""
+    h = headings.where(F.col("level").isin(1, 2, 3)).select(
         "doc_id",
-        F.col("offset").alias(f"{alias}_off"),
-        F.col("title").alias(alias),
+        F.col("offset").alias("pos"),
+        F.lit(0).alias("is_chunk"),
+        F.lit(None).cast("string").alias("chunk_id"),
+        *[
+            F.when(F.col("level") == lv, F.col("title")).alias(f"_t{lv}")
+            for lv in (1, 2, 3)
+        ],
+        *[
+            F.when(F.col("level") == lv, F.col("offset")).alias(f"_o{lv}")
+            for lv in (1, 2, 3)
+        ],
+        F.col("title").alias("_tie"),
     )
-    joined = chunks.select("chunk_id", "doc_id", "start_offset").join(
-        h, "doc_id"
-    ).where(F.col(f"{alias}_off") <= F.col("start_offset"))
-    w = Window.partitionBy("chunk_id").orderBy(F.col(f"{alias}_off").desc())
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("chunk_id", alias, f"{alias}_off")
+    c = chunks.select(
+        "doc_id",
+        F.col("start_offset").cast("long").alias("pos"),
+        F.lit(1).alias("is_chunk"),
+        "chunk_id",
+        *[F.lit(None).cast("string").alias(f"_t{lv}") for lv in (1, 2, 3)],
+        *[F.lit(None).cast("long").alias(f"_o{lv}") for lv in (1, 2, 3)],
+        F.lit("").alias("_tie"),
     )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "is_chunk", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = h.unionByName(c).select(
+        "chunk_id",
+        "is_chunk",
+        F.last("_t1", ignorenulls=True).over(w).alias("chapter"),
+        F.last("_o1", ignorenulls=True).over(w).alias("chapter_off"),
+        F.last("_t2", ignorenulls=True).over(w).alias("section"),
+        F.last("_o2", ignorenulls=True).over(w).alias("section_off"),
+        F.last("_t3", ignorenulls=True).over(w).alias("subsection"),
+        F.last("_o3", ignorenulls=True).over(w).alias("subsection_off"),
+    )
+    return carried.where(F.col("is_chunk") == 1).drop("is_chunk")
 
 
 def enrich_chunks(
@@ -179,12 +218,8 @@ def enrich_chunks(
     (chunk_enricher.rs:79-140). Nesting is enforced: a section only
     applies if it appears at/after its chapter, a subsection at/after its
     section (heading-path semantics of get_heading_path)."""
-    headings = extract_headings(documents, text_col=doc_text_col).localCheckpoint(
-        eager=True
-    )
-    chap = _level_heading(chunks, headings, 1, "chapter")
-    sect = _level_heading(chunks, headings, 2, "section")
-    sub = _level_heading(chunks, headings, 3, "subsection")
+    headings = extract_headings(documents, text_col=doc_text_col)
+    paths = _asof_headings(chunks, headings)
 
     kw = (
         tfidf_keywords(
@@ -215,9 +250,7 @@ def enrich_chunks(
     )
 
     out = (
-        chunks.join(chap, "chunk_id", "left")
-        .join(sect, "chunk_id", "left")
-        .join(sub, "chunk_id", "left")
+        chunks.join(paths, "chunk_id", "left")
         .join(kw, "chunk_id", "left")
         .join(summ, "chunk_id", "left")
         .join(doc_len, "doc_id", "left")

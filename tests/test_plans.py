@@ -149,3 +149,29 @@ def test_find_canonical_blocks_not_cartesian(spark):
     )
     plan = _plan(find_canonical(mentions, dictionary))
     assert "CartesianProduct" not in plan
+
+
+def test_enrich_heading_asof_no_range_join(spark):
+    """Heading-path resolution must be ONE as-of window pass, not a
+    chunks×headings range join (the round-2 verdict scale caveat: a
+    heading-dense doc made one doc's join pairs explode). The plan for
+    the as-of stage must contain a Window and NO join at all."""
+    from graphrag_rs_spark.operators.enrich import _asof_headings, extract_headings
+
+    docs = spark.createDataFrame(
+        [("d1", "# A\ntext\n## B\nmore text here\n### C\ntail")],
+        ["doc_id", "content"],
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "d1", 5, "text"), ("c2", "d1", 20, "more")],
+        ["chunk_id", "doc_id", "start_offset", "content"],
+    )
+    df = _asof_headings(chunks, extract_headings(docs))
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    # and it resolves the same paths the per-level semantics demand
+    rows = {r["chunk_id"]: (r["chapter"], r["section"], r["subsection"])
+            for r in df.collect()}
+    assert rows["c1"] == ("A", None, None)
+    assert rows["c2"] == ("A", "B", None)
