@@ -677,6 +677,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_chunking_semantic"] = kg_chunking_semantic
 
+    def kg_chunking_boundary(spark, sf):
+        from graphrag_rs_spark.config import PipelineConfig
+        from graphrag_rs_spark.operators.chunking import chunk_documents
+
+        # BAR-RAG boundary-aware chunking (kernel/boundary.py). The corpus
+        # is punctuation-free word salad, so the query sentence-izes it
+        # (word + '. ') and inserts a paragraph break every 8th word with
+        # the paragraph-final word UNPUNCTUATED — a break right after
+        # sentence punctuation is typed Sentence by the reference's
+        # position-dedup quirk and would not be a split candidate.
+        # Rows-only check (greedy mean-coherence optimization over hash
+        # embeddings is iterative, not SQL-expressible); the kernel is
+        # pinned by tests/test_boundary_late.py goldens instead.
+        norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
+        words = F.split(norm, " ")
+        rebuilt = F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    (i + 1) % 8 == 0, F.concat(w, F.lit("\n\n"))
+                ).otherwise(F.concat(w, F.lit(". "))),
+            ),
+            "",
+        )
+        docs = _docs(spark, sf).where(F.col("doc_id") < 100).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            rebuilt.alias("content"),
+        )
+        chunks = chunk_documents(
+            docs,
+            PipelineConfig(boundary_min_chunk_chars=10),
+            strategy="boundary",
+        )
+        return chunks.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks"),
+            F.max("end_offset").alias("max_end"),
+        )
+
+    q["kg_chunking_boundary"] = kg_chunking_boundary
+
     def kg_chunk_enrich(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
         from graphrag_rs_spark.operators.enrich import enrich_chunks

@@ -32,6 +32,17 @@ class PipelineConfig:
     # reproducible in the DuckDB oracle; see kernel/semantic._word_vector)
     semantic_hash_fn: str = "fast"
 
+    # boundary-aware chunking C6/BAR-RAG (chunking_strategies.rs:307-320
+    # with_defaults: max 2000 / min 200 chars)
+    boundary_max_chunk_chars: int = 2000
+    boundary_min_chunk_chars: int = 200
+
+    # late chunking (late_chunking.rs:46-74 LateChunkingConfig::default:
+    # 512-char chunks, 64 overlap, 8192-token [≈4 chars/token] context)
+    late_chunk_size: int = 512
+    late_chunk_overlap: int = 64
+    late_max_doc_tokens: int = 8192
+
     # entity extraction (reference entity/mod.rs:114-173)
     min_confidence: float = 0.6
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")

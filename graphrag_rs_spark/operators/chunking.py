@@ -36,13 +36,27 @@ def chunk_documents(
     the Arrow batch. chunk_id = ``{doc_id}_{idx}`` (text/mod.rs:161).
 
     ``strategy``: "legacy" (C1 — the reference pipeline default),
-    "hierarchical" (C2/C3 recursive-separator cascade), or "semantic"
+    "hierarchical" (C2/C3 recursive-separator cascade), "semantic"
     (C5 embedding-similarity breakpoints, text/semantic_chunking.rs —
     start/end offsets hold SENTENCE indices, the reference's
-    SemanticChunk convention, not char offsets).
+    SemanticChunk convention, not char offsets), or "boundary"
+    (C6/BAR-RAG boundary-aware coherence optimization,
+    chunking_strategies.rs:266-594 — see kernel/boundary.py). For late
+    chunking (context-preserving spans, late_chunking.rs) use
+    ``late_chunk_documents`` — it carries extra span/position columns.
     """
     chunk_size, overlap = config.chunk_size, config.chunk_overlap
-    if strategy == "hierarchical":
+    if strategy == "boundary":
+        from graphrag_rs_spark.kernel.boundary import boundary_aware_chunk_text
+
+        def chunker(content):
+            return boundary_aware_chunk_text(
+                content,
+                max_chunk_chars=config.boundary_max_chunk_chars,
+                min_chunk_chars=config.boundary_min_chunk_chars,
+                hash_fn=config.semantic_hash_fn,
+            )
+    elif strategy == "hierarchical":
         from graphrag_rs_spark.kernel.hierarchical import chunk_text_hierarchical
 
         min_size = config.min_chunk_size
@@ -91,6 +105,70 @@ def chunk_documents(
 
     return documents.select("doc_id", "content").mapInPandas(
         chunk_batches, schema=CHUNKS_SCHEMA
+    )
+
+
+LATE_CHUNKS_SCHEMA = (
+    "chunk_id string, doc_id string, section_id long, content string, "
+    "start_offset long, end_offset long, position_in_document double"
+)
+
+
+def late_chunk_documents(
+    documents: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """LateChunkingStrategy (text/late_chunking.rs:99-214): hierarchical
+    splitter (min size 50) recording precise spans + relative positions so
+    a late-chunking-aware embedding provider can pool per-chunk
+    representations from ONE full-context forward pass. Documents beyond
+    the model window (1 token ≈ 4 chars) are pre-split into paragraph-
+    grouped sections that each fit (split_into_sections :147-172);
+    spans/positions are section-relative — each section is one attention
+    context. chunk_id = ``{doc_id}_lc_{seq}`` (:188, per-doc sequential
+    in place of the reference's process-global counter — deterministic
+    under any partitioning). The embedding forward pass itself is the
+    surveyed out-of-scope provider slot (S7); the Spark deliverable is
+    the span/section plumbing, same pattern as multimodal decode.
+
+    Narrow transformation: no shuffle, Arrow-batched like C1."""
+    chunk_size = config.late_chunk_size
+    overlap = config.late_chunk_overlap
+    max_doc_tokens = config.late_max_doc_tokens
+
+    from graphrag_rs_spark.kernel.late import late_chunk_text
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, docs, secs, contents, starts, ends, positions = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for seq, sec, text, start, end, pos in late_chunk_text(
+                    content, chunk_size, overlap, max_doc_tokens
+                ):
+                    ids.append(f"{doc_id}_lc_{seq}")
+                    docs.append(doc_id)
+                    secs.append(sec)
+                    contents.append(text)
+                    starts.append(start)
+                    ends.append(end)
+                    positions.append(pos)
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pd.Series(ids, dtype="string"),
+                    "doc_id": pd.Series(docs, dtype="string"),
+                    "section_id": pd.Series(secs, dtype="int64"),
+                    "content": pd.Series(contents, dtype="string"),
+                    "start_offset": pd.Series(starts, dtype="int64"),
+                    "end_offset": pd.Series(ends, dtype="int64"),
+                    "position_in_document": pd.Series(positions, dtype="float64"),
+                }
+            )
+
+    return documents.select("doc_id", "content").mapInPandas(
+        chunk_batches, schema=LATE_CHUNKS_SCHEMA
     )
 
 
