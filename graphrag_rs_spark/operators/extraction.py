@@ -187,14 +187,35 @@ def rollup_entities(mentions: DataFrame) -> DataFrame:
     )
 
 
-def gazetteer_mentions(chunks: DataFrame, gazetteer: DataFrame) -> DataFrame:
+GAZETTEER_MAX_ROWS = 10_000
+
+
+def gazetteer_mentions(
+    chunks: DataFrame, gazetteer: DataFrame, *, max_rows: int = GAZETTEER_MAX_ROWS
+) -> DataFrame:
     """Broadcast-join gazetteer matching: finds chunks containing each
     gazetteer ``name`` (with ``entity_type``) as a substring — the scale
     path for configurable gazetteers (E2 phase 1 / E4 generalized), fully
     JVM-side (no Python).
 
-    gazetteer: (name, entity_type[, confidence]) — must be small (dim-sized).
+    gazetteer: (name, entity_type[, confidence]) — must be small
+    (dim-sized): the contains-join is a BroadcastNestedLoopJoin, i.e.
+    every chunk is scanned against every dictionary row. The guard below
+    FAILS FAST above ``max_rows`` instead of silently shipping a huge
+    dictionary into an O(chunks × dict) scan — for big dictionaries use
+    the blocked ``linking.find_canonical`` path (token-keyed candidate
+    generation) or pre-filter the gazetteer.
     """
+    n = gazetteer.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"gazetteer has more than {max_rows} rows: the substring "
+            "broadcast join is O(chunks x dictionary) and is only safe "
+            "for dim-sized dictionaries. Use the blocked find_canonical "
+            "path (graphrag_rs_spark.operators.linking) for large "
+            "dictionaries, or raise max_rows explicitly if you accept "
+            "the scan cost."
+        )
     g = F.broadcast(gazetteer)
     joined = chunks.join(g, F.col("content").contains(F.col("name")), "inner")
     conf = (

@@ -175,3 +175,22 @@ def test_enrich_heading_asof_no_range_join(spark):
             for r in df.collect()}
     assert rows["c1"] == ("A", None, None)
     assert rows["c2"] == ("A", "B", None)
+
+
+def test_gazetteer_size_guard(spark):
+    """A big dictionary must fail fast, not silently broadcast into an
+    O(chunks x dict) nested-loop contains scan."""
+    from graphrag_rs_spark.operators.extraction import gazetteer_mentions
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "alpha text")], ["chunk_id", "doc_id", "content"]
+    )
+    big = spark.range(20_001).select(
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+        F.lit("CONCEPT").alias("entity_type"),
+    )
+    with pytest.raises(ValueError, match="gazetteer has more than"):
+        gazetteer_mentions(chunks, big)
+    # small dictionaries still work
+    small = spark.createDataFrame([("alpha", "CONCEPT")], ["name", "entity_type"])
+    assert gazetteer_mentions(chunks, small).count() == 1
