@@ -106,3 +106,52 @@ def test_normalize_idempotent(s):
     once = normalize_string(s)
     assert normalize_string(once) == once
     assert once == once.strip()
+
+
+# --- C6 boundary-aware chunker invariants ---
+
+@given(text_st)
+@settings(max_examples=40, deadline=None)
+def test_boundary_chunks_partition_text(text):
+    from graphrag_rs_spark.kernel.boundary import boundary_aware_chunk_text
+
+    chunks = boundary_aware_chunk_text(text, min_chunk_chars=10)
+    if not text:
+        assert chunks == []
+        return
+    assert chunks, "non-empty text must yield at least one chunk"
+    # indices sequential; before size-enforcement rewrites, spans cover
+    # the text in order — after merging/splitting, content is non-empty
+    # and offsets are monotonic with end >= start
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    for _i, content, s, e in chunks:
+        assert content
+        assert 0 <= s <= e
+    for (_, _, _, e1), (_, _, s2, _) in zip(chunks, chunks[1:]):
+        assert s2 >= e1 - 1  # merged chunks may share the boundary char
+
+
+@given(text_st)
+@settings(max_examples=40, deadline=None)
+def test_boundary_chunking_deterministic(text):
+    from graphrag_rs_spark.kernel.boundary import boundary_aware_chunk_text
+
+    assert boundary_aware_chunk_text(text, min_chunk_chars=10) == (
+        boundary_aware_chunk_text(text, min_chunk_chars=10)
+    )
+
+
+@given(text_st, st.integers(20, 200))
+@settings(max_examples=40, deadline=None)
+def test_late_chunk_invariants(text, max_tokens):
+    from graphrag_rs_spark.kernel.late import late_chunk_text, split_into_sections
+
+    sections = split_into_sections(text, max_tokens)
+    assert all(sec.strip() for sec in sections) or sections == [text]
+    out = late_chunk_text(text, 100, 10, max_tokens)
+    seqs = [q for q, *_ in out]
+    assert seqs == list(range(len(out)))
+    for _q, sec, content, start, end, pos in out:
+        assert end - start == len(content)
+        assert 0.0 <= pos < 1.0
+        assert sec >= 0
