@@ -62,10 +62,16 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
 
 def candidate_pairs(
-    entities: DataFrame, *, max_block_size: int = 100
+    entities: DataFrame, *, max_block_size: int = 100, input_rows: int | None = None
 ) -> DataFrame:
     """Blocked candidate generation: (id_a, norm_a, conf_a, id_b, ...) pairs
-    with id_a < id_b sharing any (entity_type, key) block."""
+    with id_a < id_b sharing any (entity_type, key) block.
+
+    ``input_rows``: pass the (known) entity count to let small inputs skip
+    the hot-block guard — when the WHOLE input fits inside one block
+    (rows ≤ max_block_size) no key can exceed the cap, so the guard's
+    groupBy + broadcast anti-join are provably a no-op and only cost two
+    extra shuffles of fixed overhead."""
     base = entities.select(
         "entity_id",
         "entity_type",
@@ -91,14 +97,16 @@ def candidate_pairs(
     keyed = tokens.unionByName(sdx).unionByName(prefix).where(F.col("key").isNotNull())
 
     # hot-block guard: drop keys with more members than max_block_size
-    block_sizes = keyed.groupBy("entity_type", "key").count()
-    keyed = keyed.join(
-        F.broadcast(
-            block_sizes.where(F.col("count") > max_block_size).select("entity_type", "key")
-        ),
-        ["entity_type", "key"],
-        "left_anti",
-    )
+    # (provably a no-op when the whole input fits one block — skipped)
+    if input_rows is None or input_rows > max_block_size:
+        block_sizes = keyed.groupBy("entity_type", "key").count()
+        keyed = keyed.join(
+            F.broadcast(
+                block_sizes.where(F.col("count") > max_block_size).select("entity_type", "key")
+            ),
+            ["entity_type", "key"],
+            "left_anti",
+        )
 
     a = keyed.select(
         "entity_type", "key",
@@ -169,7 +177,17 @@ def link_entities(
     determinism (the reference's HashMap iteration order is unstable
     there).
     """
-    pairs = candidate_pairs(entities)
+    # small-input probe (limit+count terminates early on big inputs): a
+    # dim-sized entity set skips the hot-block guard (provable no-op) and
+    # is checkpointed once so the 3-way key union + downstream joins read
+    # a materialized 72-row frame instead of recomputing upstream 5×.
+    # Large inputs take the unchanged path.
+    n_probe = entities.limit(101).count()
+    if n_probe <= 100:
+        entities = entities.localCheckpoint(eager=True)
+        pairs = candidate_pairs(entities, input_rows=n_probe)
+    else:
+        pairs = candidate_pairs(entities)
     scored = score_pairs(pairs, config)
     edges = scored.where(F.col("similarity") >= config.link_min_similarity).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
