@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Spark-side plumbing is real (schemas, Arrow batching, partition-friendly
-layout); the codec work is stubbed behind a deterministic fake because the
-media libraries aren't in this container — the UDF signature, batch shape
-and schema contract are exactly what a real decoder would plug into
-(swap ``_fake_decode`` for PIL/librosa/ffmpeg calls).
+PNG and WAV processing is fully REAL: stdlib codecs in kernel/media.py
+(zlib inflate + all five PNG scanline filters; PCM 8/16-bit WAV) feed
+real pixel/spectral feature vectors and a real decode→resize→re-encode
+path. Only video container parsing stays a documented stub
+(sample_video_frames slices bytes deterministically — demuxing genuinely
+needs ffmpeg-class libraries this container lacks); a model-based
+embedding would replace the feature-vector functions only, the decode and
+batching around them are production-shaped.
 
 Design rules for 100TB media tables:
 - binary payloads ride in their own column; metadata (format, width, ...)
@@ -18,7 +21,6 @@ Design rules for 100TB media tables:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -67,9 +69,8 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 def decode_png_header(payload: bytes | None) -> tuple[int, int] | None:
     """REAL PNG header parse (pure stdlib): validates the 8-byte PNG
-    signature and the IHDR chunk, returns (width, height) or None.
-    No media libs needed — this is the production decode for dimensions;
-    only the pixel-level feature extraction remains stubbed."""
+    signature and the IHDR chunk, returns (width, height) or None — the
+    cheap dimensions-only probe (full pixel decode: kernel/media.py)."""
     import struct
 
     if payload is None or len(payload) < 24:
@@ -198,39 +199,29 @@ def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _fake_decode(payload: bytes | None, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: sha256-seeded feature.
-
-    Replace with a real decode+model call; everything around it (batching,
-    schema, null handling) is production-shaped.
-    """
-    if payload is None:
-        return np.zeros(dim, dtype=np.float32)
-    h = hashlib.sha256(payload).digest()
-    seed = np.frombuffer(h, dtype=np.uint32)
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / (np.linalg.norm(v) + 1e-9)
-
-
 def extract_image_features(media: DataFrame, *, dim: int = 64) -> DataFrame:
     """media → (media_id, feature: array<float>, decode_ok).
 
-    Arrow-batched; only (media_id, payload) are shipped to Python — the
-    projection is explicit so the parquet scan never reads other columns.
+    REAL pixel features: payloads are decoded with the stdlib PNG codec
+    (kernel/media.py — zlib inflate + all five scanline filters) and
+    featurized as intensity histogram + row/column profiles. A model-based
+    embedding would replace ``image_feature_vector`` only; decode and
+    batching are production-shaped. Arrow-batched; only
+    (media_id, payload) are shipped to Python — the projection is explicit
+    so the parquet scan never reads other columns.
     """
+    from graphrag_rs_spark.kernel.media import decode_png, image_feature_vector
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks = [], []
             for payload in pdf["payload"]:
-                # REAL header validation gates the decode status; only the
-                # pixel→vector step is the documented sha-seeded stand-in
-                if decode_png_header(payload) is None:
+                pixels = decode_png(payload)
+                if pixels is None:
                     feats.append(np.zeros(dim, dtype=np.float32).tolist())
                     oks.append("decode_error")
                 else:
-                    feats.append(_fake_decode(payload, dim).tolist())
+                    feats.append(image_feature_vector(pixels, dim).tolist())
                     oks.append("ok")
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
@@ -239,6 +230,35 @@ def extract_image_features(media: DataFrame, *, dim: int = 64) -> DataFrame:
     return media.where(F.col("modality") == "image").select(
         "media_id", "payload"
     ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = "media_id string, feature array<float>, decode_ok string"
+
+
+def extract_audio_features(media: DataFrame, *, dim: int = 64) -> DataFrame:
+    """media → (media_id, feature, decode_ok): REAL audio features — WAV
+    PCM decode (stdlib struct) + log-magnitude rfft spectrum resampled to
+    dim−2 bins + RMS energy + zero-crossing rate (kernel/media.py)."""
+    from graphrag_rs_spark.kernel.media import audio_feature_vector, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                decoded = decode_wav(payload)
+                if decoded is None:
+                    feats.append(np.zeros(dim, dtype=np.float32).tolist())
+                    oks.append("decode_error")
+                else:
+                    feats.append(audio_feature_vector(*decoded, dim=dim).tolist())
+                    oks.append("ok")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
+            )
+
+    return media.where(F.col("modality") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(
@@ -292,15 +312,29 @@ def sample_video_frames(
 
 
 def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Schema-preserving resize slot. Real implementation decodes, resizes,
-    re-encodes; the stub marks the metadata and passes bytes through so the
-    pipeline contract (schema in = schema out) is testable end-to-end."""
+    """Schema-preserving REAL resize: stdlib PNG decode → nearest-neighbor
+    resample → PNG re-encode (kernel/media.py). Payloads that don't decode
+    pass through unchanged with their original metadata (schema in =
+    schema out either way)."""
+    from graphrag_rs_spark.kernel.media import decode_png, encode_png, resize_nearest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["width"] = np.int64(width)
-            out["height"] = np.int64(height)
+            payloads, widths, heights = [], [], []
+            for payload, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                pixels = decode_png(payload)
+                if pixels is None:
+                    payloads.append(payload)
+                    widths.append(w0)
+                    heights.append(h0)
+                else:
+                    payloads.append(encode_png(resize_nearest(pixels, width, height)))
+                    widths.append(width)
+                    heights.append(height)
+            out["payload"] = payloads
+            out["width"] = pd.array(widths, dtype="Int64")
+            out["height"] = pd.array(heights, dtype="Int64")
             yield out
 
     return media.where(F.col("modality") == "image").mapInPandas(
