@@ -902,11 +902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_summarize"] = text_summarize
 
     def mm_media(spark, sf):
-        # image feature extraction + header probe in one board row (the
-        # driver caps the board at 50): 'feat' rows exercise the
-        # mapInPandas feature pipeline on real stdlib-encoded PNGs;
-        # 'probe' rows exercise the PNG/WAV header decode on real files
+        # image+audio feature extraction + header probe in one board row
+        # (the driver caps the board at 50): 'feat' rows run the REAL
+        # stdlib PNG pixel decode + histogram features, 'afeat' rows the
+        # REAL WAV PCM decode + spectral features, 'probe:*' rows the
+        # header parses — all on genuine generated files
         from graphrag_rs_spark.operators.multimodal import (
+            extract_audio_features,
             extract_image_features,
             make_png,
             make_wav,
@@ -968,7 +970,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("duration_ms").cast("long").alias("c"),
             "decode_ok",
         )
-        return feats.unionByName(probes)
+        audio_in = probe_in.where(F.col("modality") == "audio").select(
+            "media_id", "modality", "payload"
+        )
+        afeats = extract_audio_features(audio_in).select(
+            "media_id",
+            F.lit("afeat").alias("kind"),
+            F.size("feature").cast("long").alias("a"),
+            F.lit(None).cast("long").alias("b"),
+            F.lit(None).cast("long").alias("c"),
+            "decode_ok",
+        )
+        return feats.unionByName(probes).unionByName(afeats)
 
     q["mm_media"] = mm_media
 
@@ -1853,6 +1866,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + (doc_id % 10) * 50 END AS BIGINT) AS c,
                'ok' AS decode_ok
         FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR) AS media_id, 'afeat' AS kind,
+               CAST(64 AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+               CAST(NULL AS BIGINT) AS c, 'ok' AS decode_ok
+        FROM documents WHERE doc_id < 100 AND doc_id % 2 = 1
     """
 
     sql["text_quality"] = """
