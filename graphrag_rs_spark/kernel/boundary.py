@@ -65,8 +65,9 @@ def _sentence_boundaries(text: str) -> list[tuple[int, int, float]]:
     out: list[tuple[int, int, float]] = []
     for m in _SENTENCE_END.finditer(text):
         pos = m.start()
-        before = text[:pos]
-        if any(before.endswith(a[:-1]) for a in _ABBREVIATIONS):
+        # endswith with an end bound — no O(n) prefix copy per match
+        # (the reference slices &text[..position]; same predicate)
+        if any(text.endswith(a[:-1], 0, pos) for a in _ABBREVIATIONS):
             continue
         start = out[-1][0] if out else 0
         if pos - start >= MIN_SENTENCE_LENGTH:
@@ -296,6 +297,12 @@ def _split_large(
     content: str, start_offset: int, end_offset: int, max_chars: int
 ) -> list[tuple[str, int, int]]:
     sentences = [s for s in re.split(r"[.!?]", content) if s.strip()]
+    if not sentences:
+        # deviation from the reference (:470-526, which returns an empty
+        # list here and silently DROPS the chunk): an oversized chunk
+        # with no sentence punctuation — punctuation runs, ASCII art —
+        # is emitted unsplit rather than losing its span of the document
+        return [(content, start_offset, end_offset)]
     out: list[tuple[str, int, int]] = []
     cur = ""
     cur_start = start_offset

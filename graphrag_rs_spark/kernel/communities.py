@@ -12,6 +12,15 @@ same stop conditions. Output is byte-identical to the distributed path
 (asserted by tests/test_communities.py parity tests); the distributed path
 remains the scale path and is unchanged semantically.
 
+Parity caveat: the two paths sum degrees/σ in different orders (sorted
+here, partition order in Spark), so weights that are not exactly
+representable in binary (0.1, …) can round ΔQ differently when two
+candidate labels tie below summation-order noise — a graph crossing the
+100k-edge threshold between runs could then flip such a knife-edge
+assignment. Dyadic weights (confidence grids of 1/2ⁿ, incl. every fixture
+here) are exact in any order; for non-dyadic data the assignments are
+still deterministic WITHIN each path.
+
 The eligibility gate mirrors Spark's ``pmod(xxhash64(src, lit(it)), 2)``:
 Spark chains multi-arg xxhash64 left-to-right (seed 42), so the gate equals
 ``XXH64.hashInt(it, seed=xxhash64(src))``. We collect the per-id inner hash

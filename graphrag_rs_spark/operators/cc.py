@@ -85,9 +85,17 @@ def connected_components(
         # ~10× faster than row-wise py4j collect at these sizes
         epdf = sym.toPandas()
         vpdf = labels.select("id").toPandas()
-        comp = union_find_components(
-            list(zip(epdf["src"], epdf["dst"])), vpdf["id"].tolist()
-        )
+        # parity with the distributed path when ``vertices`` is NOT a
+        # superset of edge endpoints: a non-vertex endpoint has no label
+        # there, so its edges propagate nothing and it never appears in
+        # the output — drop those edges before union-find (otherwise a
+        # ghost endpoint could bridge components or become a label)
+        vset = set(vpdf["id"])
+        edge_list = [
+            (s, d) for s, d in zip(epdf["src"], epdf["dst"])
+            if s in vset and d in vset
+        ]
+        comp = union_find_components(edge_list, vpdf["id"].tolist())
         items = sorted(comp.items())
         id_type = labels.schema["id"].dataType
         out = labels.sparkSession.createDataFrame(

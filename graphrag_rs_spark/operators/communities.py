@@ -431,10 +431,14 @@ def _merge_communities(
             .where(F.col("rn") == 1)
             .select("la", "lb")
         )
-        # mutual pairs are ≤ one per two communities — collect them (one
-        # action, was checkpoint + count) and re-broadcast as a literal
-        # frame for the relabel join
-        mutual_rows = (
+        # mutual pairs are ≤ one per two communities — usually a small
+        # set, so collect them (one action, was checkpoint + count) and
+        # re-broadcast as a literal frame for the relabel join. GUARD:
+        # on a graph still holding millions of communities the pair set
+        # itself is data-sized — the limit-probe detects that and this
+        # round falls back to the fully-distributed parquet-cut join
+        # instead of pulling millions of rows through the driver.
+        mutual_df = (
             best.alias("x")
             .join(
                 best.select(F.col("la").alias("lb"), F.col("lb").alias("la")).alias("y"),
@@ -442,24 +446,30 @@ def _merge_communities(
             )
             .where(F.col("la") < F.col("lb"))
             .select(F.col("lb").alias("label"), F.col("la").alias("new_label"))
-            .collect()
         )
+        max_collect = 100_000
+        mutual_rows = mutual_df.limit(max_collect + 1).collect()
         if not mutual_rows:
             break
-        from pyspark.sql.types import StructField, StructType
+        if len(mutual_rows) <= max_collect:
+            from pyspark.sql.types import StructField, StructType
 
-        lab_type = labels.schema["label"].dataType
-        mutual = labels.sparkSession.createDataFrame(
-            [(r["label"], r["new_label"]) for r in mutual_rows],
-            StructType(
-                [
-                    StructField("label", lab_type, False),
-                    StructField("new_label", lab_type, False),
-                ]
-            ),
-        )
+            lab_type = labels.schema["label"].dataType
+            mutual = F.broadcast(
+                labels.sparkSession.createDataFrame(
+                    [(r["label"], r["new_label"]) for r in mutual_rows],
+                    StructType(
+                        [
+                            StructField("label", lab_type, False),
+                            StructField("new_label", lab_type, False),
+                        ]
+                    ),
+                )
+            )
+        else:
+            mutual = cut_lineage(mutual_df, tag="merge-pairs")
         labels = cut_lineage(
-            labels.join(F.broadcast(mutual), "label", "left")
+            labels.join(mutual, "label", "left")
             .select("id", F.coalesce("new_label", "label").alias("label")),
             tag="merge-labels",
         )

@@ -79,9 +79,13 @@ def candidate_pairs(
         normalized_name_col(F.col("name")).alias("norm"),
     )
 
+    # array_distinct: a name repeating a token ("new new york") must key
+    # once, so block row counts equal DISTINCT entities per block — the
+    # hot-block cap means entities, and the small-input guard skip
+    # (rows ≤ cap ⇒ no block exceeds the cap) is provable
     tokens = base.select(
         "entity_id", "entity_type", "confidence", "norm",
-        F.explode(F.split(F.col("norm"), " ")).alias("key_raw"),
+        F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias("key_raw"),
     ).select(
         "entity_id", "entity_type", "confidence", "norm",
         F.concat(F.lit("tok:"), F.col("key_raw")).alias("key"),

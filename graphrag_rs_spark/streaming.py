@@ -209,40 +209,31 @@ def stream_sessionize(
         closed = []
         # cross-batch late arrivals (allowed while inside the watermark,
         # which is wider than the gap): an event may precede the open
-        # session held in state. Merge ORDER-INSENSITIVELY — three zones:
-        #   t <  start - gap : strictly before the open session, can never
-        #                      join it → sessionized among themselves and
-        #                      closed (their own gap logic, sorted order)
-        #   t <= last        : inside/adjacent to the open session →
-        #                      start = min(start, t); last NEVER regresses
-        #   t >  last        : the normal forward gap logic
+        # session held in state — and may CHAIN to it through other new
+        # events. Merge ORDER-INSENSITIVELY as an interval merge: each
+        # event is a [t, t] interval, the open session is [start, last]
+        # carrying its event count; sort by interval start and chain
+        # whenever the next interval starts within ``gap`` of the current
+        # chain's end. Every chain except the final one is closed ("gap");
+        # the final chain becomes the new open session. Late events can
+        # extend start DOWNWARD but last never regresses, and an event
+        # bridge (e.g. 1499→1501→[1800,1900] with gap 300) correctly
+        # fuses into one session regardless of which batch delivered it.
+        items = [(t, t, 1) for t in ts_list]
         if start is not None:
-            pre = [t for t in ts_list if t < start - gap_seconds]
-            ts_list = [t for t in ts_list if t >= start - gap_seconds]
-            p_start = p_last = None
-            p_n = 0
-            for t in pre:
-                if p_start is None:
-                    p_start, p_last, p_n = t, t, 1
-                elif t - p_last > gap_seconds:
-                    closed.append((user_id, p_start, p_last, p_n, "gap"))
-                    p_start, p_last, p_n = t, t, 1
-                else:
-                    p_last, p_n = t, p_n + 1
-            if p_start is not None:
-                closed.append((user_id, p_start, p_last, p_n, "gap"))
-        for t in ts_list:
+            items.append((start, last, n))
+        items.sort()
+        start = last = None
+        n = 0
+        for s_i, e_i, n_i in items:
             if start is None:
-                start, last, n = t, t, 1
-            elif t <= last:
-                start = min(start, t)
-                n += 1
-            elif t - last > gap_seconds:
+                start, last, n = s_i, e_i, n_i
+            elif s_i - last > gap_seconds:
                 closed.append((user_id, start, last, n, "gap"))
-                start, last, n = t, t, 1
+                start, last, n = s_i, e_i, n_i
             else:
-                last = t
-                n += 1
+                last = max(last, e_i)
+                n += n_i
         if start is not None:
             state.update((start, last, n))
             state.setTimeoutTimestamp((last + gap_seconds) * 1000)

@@ -305,3 +305,18 @@ def test_find_canonical_exact_fuzzy_and_type_gate(spark):
     assert got[("Jhon Smith", "PERSON")][0] == "PERSON_jonsmith"
     assert ("ACME Corp", "PERSON") not in got
     assert ("Zzyzx Quux", "PERSON") not in got
+
+
+def test_cc_non_superset_vertices_paths_agree(spark):
+    """Review regression: when `vertices` is NOT a superset of edge
+    endpoints, the union-find fast path must match the distributed path —
+    edges touching a non-vertex endpoint propagate nothing, and the ghost
+    endpoint never appears in the output or bridges components."""
+    edges = spark.createDataFrame([("a", "x"), ("x", "b")], ["src", "dst"])
+    verts = spark.createDataFrame([("a",), ("b",)], ["id"])
+
+    fast = {(r["id"], r["component"])
+            for r in connected_components(edges, verts).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(edges, verts, collect_threshold=0).collect()}
+    assert fast == dist == {("a", "a"), ("b", "b")}

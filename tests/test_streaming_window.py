@@ -154,3 +154,43 @@ def test_stream_sessionize_late_events_across_batches(spark, tmp_path):
         for r in rows if r["closed_by"] == "gap"
     }
     assert gap_closed == {(1, 1700, 2050, 4), (2, 1600, 1600, 1)}
+
+
+def test_stream_sessionize_late_events_bridge_the_gap(spark, tmp_path):
+    """Review regression: late events straddling start−gap must CHAIN into
+    the open session when consecutive gaps stay within the threshold —
+    1499→1501→[1800,1900] is ONE session [1499,1900], not a bogus
+    single-event session plus a truncated open one."""
+    import datetime
+    import os
+
+    from graphrag_rs_spark.streaming import stream_sessionize
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, offset_s):
+        return (eid, base + datetime.timedelta(seconds=offset_s), user, "click", 1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    in_dir = str(tmp_path / "in"); ws = str(tmp_path / "ws")
+
+    # batch 1: open session [1800, 1900]; watermark → 1900-600 = 1300
+    spark.createDataFrame([ev(0, 1, 1800), ev(1, 1, 1900)], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sessionize(spark, in_dir, ws, gap_seconds=300).awaitTermination(180)
+
+    # batch 2: late chain 1499, 1501 (gaps 2 / 299 ≤ 300) + closer at 4000
+    spark.createDataFrame(
+        [ev(2, 1, 1499), ev(3, 1, 1501), ev(4, 1, 4000)], schema
+    ).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, ws, gap_seconds=300).awaitTermination(180)
+
+    t0 = int(base.timestamp())
+    gap_closed = {
+        (r["session_start"] - t0, r["session_end"] - t0, r["n_events"])
+        for r in spark.read.parquet(os.path.join(ws, "sessions")).collect()
+        if r["closed_by"] == "gap"
+    }
+    assert gap_closed == {(1499, 1900, 4)}
