@@ -194,3 +194,30 @@ def test_gazetteer_size_guard(spark):
     # small dictionaries still work
     small = spark.createDataFrame([("alpha", "CONCEPT")], ["name", "entity_type"])
     assert gazetteer_mentions(chunks, small).count() == 1
+
+
+def test_cross_doc_fuzzy_plan_no_cartesian(spark):
+    """Fuzzy cross-doc linking must stay blocked: key equi-joins only,
+    never a nested-loop/cartesian pairing of names."""
+    from graphrag_rs_spark.operators.cross_doc import _fuzzy_clusters
+
+    ents = spark.createDataFrame(
+        [("e1", "Apple Inc"), ("e2", "Apple Inc."), ("e3", "Zebra")],
+        ["entity_id", "name"],
+    )
+    plan = _plan(_fuzzy_clusters(ents, 0.85))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_merge_plan_no_cartesian(spark):
+    from graphrag_rs_spark.operators.semantic_merging import semantic_merge_decisions
+
+    ents = spark.createDataFrame(
+        [("e1", "Apple", "ORG", 0.9), ("e2", "Apple Inc", "ORG", 0.8)],
+        ["entity_id", "name", "entity_type", "confidence"],
+    )
+    groups = spark.createDataFrame([("e1", "g1"), ("e2", "g1")], ["id", "dup_group_id"])
+    plan = _plan(semantic_merge_decisions(ents, groups))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
