@@ -78,3 +78,97 @@ def bfs(
         .where(F.col("rn") <= max_paths_per_source)
         .drop("rn")
     )
+
+
+def ego_network(
+    edges: DataFrame,
+    centers: DataFrame,
+    *,
+    k_hops: int = 3,
+    min_strength: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """G6 ego-network extraction (traversal.rs:242-303): BFS outward from
+    each center for ``k_hops`` over strength-filtered undirected edges.
+
+    → (nodes, sub_edges): nodes = (center, node, distance) with distance =
+    first-visit hop (0 for the center itself); sub_edges = the induced
+    strength-filtered edge set among the ego nodes of each center — the
+    set-valued equivalent of the reference's subgraph_relationships list
+    (which appends one copy per encounter; a set is what callers consume).
+    """
+    nodes = bfs(
+        edges,
+        centers,
+        max_depth=k_hops,
+        min_strength=min_strength,
+        max_paths_per_source=2**31 - 1,
+    ).select(F.col("source").alias("center"), "node", F.col("depth").alias("distance"))
+
+    e = edges.where(F.col("weight") >= min_strength)
+    n_src = nodes.select(F.col("center").alias("c"), F.col("node").alias("src"))
+    n_dst = nodes.select(F.col("center").alias("c"), F.col("node").alias("dst"))
+    sub_edges = (
+        e.join(n_src, "src")
+        .join(n_dst, ["c", "dst"])
+        .select(F.col("c").alias("center"), "src", "dst", "weight")
+        .dropDuplicates(["center", "src", "dst"])
+    )
+    return nodes, sub_edges
+
+
+def find_all_paths(
+    edges: DataFrame,
+    source: str,
+    target: str,
+    *,
+    max_depth: int = 3,
+    max_paths: int = 100,
+    min_strength: float = 0.5,
+) -> DataFrame:
+    """G6 all-simple-paths (traversal.rs:382-477): every loop-free path
+    source→target of length ≤ max_depth over strength-filtered undirected
+    edges → (path: array<string>, length).
+
+    The reference's recursive DFS truncates at ``max_paths`` in HashMap
+    iteration order — nondeterministic in the reference itself. Here the
+    frontier enumerates ALL simple paths (path-local visited via
+    array_contains, exactly the visited-set-with-backtrack semantics) and
+    truncates deterministically: shortest first, then lexicographic.
+
+    Scale note: simple-path counts are exponential in dense graphs;
+    max_depth (default 3) bounds the frontier like the reference.
+    """
+    e = edges.where(F.col("weight") >= min_strength).select("src", "dst")
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [([source],)], "path array<string>"
+    ).where(F.lit(source) != F.lit(target))
+    done = spark.createDataFrame([([source],)], "path array<string>").where(
+        F.lit(source) == F.lit(target)
+    )
+
+    for _depth in range(1, max_depth + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        hop = (
+            frontier.join(
+                sym.withColumnRenamed("src", "node"),
+                F.element_at(F.col("path"), -1) == F.col("node"),
+            )
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(F.concat("path", F.array("dst")).alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(hop.where(F.element_at("path", -1) == target))
+        frontier = hop.where(F.element_at("path", -1) != target)
+
+    return (
+        done.select("path", F.size("path").alias("length"))
+        .orderBy("length", "path")
+        .limit(max_paths)
+    )

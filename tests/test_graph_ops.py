@@ -145,3 +145,46 @@ def test_chunk_code_documents_dispatch(spark):
     assert "d4" not in by_doc
     assert all(r["chunk_id"] == f"{r['doc_id']}_{i}" for d in by_doc.values()
                for i, r in enumerate(sorted(d, key=lambda x: x["start_offset"])))
+
+
+def test_ego_network_hops_and_induced_edges(spark):
+    from graphrag_rs_spark.operators.traversal import ego_network
+
+    # chain a-b-c-d plus weak edge b-x (filtered) and triangle edge a-c
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+         ("b", "x", 0.2), ("a", "c", 0.9)],
+        ["src", "dst", "weight"],
+    )
+    centers = spark.createDataFrame([("a",)], ["id"])
+    nodes, sub = ego_network(edges, centers, k_hops=2, min_strength=0.5)
+    dist = {r["node"]: r["distance"] for r in nodes.collect()}
+    assert dist == {"a": 0, "b": 1, "c": 1, "d": 2}  # x filtered by strength
+    got_edges = {(r["src"], r["dst"]) for r in sub.collect()}
+    assert got_edges == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")}
+
+
+def test_find_all_paths_simple_and_bounded(spark):
+    from graphrag_rs_spark.operators.traversal import find_all_paths
+
+    # two routes a→d: a-b-c-d (len 4 > max_depth 3 edges? depth counts
+    # hops: 3 hops allowed) and a-c-d (2 hops); plus a cycle a-b-a pruned
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("a", "c", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    got = [tuple(r["path"]) for r in
+           find_all_paths(edges, "a", "d", max_depth=3).collect()]
+    assert got == [("a", "c", "d"), ("a", "b", "c", "d")]  # shortest first
+    # depth bound: only the 2-hop route survives max_depth=2
+    got2 = [tuple(r["path"]) for r in
+            find_all_paths(edges, "a", "d", max_depth=2).collect()]
+    assert got2 == [("a", "c", "d")]
+    # max_paths truncation is deterministic
+    got3 = [tuple(r["path"]) for r in
+            find_all_paths(edges, "a", "d", max_depth=3, max_paths=1).collect()]
+    assert got3 == [("a", "c", "d")]
+    # source == target → the trivial path
+    got4 = [tuple(r["path"]) for r in
+            find_all_paths(edges, "a", "a", max_depth=3).collect()]
+    assert got4 == [("a",)]
