@@ -1,0 +1,262 @@
+"""G7 remainder: graph analytics — centrality, shortest path, density,
+clustering coefficient.
+
+Reference: graph/analytics.rs:182-486. Transcribed semantics:
+
+- degree centrality       = degree / (n − 1)                    (:209-217)
+- closeness               = reachable / Σ shortest-path weight  (:250-279)
+- betweenness (simplified)= pairs (s,t), s≠t≠v, whose SINGLE
+  shortest path contains v, normalized by (n−1)(n−2)/2          (:219-248)
+  — the reference picks its Dijkstra current node and the s/t
+  iteration order from HashSet/HashMap iteration, so its own
+  betweenness/closeness are NONDETERMINISTIC on tie-heavy graphs;
+  here every tie breaks by (distance, path) lexicographic order —
+  deterministic, and equal to the reference whenever ties are absent;
+- shortest_path (Dijkstra)= minimal summed edge weight          (:281-355)
+- density                 = 2m / n(n−1)                         (:432-443)
+- clustering coefficient  = avg over nodes with ≥2 neighbors of
+  ordered-triangle-count / k(k−1)                               (:448-478)
+
+Scale shape: degree/density/top-k/clustering are plain distributed
+aggregations (clustering's wedge join is quadratic in hub degree — the
+``max_degree`` knob excludes hubs explicitly rather than silently
+exploding). Shortest path is iterative frontier relaxation
+(Bellman–Ford shape — one join + one min-agg per round, lineage cut per
+round, converges in ≤ |V|−1 rounds with positive weights and is bounded
+by ``max_hops``). The all-pairs centrality suite is inherently
+O(n · SSSP) — the reference itself is in-memory O(n²·Dijkstra) — so it
+runs driver-side under the same small-graph guard pattern as
+communities/CC, and REFUSES above the cap instead of melting.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.iterutil import cut_lineage
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight")).where(
+        F.col("src") != F.col("dst")
+    )
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    """→ (id, degree, degree_centrality = degree/(n−1)) — distributed."""
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    n = deg.count()
+    denom = float(n - 1) if n > 1 else 1.0
+    return deg.select(
+        "id",
+        "degree",
+        (F.col("degree") / F.lit(denom) if n > 1 else F.lit(0.0)).alias(
+            "degree_centrality"
+        ),
+    )
+
+
+def top_degree_nodes(edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """(:412-427) — ties broken by id ascending (the reference's sort is
+    tie-unstable)."""
+    return (
+        degree_centrality(edges)
+        .orderBy(F.col("degree_centrality").desc(), F.col("id").asc())
+        .limit(top_k)
+    )
+
+
+def graph_density(edges: DataFrame) -> DataFrame:
+    """→ one row (n_nodes, n_edges, density = 2m/n(n−1))."""
+    sym = _sym(edges)
+    stats = sym.agg(
+        F.countDistinct("src").alias("n_nodes"),
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") > 1,
+            2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("density"),
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, *, max_degree: int = 1000
+) -> DataFrame:
+    """→ (id, k, triangles, coefficient) for nodes with ≥2 neighbors.
+
+    Wedge join is O(k²) per node: nodes above ``max_degree`` are EXCLUDED
+    (reported with null coefficient) rather than silently exploding the
+    shuffle — raise the knob deliberately for hub-heavy graphs."""
+    sym = _sym(edges).select("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("k"))
+    ok = deg.where((F.col("k") >= 2) & (F.col("k") <= max_degree))
+    adj = sym.join(ok.select(F.col("id").alias("src")), "src")
+    a = adj.select(F.col("src").alias("v"), F.col("dst").alias("n1"))
+    b = adj.select(F.col("src").alias("v"), F.col("dst").alias("n2"))
+    wedges = a.join(b, "v").where(F.col("n1") != F.col("n2"))
+    closed = wedges.join(
+        sym.select(F.col("src").alias("n1"), F.col("dst").alias("n2")), ["n1", "n2"]
+    )
+    tri = closed.groupBy(F.col("v").alias("id")).agg(F.count("*").alias("triangles"))
+    return (
+        deg.where(F.col("k") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "k",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("k") <= max_degree,
+                F.coalesce("triangles", F.lit(0))
+                / (F.col("k") * (F.col("k") - 1)).cast("double"),
+            ).alias("coefficient"),
+        )
+    )
+
+
+def avg_clustering_coefficient(edges: DataFrame, *, max_degree: int = 1000) -> float:
+    row = (
+        clustering_coefficients(edges, max_degree=max_degree)
+        .agg(F.avg("coefficient").alias("c"))
+        .collect()[0]
+    )
+    return float(row["c"] or 0.0)
+
+
+def shortest_path(
+    edges: DataFrame,
+    source: str,
+    target: str,
+    *,
+    max_hops: int = 30,
+) -> DataFrame:
+    """Weighted shortest path source→target (:281-355) → one row
+    (path: array<string>, weight) or zero rows if unreachable.
+
+    Distributed Bellman–Ford frontier: each round relaxes every improved
+    node's out-edges (one join + one min-agg, lineage cut). Positive
+    weights converge in ≤ |V|−1 rounds; ``max_hops`` bounds the loop.
+    Ties break by lexicographic path (the reference's Dijkstra breaks
+    them by HashSet iteration order — nondeterministic there)."""
+    sym = _sym(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    best = spark.createDataFrame(
+        [(source, 0.0, [source])], "id string, dist double, path array<string>"
+    ).localCheckpoint(eager=True)
+    frontier = best
+
+    for _ in range(max_hops):
+        relax = (
+            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+                F.concat("path", F.array("dst")).alias("path"),
+            )
+        )
+        merged = (
+            best.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "path")).alias("b"))
+            .select("id", F.col("b.dist").alias("dist"), F.col("b.path").alias("path"))
+        )
+        merged = cut_lineage(merged, tag="sssp")
+        improved = (
+            merged.alias("m")
+            .join(best.alias("o"), "id", "left")
+            .where(
+                F.col("o.dist").isNull() | (F.col("m.dist") < F.col("o.dist"))
+            )
+            .select("id", F.col("m.dist").alias("dist"), F.col("m.path").alias("path"))
+        ).localCheckpoint(eager=True)
+        best = merged
+        if improved.limit(1).count() == 0:
+            break
+        frontier = improved
+
+    return best.where(F.col("id") == target).select("path", F.col("dist").alias("weight"))
+
+
+CENTRALITY_MAX_NODES = 20_000
+
+
+def centrality_scores(edges: DataFrame, *, max_nodes: int = CENTRALITY_MAX_NODES) -> DataFrame:
+    """→ (id, degree, betweenness, closeness): the reference's exact
+    all-pairs suite (:182-279). All-pairs SSSP is inherently O(n·SSSP) —
+    the reference is in-memory O(n²·Dijkstra) — so this runs driver-side
+    under the small-graph guard pattern and REFUSES above ``max_nodes``
+    (use degree_centrality / sampled estimates at scale). Deterministic:
+    all Dijkstra ties break by (distance, path)."""
+    sym = _sym(edges)
+    n_probe = sym.select("src").distinct().limit(max_nodes + 1).count()
+    if n_probe > max_nodes:
+        raise ValueError(
+            f"centrality_scores: graph has more than {max_nodes} nodes - "
+            "the all-pairs suite is O(n^2 log n) by definition (the "
+            "reference's own shape). Use degree_centrality (distributed) "
+            "or sample sources for closeness/betweenness estimates."
+        )
+    rows = sym.collect()
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append((r["dst"], float(r["weight"])))
+    nodes = sorted(adj)
+    n = len(nodes)
+
+    def dijkstra(start: str) -> dict[str, tuple[float, tuple[str, ...]]]:
+        out: dict[str, tuple[float, tuple[str, ...]]] = {}
+        heap: list[tuple[float, tuple[str, ...]]] = [(0.0, (start,))]
+        while heap:
+            dist, path = heapq.heappop(heap)
+            node = path[-1]
+            if node in out:
+                continue
+            out[node] = (dist, path)
+            for nb, w in sorted(adj.get(node, ())):
+                if nb not in out:
+                    heapq.heappush(heap, (dist + w, path + (nb,)))
+        return out
+
+    sssp = {v: dijkstra(v) for v in nodes}
+    results = []
+    for v in nodes:
+        deg = len(adj[v]) / (n - 1) if n > 1 else 0.0
+        reach = [
+            (d, p) for t, (d, p) in sssp[v].items() if t != v
+        ]
+        total = sum(d for d, _p in reach)
+        closeness = len(reach) / total if reach and total > 0 else 0.0
+        betweenness = 0.0
+        for s in nodes:
+            if s == v:
+                continue
+            for t, (_d, p) in sssp[s].items():
+                if t in (v, s):
+                    continue
+                if v in p:
+                    betweenness += 1.0
+        if n > 2:
+            betweenness /= (n - 1) * (n - 2) / 2
+        else:
+            betweenness = 0.0
+        results.append((v, float(deg), float(betweenness), float(closeness)))
+
+    return edges.sparkSession.createDataFrame(
+        results, "id string, degree double, betweenness double, closeness double"
+    )

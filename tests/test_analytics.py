@@ -1,0 +1,96 @@
+"""G7 analytics — reference literals (graph/analytics.rs:486-546) plus
+exact values hand-computed on the diamond test graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_rs_spark.operators.analytics import (
+    avg_clustering_coefficient,
+    centrality_scores,
+    clustering_coefficients,
+    degree_centrality,
+    graph_density,
+    shortest_path,
+    top_degree_nodes,
+)
+
+
+@pytest.fixture(scope="module")
+def diamond(spark):
+    # the reference's test graph (:489-496): A-B, A-C, B-C, B-D, C-D
+    return spark.createDataFrame(
+        [("A", "B", 1.0), ("A", "C", 1.0), ("B", "C", 1.0),
+         ("B", "D", 1.0), ("C", "D", 1.0)],
+        ["src", "dst", "weight"],
+    )
+
+
+def test_shortest_path_reference_literals(spark, diamond):
+    rows = shortest_path(diamond, "A", "D").collect()
+    assert len(rows) == 1
+    assert rows[0]["weight"] == 2.0
+    assert len(rows[0]["path"]) == 3          # A→B→D or A→C→D
+    assert rows[0]["path"] == ["A", "B", "D"]  # deterministic lexical tie
+    # unreachable target → zero rows
+    e2 = spark.createDataFrame([("A", "B", 1.0), ("X", "Y", 1.0)],
+                               ["src", "dst", "weight"])
+    assert shortest_path(e2, "A", "Y").collect() == []
+
+
+def test_shortest_path_prefers_lighter_longer_route(spark):
+    edges = spark.createDataFrame(
+        [("A", "B", 5.0), ("A", "C", 1.0), ("C", "B", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    row = shortest_path(edges, "A", "B").collect()[0]
+    assert row["path"] == ["A", "C", "B"] and row["weight"] == 2.0
+
+
+def test_degree_and_density(spark, diamond):
+    d = {r["id"]: (r["degree"], r["degree_centrality"])
+         for r in degree_centrality(diamond).collect()}
+    assert d["A"] == (2, pytest.approx(2 / 3))
+    assert d["B"] == (3, pytest.approx(1.0))
+    dens = graph_density(diamond).collect()[0]
+    assert dens["n_nodes"] == 4 and dens["n_edges"] == 5
+    assert dens["density"] == pytest.approx(2 * 5 / (4 * 3))
+    top = top_degree_nodes(diamond, 2).collect()
+    assert [r["id"] for r in top] == ["B", "C"]  # tie B/C broken by id
+
+
+def test_clustering_coefficients(spark, diamond):
+    # A: nbrs {B,C}, 1 triangle pair counted both ways → 2/(2·1) = 1.0
+    # B: nbrs {A,C,D}, closed ordered pairs (A,C),(C,A),(C,D),(D,C) → 4/6
+    c = {r["id"]: r["coefficient"] for r in clustering_coefficients(diamond).collect()}
+    assert c["A"] == pytest.approx(1.0)
+    assert c["B"] == pytest.approx(4 / 6)
+    assert c["C"] == pytest.approx(4 / 6)
+    assert c["D"] == pytest.approx(1.0)
+    assert 0.0 <= avg_clustering_coefficient(spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "C", 1.0)], ["src", "dst", "weight"]
+    )) <= 1.0
+
+
+def test_centrality_reference_literals(spark, diamond):
+    s = {r["id"]: r for r in centrality_scores(diamond).collect()}
+    assert set(s) == {"A", "B", "C", "D"}
+    # :519-521 — central nodes dominate betweenness
+    assert s["B"]["betweenness"] >= s["A"]["betweenness"]
+    assert s["B"]["degree"] == pytest.approx(1.0)
+    # closeness of B: distances 1,1,1 → 3/3 = 1.0
+    assert s["B"]["closeness"] == pytest.approx(1.0)
+    # closeness of A: distances B=1, C=1, D=2 → 3/4
+    assert s["A"]["closeness"] == pytest.approx(3 / 4)
+
+
+def test_centrality_size_guard(spark):
+    import pyspark.sql.functions as F
+
+    big = spark.range(21000).select(
+        F.concat(F.lit("n"), F.col("id")).alias("src"),
+        F.concat(F.lit("n"), F.col("id") + 1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    with pytest.raises(ValueError, match="more than"):
+        centrality_scores(big, max_nodes=20000)
