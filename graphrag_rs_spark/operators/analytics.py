@@ -260,3 +260,35 @@ def centrality_scores(edges: DataFrame, *, max_nodes: int = CENTRALITY_MAX_NODES
     return edges.sparkSession.createDataFrame(
         results, "id string, degree double, betweenness double, closeness double"
     )
+
+
+def cc_communities_with_modularity(edges: DataFrame) -> DataFrame:
+    """The analytics CC community fallback (:97-180) →
+    (community, n_nodes, modularity).
+
+    Communities are connected components (min-member-id label, shared CC
+    kernel); each is scored by the reference's 'modularity' =
+    internal-directed-edge-count / (2 · total) where the reference's
+    ``total_edges = self.adjacency.len()`` is actually the NODE count —
+    a quirk preserved verbatim. Within a connected component every edge
+    is internal, so the numerator is just the component's symmetric edge
+    count."""
+    from graphrag_rs_spark.operators.cc import connected_components
+
+    sym = _sym(edges).select("src", "dst")
+    comp = connected_components(sym)
+    n_total = comp.count()
+    edge_counts = (
+        sym.join(comp.withColumnRenamed("id", "src"), "src")
+        .groupBy("component")
+        .agg(F.count("*").alias("internal_directed"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    return sizes.join(edge_counts, "component", "left").select(
+        F.col("component").alias("community"),
+        "n_nodes",
+        (
+            F.coalesce("internal_directed", F.lit(0))
+            / F.lit(2.0 * max(n_total, 1))
+        ).alias("modularity"),
+    )

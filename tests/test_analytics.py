@@ -94,3 +94,23 @@ def test_centrality_size_guard(spark):
     )
     with pytest.raises(ValueError, match="more than"):
         centrality_scores(big, max_nodes=20000)
+
+
+def test_cc_communities_with_modularity(spark, diamond):
+    from graphrag_rs_spark.operators.analytics import cc_communities_with_modularity
+
+    # one component of 4 nodes (:525-532); internal directed edges = 10,
+    # reference 'total_edges' quirk = node count 4 → 10/(2·4) = 1.25
+    rows = cc_communities_with_modularity(diamond).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_nodes"] == 4
+    assert rows[0]["modularity"] == pytest.approx(10 / 8)
+    # two components
+    e2 = spark.createDataFrame(
+        [("a", "b", 1.0), ("x", "y", 1.0), ("y", "z", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    got = {r["community"]: (r["n_nodes"], r["modularity"])
+           for r in cc_communities_with_modularity(e2).collect()}
+    assert got["a"] == (2, pytest.approx(2 / 10))
+    assert got["x"] == (3, pytest.approx(4 / 10))
