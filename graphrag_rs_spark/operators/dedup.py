@@ -99,6 +99,7 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     shingle_size: int = 3,
     threshold: float = 0.7,
+    max_band_bucket: int = 200,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) near-duplicate pairs with exact verified
     shingle-jaccard ≥ threshold.
@@ -145,13 +146,33 @@ def minhash_lsh_duplicates(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
-    cand = (
+    # band-bucket skew guard: a bucket of B docs yields B² candidate
+    # pairs — on low-diversity corpora (template text, boilerplate) a
+    # single bucket can hold thousands of genuinely-similar docs and one
+    # bucket alone melts the join (measured: 20k fixture docs → one
+    # 3,977-doc bucket ≈ 8M pairs). Buckets over ``max_band_bucket``
+    # switch to a STAR: each member pairs with the bucket's min id only —
+    # B−1 pairs instead of B²/2. Verified star pairs + the transitive
+    # dup_groups closure still recover full duplicate clusters; only the
+    # exhaustive pairwise listing inside mega-clusters is (deliberately)
+    # not enumerated.
+    bsizes = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("bn"), F.min("id").alias("rep")
+    )
+    banded = banded.join(bsizes, ["band", "bucket"])
+    small = banded.where(F.col("bn") <= max_band_bucket)
+    a = small.select("band", "bucket", F.col("id").alias("id_a"))
+    b = small.select("band", "bucket", F.col("id").alias("id_b"))
+    all_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
+    star_pairs = (
+        banded.where((F.col("bn") > max_band_bucket) & (F.col("id") != F.col("rep")))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cand = all_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
 
     # single shingle rejoin for the exact verify (ids-only until here)
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
