@@ -63,6 +63,12 @@ class PipelineConfig:
     link_max_edit_distance: int = 2
     link_fuzzy_matching: bool = True
     link_use_phonetic: bool = False
+    # entity sets at or under this row count are linked by the exact
+    # sequential mirror in the driver (one collect instead of ~26 jobs of
+    # blocking/scoring/CC fixed cost — the reference linker itself is an
+    # in-memory sweep, string_similarity_linker.rs:68-124). Output is
+    # bit-identical to the distributed path (parity-tested). 0 disables.
+    link_small_input_rows: int = 10_000
 
     # communities (reference graph/leiden.rs:429-463)
     community_max_iterations: int = 20

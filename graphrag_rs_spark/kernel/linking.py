@@ -136,6 +136,47 @@ def soundex(s: str) -> str:
     return result.ljust(4, "0")
 
 
+def spark_soundex(s: str) -> str:
+    """Bit-exact Python mirror of Spark SQL's native ``soundex`` expression,
+    used ONLY by the sequential small-input linker so its blocking keys
+    match the distributed path's ``F.soundex`` exactly (the reference-
+    transcribed :func:`soundex` above keeps its own quirk semantics and is
+    a DIFFERENT function). Semantics pinned empirically against Spark 4.1
+    and asserted by tests/test_linking.py::test_spark_soundex_parity:
+
+    - empty string -> empty string; non-letter first char -> input unchanged
+    - first letter kept upper-cased; later letters coded BFPV=1 CGJKQSXZ=2
+      DT=3 L=4 MN=5 R=6
+    - adjacent same codes collapse; H/W are skipped and do NOT break
+      adjacency; vowels (AEIOUY) and non-letters (digits) DO break it
+    - result truncated/padded to 4 chars
+    """
+    if not s:
+        return s
+    first = s[0]
+    if not first.isalpha():
+        return s
+    out = [first.upper()]
+    prev = _SOUNDEX_CODES.get(first.upper(), "")
+    for ch in s[1:]:
+        u = ch.upper()
+        if not u.isalpha():
+            prev = ""  # digit/punct: separator — resets the dedup
+            continue
+        if u in "HW":
+            continue  # ignored AND transparent to adjacency
+        code = _SOUNDEX_CODES.get(u)
+        if code is None:
+            prev = ""  # vowel: not emitted, resets the dedup
+            continue
+        if code != prev:
+            out.append(code)
+            prev = code
+            if len(out) == 4:
+                break
+    return "".join(out).ljust(4, "0")
+
+
 def compute_similarity(
     name1: str,
     name2: str,

@@ -39,7 +39,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iterations: int = 50,
-    collect_threshold: int = 20_000,
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(src, dst) [+ vertices(id)] → (id, component) with
     component = min vertex id (string order) in the component.
@@ -50,10 +50,14 @@ def connected_components(
     are solved by driver-side union-find (kernel/communities.py) — the
     component label (min member id) is execution-order independent, so the
     result is identical by definition; what it saves is the ~2-action-per-
-    superstep fixed cost that dominates small graphs. Measured crossover on
-    local[32]: ≥50k vertices the distributed supersteps already win (Arrow
-    transfer + relabel shipping cost more than the saved job overhead), so
-    the default stays well under it. Set 0 to force the distributed path.
+    superstep fixed cost that dominates small-to-medium graphs. The default
+    crossover (500k) was re-measured after this sandbox's per-job fixed
+    cost rose to ~1-2.5 s (gVisor serializes concurrent file syscalls
+    per-process — see session.py): a 450k-edge union-find costs ~2 s in
+    the driver vs 4+ supersteps × 2-3 jobs distributed. Memory bound:
+    ~500k string-id edges ≈ low hundreds of MB in the driver, well inside
+    the configured heap; truly large graphs stay distributed. Set 0 to
+    force the distributed path.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")

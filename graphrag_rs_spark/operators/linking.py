@@ -166,6 +166,119 @@ def score_pairs(
     return pairs.withColumn("similarity", sim)
 
 
+def _link_entities_sequential(spark, rows, config: PipelineConfig) -> DataFrame:
+    """Exact driver-side mirror of the distributed linking path for
+    dim-sized inputs (≤ ``config.link_small_input_rows`` entities).
+
+    Same blocking keys (distinct tokens + Spark-soundex of first token +
+    4-char prefix, namespaced, per entity_type), same hot-block guard,
+    same max-combiner scoring formulas, same min-id connected components,
+    same canonical-id/name tie-breaks — parity-tested bit-identical against
+    the distributed path (tests/test_linking.py). Motivation: the
+    distributed path costs ~26 Spark jobs of fixed scheduling overhead that
+    dominate small inputs; the reference linker itself is an in-memory
+    sweep (string_similarity_linker.rs:68-124), so a driver-local exact
+    path is faithful. Large inputs keep the blocked distributed path.
+    """
+    from graphrag_rs_spark.kernel.communities import union_find_components
+    from graphrag_rs_spark.kernel.linking import (
+        jaro_winkler_similarity,
+        levenshtein_distance,
+        normalize_string,
+        spark_soundex,
+    )
+
+    ents = [
+        (r["entity_id"], r["entity_type"], float(r["confidence"]), r["name"])
+        for r in rows
+    ]
+    norms = {
+        eid: None if name is None else normalize_string(name)
+        for eid, _t, _c, name in ents
+    }
+
+    # blocking keys — mirrors candidate_pairs() exactly (note: split on a
+    # single space like F.split(norm, " "): an empty norm yields the ""
+    # token, and array_distinct keeps one row per (entity, key)); a NULL
+    # name produces no keys at all (explode drops the row, concat stays
+    # null) so null-named entities are singletons on both paths
+    blocks: dict[tuple, list] = {}
+    for eid, etype, _conf, _name in ents:
+        norm = norms[eid]
+        if norm is None:
+            continue
+        toks = norm.split(" ")
+        keys = {f"tok:{t}" for t in toks}
+        keys.add(f"sdx:{spark_soundex(toks[0])}")
+        keys.add(f"pre:{norm[:4]}")
+        for k in keys:
+            blocks.setdefault((etype, k), []).append(eid)
+
+    # hot-block guard — same cap, same skip condition as the distributed
+    # path (provable no-op when the whole input fits one block)
+    max_block = 100
+    if len(ents) > max_block:
+        blocks = {k: v for k, v in blocks.items() if len(v) <= max_block}
+
+    pairs = set()
+    for members in blocks.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+
+    # scoring — mirrors score_pairs() formula for formula
+    def _score(na: str, nb: str) -> float:
+        if na == nb:
+            return 1.0
+        ta, tb = set(na.split(" ")), set(nb.split(" "))
+        union = len(ta | tb)
+        jac = 1.0 if union == 0 else len(ta & tb) / union
+        metrics = [jaro_winkler_similarity(na, nb), jac]
+        if config.link_fuzzy_matching:
+            lev = levenshtein_distance(na, nb)
+            max_len = max(len(na), len(nb))
+            if lev > config.link_max_edit_distance:
+                metrics.append(0.0)
+            elif max_len == 0:
+                metrics.append(1.0)
+            else:
+                metrics.append(1.0 - lev / max_len)
+        if config.link_use_phonetic:
+            metrics.append(0.9 if spark_soundex(na) == spark_soundex(nb) else 0.0)
+        return max(metrics)
+
+    edges = [
+        (a, b)
+        for a, b in pairs
+        if _score(norms[a], norms[b]) >= config.link_min_similarity
+    ]
+
+    comp = union_find_components(edges, [eid for eid, *_ in ents])
+
+    by_comp: dict[str, list] = {}
+    for eid, _etype, conf, name in ents:
+        by_comp.setdefault(comp[eid], []).append((eid, conf, name))
+
+    out = []
+    for c, members in by_comp.items():
+        canonical_id = min(members, key=lambda m: (-m[1], m[0]))[0]
+        counts: dict[str, int] = {}
+        for _eid, _conf, name in members:
+            counts[name] = counts.get(name, 0) + 1
+        canonical_name = min(
+            counts, key=lambda n: (-counts[n], -len(n or ""), n or "")
+        )
+        for eid, _conf, _name in members:
+            out.append((eid, canonical_id, c, canonical_name))
+
+    return spark.createDataFrame(
+        out or [],
+        schema="entity_id string, canonical_id string, "
+        "cluster_id string, canonical_name string",
+    )
+
+
 def link_entities(
     entities: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -181,12 +294,20 @@ def link_entities(
     determinism (the reference's HashMap iteration order is unstable
     there).
     """
-    # small-input probe (limit+count terminates early on big inputs): a
-    # dim-sized entity set skips the hot-block guard (provable no-op) and
-    # is checkpointed once so the 3-way key union + downstream joins read
-    # a materialized 72-row frame instead of recomputing upstream 5×.
-    # Large inputs take the unchanged path.
-    n_probe = entities.limit(101).count()
+    # small-input probe (limit+count terminates early on big inputs):
+    # entity sets at or under link_small_input_rows run the exact
+    # sequential mirror in the driver — one collect + pure-Python kernels
+    # instead of ~26 jobs of blocking/scoring/CC fixed overhead (parity-
+    # tested bit-identical; the reference linker is itself in-memory).
+    # Large inputs take the unchanged distributed path.
+    small = config.link_small_input_rows or 0
+    probe_cap = max(small, 100)
+    n_probe = entities.limit(probe_cap + 1).count()
+    if small and n_probe <= small:
+        rows = entities.select(
+            "entity_id", "entity_type", "confidence", "name"
+        ).collect()
+        return _link_entities_sequential(entities.sparkSession, rows, config)
     if n_probe <= 100:
         entities = entities.localCheckpoint(eager=True)
         pairs = candidate_pairs(entities, input_rows=n_probe)

@@ -47,6 +47,22 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
+        # This sandbox (gVisor) serializes concurrent file syscalls within a
+        # process: measured 44k mmap-cycles/s at 1 thread -> 1.9k/s at 32
+        # threads in one process (small-file open/stat/unlink collapses the
+        # same way). Spark's default local shuffle path is exactly that hot
+        # pattern — the bypass-merge writer emits R files per map task and
+        # concatenates them with NIO transferTo (mmap/unmap per segment),
+        # which made identical jobs swing 17s↔67s. Steer off it:
+        #  - sort-based writer always (1 data file per map task, not R):
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        #  - stream-copy concatenation instead of mmap/transferTo:
+        .config("spark.file.transferTo", "false")
+        #  - fewer, larger write syscalls:
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
+        # On a real multi-node cluster (no gVisor, NVMe spark.local.dir)
+        # the defaults are fine — these are safe there too, just unneeded.
     )
     # shuffle scratch: this sandbox's VM disk throttles under concurrent
     # shuffle writers (measured: an identical 64-partition shuffle took

@@ -320,3 +320,100 @@ def test_cc_non_superset_vertices_paths_agree(spark):
     dist = {(r["id"], r["component"])
             for r in connected_components(edges, verts, collect_threshold=0).collect()}
     assert fast == dist == {("a", "a"), ("b", "b")}
+
+
+# --- sequential small-input path: bit-parity vs the distributed path ---
+
+def _both_paths(spark, rows, **cfg_kwargs):
+    ents = _entities(spark, rows)
+    seq = link_entities(ents, PipelineConfig(**cfg_kwargs))
+    dist = link_entities(
+        ents, PipelineConfig(link_small_input_rows=0, **cfg_kwargs)
+    )
+    key = lambda r: (r[0], r[1], r[2], r[3])
+    return sorted(map(tuple, seq.collect()), key=key), sorted(
+        map(tuple, dist.collect()), key=key
+    )
+
+
+def test_sequential_matches_distributed_reference_cases(spark):
+    seq, dist = _both_paths(spark, REF_CASES)
+    assert seq == dist
+
+
+def test_sequential_matches_distributed_phonetic_config(spark):
+    seq, dist = _both_paths(
+        spark, REF_CASES, link_use_phonetic=True, link_min_similarity=0.8
+    )
+    assert seq == dist
+
+
+def test_sequential_matches_distributed_variant_family(spark):
+    # the 50k-bench generator shape at a parity-testable size: 300 entities
+    # in 30 ground-truth families with Jr/./punctuation noise
+    rows = []
+    for i in range(300):
+        name = f"Person{i % 30}" + (" Jr" if i % 7 == 0 else "") + (
+            "." if i % 11 == 0 else ""
+        )
+        rows.append((f"PERSON_p{i}", name, "PERSON", 0.5 + (i % 50) / 100))
+    seq, dist = _both_paths(spark, rows)
+    assert seq == dist
+    assert len(seq) == 300  # every entity exactly once
+    # NOTE: at this size the "jr" token block is under the hot-block cap, so
+    # Jr-suffixed names legitimately chain families together (at 50k rows
+    # that token is hot and dropped, which is why the bench gets exactly
+    # n/10 clusters there) — cluster count is NOT asserted here, only
+    # bit-parity between the two paths
+
+
+def test_sequential_matches_distributed_hot_block_guard(spark):
+    # 150 entities sharing the token "corp" (> max_block_size=100): the
+    # guard drops the hot token key on both paths; pairs must still form
+    # via the distinct-name tokens and both paths must agree exactly
+    rows = [
+        (f"ORGANIZATION_o{i}", f"Name{i % 40} corp", "ORGANIZATION", 0.9)
+        for i in range(150)
+    ]
+    seq, dist = _both_paths(spark, rows)
+    assert seq == dist
+
+
+def test_sequential_matches_distributed_edge_names(spark):
+    rows = [
+        ("PERSON_a", "", "PERSON", 0.9),          # empty name
+        ("PERSON_b", "", "PERSON", 0.8),          # empty pairs with empty
+        ("PERSON_c", "3M", "PERSON", 0.7),        # digit-leading token
+        ("PERSON_d", "3M Co", "PERSON", 0.6),
+        ("PERSON_e", "x", "PERSON", 0.5),         # single char
+        ("ORGANIZATION_f", "", "ORGANIZATION", 0.4),  # empty, other type
+    ]
+    seq, dist = _both_paths(spark, rows)
+    assert seq == dist
+
+
+def test_spark_soundex_parity(spark):
+    """kernel.spark_soundex must equal F.soundex over the blocking-key
+    domain (normalized names: [a-z0-9 ]) plus pinned semantic probes."""
+    from graphrag_rs_spark.kernel.linking import spark_soundex
+
+    vocab = [
+        "", "a", "3m", "42", "smith", "smyth", "robert", "rupert",
+        "ashcraft", "ashcroft", "tymczak", "pfister", "honeyman", "x1a",
+        "aaa", "hhh", "wh", "bfpv", "o", "ieee", "person7", "p7x", "acme",
+        "llc", "jr", "co", "p1p", "php", "pap", "pyp", "pwp", "p12345p",
+        "a1", "zzzzzzz", "s1m1t1h", "mc3donald",
+    ]
+    # plus every first-token of the fixture corpus names
+    from graphrag_rs_spark.fixtures import generate_corpus
+    from graphrag_rs_spark.kernel.linking import normalize_string
+
+    for d in generate_corpus(n_docs=12, seed=42):
+        for w in normalize_string(d["content"])[:2000].split(" "):
+            if w:
+                vocab.append(w)
+    vocab = sorted(set(vocab))
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+    got = {r["s"]: r["x"] for r in df.select("s", F.soundex("s").alias("x")).collect()}
+    for v in vocab:
+        assert spark_soundex(v) == got[v], repr(v)
