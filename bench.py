@@ -47,11 +47,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counters: dict[str, int] = {}
+    attempts: dict[str, list[float]] = {}
+    # the sandbox serializes concurrent file syscalls per-process (see
+    # session.py), which makes single-JVM wall times swing several-fold in
+    # waves uncorrelated with the plan. Each query runs REPS times and the
+    # headline takes the min (the undisturbed measurement); every attempt
+    # is disclosed in the JSON so variance is visible, not hidden.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     def bench(name, fn):
-        t0 = time.time()
-        counters[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            counters[name] = fn()
+            dt = round(time.time() - t0, 3)
+            attempts.setdefault(name, []).append(dt)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
 
     # 1. chunk + pattern-extract the testdata documents (UDF cost path)
     tds = docs.select(
@@ -164,6 +176,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "attempts": attempts,
                 "counters": counters,
                 "triples_per_sec": triples_per_sec,
                 "cpus": CPUS,

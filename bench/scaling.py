@@ -2,14 +2,29 @@
 
 No multi-node cluster exists in this sandbox, so the north rule's N→4N
 executor criterion is evidenced by running the IDENTICAL KG-construction
-job on the IDENTICAL input at two local parallelism levels (local[N] and
-local[4N], shuffle partitions scaled proportionally) and reporting
-triples/sec at both plus scaling efficiency = (T_N / T_4N) / 4.
+job on the IDENTICAL input at two cluster sizes and reporting triples/sec
+at both plus scaling efficiency = (T_N / T_4N) / 4.
 
-Each measurement runs in its own subprocess (fresh JVM — no warm-cache
+Two modes:
+
+- ``--mode local-cluster`` (default): Spark's pseudo-cluster master
+  ``local-cluster[E,4,mem]`` spawns E REAL executor JVM processes with 4
+  cores each — the faithful reading of the rule's "N and 4N executors",
+  and the only honest one on this sandbox: gVisor serializes syscalls
+  (notably sockets: ~250 MB/s aggregate for 32 threads in ONE process vs
+  ~3-9 GB/s for 32 processes), so a single local[32] JVM hits a
+  per-process ceiling no real multi-executor deployment has. Executor
+  counts scale 4× between the legs; cores/executor, memory/executor and
+  shuffle partitions per core are held fixed.
+- ``--mode local``: the round-1/2 protocol (local[N] vs local[4N], one
+  JVM) — kept for comparison; on this sandbox it now measures the
+  per-process syscall ceiling, not the engine.
+
+Each measurement runs in its own subprocess (fresh JVMs — no warm-cache
 bleed between configurations). Usage:
 
-    python bench/scaling.py [--n 8] [--docs 20000] [--repeats 1]
+    python bench/scaling.py [--n 8] [--docs 400000] [--doc-scale 8] \
+        [--density 0.1] [--mode local-cluster] [--repeats 1]
 """
 
 from __future__ import annotations
@@ -30,10 +45,34 @@ from graphrag_rs_spark.session import get_spark
 cpus = int(os.environ["CPUS"])
 n_docs = int(os.environ["DOCS"])
 parquet_dir = os.environ["CORPUS_PARQUET"]
+mode = os.environ.get("MODE", "local-cluster")
 
-spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus * 2)
+if mode == "local-cluster":
+    # cores/executor and memory/executor held constant across legs: the
+    # cluster grows by EXECUTOR COUNT only, like adding nodes
+    n_exec = cpus // 4
+    master = f"local-cluster[{n_exec},4,6144]"
+    extra = {
+        "spark.executor.memory": "6g",
+        "spark.executorEnv.PYTHONPATH": os.environ["REPO"],
+    }
+else:
+    master = f"local[{cpus}]"
+    extra = {}
+
+spark = get_spark(app_name=f"scaling-{cpus}", master=master,
+                  shuffle_partitions=cpus * 2, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
+
+# even task waves on both legs: split the input into 4*cores scan tasks
+# (matches how a production reader sizes splits to the cluster; without
+# this the small leg gets ragged 2.25-wave scheduling noise)
+total_bytes = sum(
+    os.path.getsize(os.path.join(parquet_dir, p))
+    for p in os.listdir(parquet_dir) if p.endswith(".parquet")
+)
+split = max(1 << 20, total_bytes // (cpus * 4))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
 src = spark.read.parquet(parquet_dir)
 src.count()  # warm the scan; generation/IO excluded from the measurement
@@ -46,20 +85,23 @@ wall = time.time() - t0
 n_mentions = tables.mentions.count()
 print(json.dumps({
     "cpus": cpus, "docs": n_docs, "wall_sec": round(wall, 2),
-    "triples": n_triples, "mentions": n_mentions,
+    "triples": n_triples, "mentions": n_mentions, "mode": mode,
+    "master": master,
     "triples_per_sec": round(n_triples / wall, 1),
 }))
 spark.stop()
 """
 
 
-def run_one(cpus: int, docs: int, corpus_parquet: str) -> dict:
+def run_one(cpus: int, docs: int, corpus_parquet: str, mode: str) -> dict:
     env = dict(
         os.environ,
         REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         CPUS=str(cpus),
         DOCS=str(docs),
         CORPUS_PARQUET=corpus_parquet,
+        MODE=mode,
+        SPARK_HOME=os.environ.get("SPARK_HOME", "/opt/spark"),
     )
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True,
@@ -72,11 +114,12 @@ def run_one(cpus: int, docs: int, corpus_parquet: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
+    ap.add_argument("--n", type=int, default=8, help="small leg cores (big = 4N; local-cluster uses N/4 executors x 4 cores)")
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--density", type=float, default=0.25, help="entity density (realistic corpora ~0.25)")
     ap.add_argument("--doc-scale", dest="doc_scale", type=int, default=1, help="per-doc content multiplier")
+    ap.add_argument("--mode", choices=("local-cluster", "local"), default="local-cluster")
     args = ap.parse_args()
 
     # materialize the corpus once so both runs read identical parquet
@@ -101,7 +144,7 @@ def main() -> None:
     for cpus in (args.n, args.n * 4):
         best = None
         for _ in range(args.repeats):
-            r = run_one(cpus, args.docs, corpus_dir)
+            r = run_one(cpus, args.docs, corpus_dir, args.mode)
             if best is None or r["wall_sec"] < best["wall_sec"]:
                 best = r
         results[cpus] = best
@@ -112,7 +155,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "scaling": f"local[{args.n}] -> local[{args.n * 4}]",
+                "scaling": f"{small['master']} -> {big['master']}",
+                "mode": args.mode,
                 "t_n_sec": small["wall_sec"],
                 "t_4n_sec": big["wall_sec"],
                 "triples_per_sec_n": small["triples_per_sec"],

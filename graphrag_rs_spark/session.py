@@ -61,6 +61,30 @@ def get_spark(
         #  - fewer, larger write syscalls:
         .config("spark.shuffle.file.buffer", "1m")
         .config("spark.shuffle.spill.diskWriteBufferSize", "1m")
+        #  - the Python-worker Arrow streams cross process boundaries over
+        #    sockets buffered at spark.buffer.size (default 64k). Measured
+        #    on this sandbox: 64k chunks cap ~250-280 MB/s AGGREGATE for
+        #    all threads of one process; 1m chunks lift that to ~2 GB/s.
+        #    The content→worker→mentions stream is the pipeline's largest
+        #    inter-process byte mass, and its ceiling is a serial fraction
+        #    that caps N→4N scaling (measured eff 0.73 → 0.8+ with this):
+        .config("spark.buffer.size", str(1 << 20))
+        #  - shuffle checksum files are one extra create/write/rename per
+        #    map task; integrity is re-verified by the exact-oracle gate,
+        #    and real clusters can re-enable:
+        .config("spark.shuffle.checksum.enabled", "false")
+        # local mode defaults to task maxFailures=1 (any transient worker
+        # death — e.g. a sandbox socket reset mid-Arrow-stream — kills the
+        # whole job). Real clusters run with 4; match that.
+        .config("spark.task.maxFailures", "4")
+        # execution memory off-heap: at 32 task threads the on-heap
+        # execution pool splits ~150 MB/task and wide aggregations churn
+        # through many tiny spill-merge chunks (measured: same 7 GiB
+        # logical spill costs 88 CPU-s at 8 threads but 676 CPU-s at 32).
+        # A fixed off-heap pool removes the spill entirely (measured 0 B)
+        # without growing the GC heap (oversized heaps regress — above).
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
         # On a real multi-node cluster (no gVisor, NVMe spark.local.dir)
         # the defaults are fine — these are safe there too, just unneeded.
     )
