@@ -18,12 +18,39 @@ These run in the oracle and inside the scoring pandas UDF; candidate
 
 from __future__ import annotations
 
+import re
+
 
 def normalize_string(s: str) -> str:
     """Lowercase, strip punctuation, collapse whitespace (linker :167-184)."""
     s = s.lower()
     s = "".join(c for c in s if c.isalnum() or c.isspace())
     return " ".join(s.split())
+
+
+_ASCII_STRIP_RE = re.compile(r"[^a-z0-9\s]", re.ASCII)
+_ASCII_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def spark_normalize_string(s: str) -> str:
+    """Bit-exact Python mirror of operators.linking.normalized_name_col —
+    ``lower()`` then ``regexp_replace(r"[^a-z0-9\\s]", "")`` then collapse
+    ``\\s+`` and ``trim`` — used ONLY by the sequential small-input linker so
+    its norms match the distributed path byte for byte.
+
+    This differs from the reference-transcribed :func:`normalize_string`
+    above on non-ASCII input: Java regex ``\\s`` and the ``[a-z0-9]`` class
+    are ASCII-only, so 'Zoë Café' → 'zo caf' here but 'zoë café' there.
+    Parity with the distributed plan is what the small-input fast path
+    promises, so the ASCII mirror is the correct choice (the kernel
+    normalize_string stays the reference-semantics oracle for
+    compute_similarity). Java ``\\s`` = [ \\t\\n\\x0B\\f\\r] = Python
+    ``re.ASCII`` ``\\s``; Spark ``trim`` strips ' ' only, and after the
+    whitespace collapse the string's only whitespace IS ' '.
+    """
+    s = s.lower()
+    s = _ASCII_STRIP_RE.sub("", s)
+    return _ASCII_WS_RE.sub(" ", s).strip(" ")
 
 
 def levenshtein_distance(s1: str, s2: str) -> int:
@@ -150,18 +177,22 @@ def spark_soundex(s: str) -> str:
     - adjacent same codes collapse; H/W are skipped and do NOT break
       adjacency; vowels (AEIOUY) and non-letters (digits) DO break it
     - result truncated/padded to 4 chars
+    - "letter" means ASCII [A-Za-z] ONLY: Spark's expression walks UTF-8
+      *bytes* ('a'<=b<=\'z\' / 'A'<=b<=\'Z\'), so 'é' is a non-letter there
+      (each of its bytes falls outside the range) — Python ``isalpha`` would
+      wrongly accept it, diverging on the first-char gate
     """
     if not s:
         return s
     first = s[0]
-    if not first.isalpha():
+    if not ("a" <= first <= "z" or "A" <= first <= "Z"):
         return s
     out = [first.upper()]
     prev = _SOUNDEX_CODES.get(first.upper(), "")
     for ch in s[1:]:
         u = ch.upper()
-        if not u.isalpha():
-            prev = ""  # digit/punct: separator — resets the dedup
+        if not ("A" <= u <= "Z"):
+            prev = ""  # digit/punct/non-ASCII: separator — resets the dedup
             continue
         if u in "HW":
             continue  # ignored AND transparent to adjacency

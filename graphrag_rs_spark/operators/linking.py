@@ -184,16 +184,27 @@ def _link_entities_sequential(spark, rows, config: PipelineConfig) -> DataFrame:
     from graphrag_rs_spark.kernel.linking import (
         jaro_winkler_similarity,
         levenshtein_distance,
-        normalize_string,
+        spark_normalize_string,
         spark_soundex,
     )
 
+    # confidence may be NULL: the distributed path's desc() orderBy sorts
+    # nulls last, so mirror that instead of crashing in float(None)
     ents = [
-        (r["entity_id"], r["entity_type"], float(r["confidence"]), r["name"])
+        (
+            r["entity_id"],
+            r["entity_type"],
+            None if r["confidence"] is None else float(r["confidence"]),
+            r["name"],
+        )
         for r in rows
     ]
+    # spark_normalize_string, NOT kernel normalize_string: the distributed
+    # path's normalized_name_col is ASCII-regex based and the two diverge on
+    # non-ASCII names ('Zoë Café' → 'zo caf' vs 'zoë café') — blocking keys
+    # and scores must match the plan this path replaces bit for bit
     norms = {
-        eid: None if name is None else normalize_string(name)
+        eid: None if name is None else spark_normalize_string(name)
         for eid, _t, _c, name in ents
     }
 
@@ -261,8 +272,11 @@ def _link_entities_sequential(spark, rows, config: PipelineConfig) -> DataFrame:
         by_comp.setdefault(comp[eid], []).append((eid, conf, name))
 
     out = []
+    neg_inf = float("-inf")
     for c, members in by_comp.items():
-        canonical_id = min(members, key=lambda m: (-m[1], m[0]))[0]
+        canonical_id = min(
+            members, key=lambda m: (-(m[1] if m[1] is not None else neg_inf), m[0])
+        )[0]
         counts: dict[str, int] = {}
         for _eid, _conf, name in members:
             counts[name] = counts.get(name, 0) + 1

@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _system_mem_gb() -> int | None:
+    """Total system memory in GiB from /proc/meminfo (None if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "graphrag_rs_spark",
     master: str | None = None,
@@ -69,10 +81,17 @@ def get_spark(
         #    inter-process byte mass, and its ceiling is a serial fraction
         #    that caps N→4N scaling (measured eff 0.73 → 0.8+ with this):
         .config("spark.buffer.size", str(1 << 20))
-        #  - shuffle checksum files are one extra create/write/rename per
-        #    map task; integrity is re-verified by the exact-oracle gate,
-        #    and real clusters can re-enable:
-        .config("spark.shuffle.checksum.enabled", "false")
+    )
+    if master.startswith("local"):
+        # shuffle checksum files are one extra create/write/rename per map
+        # task — a measurable cost under this sandbox's per-process syscall
+        # serialization. Disabled ONLY for single-JVM local masters (no
+        # network between map and reduce, so the corruption class checksums
+        # guard against — bad NICs/disks between nodes — doesn't apply);
+        # any non-local master keeps Spark's default (enabled).
+        builder = builder.config("spark.shuffle.checksum.enabled", "false")
+    builder = (
+        builder
         # local mode defaults to task maxFailures=1 (any transient worker
         # death — e.g. a sandbox socket reset mid-Arrow-stream — kills the
         # whole job). Real clusters run with 4; match that.
@@ -83,8 +102,15 @@ def get_spark(
         # logical spill costs 88 CPU-s at 8 threads but 676 CPU-s at 32).
         # A fixed off-heap pool removes the spill entirely (measured 0 B)
         # without growing the GC heap (oversized heaps regress — above).
+        # Sized from detected system memory (1/8th, clamped 2..16g) so the
+        # heap + off-heap sum can't overcommit smaller hosts; override with
+        # SPARK_GRAFT_OFFHEAP.
         .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP", "16g"))
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP")
+            or f"{min(16, max(2, (_system_mem_gb() or 32) // 8))}g",
+        )
         # On a real multi-node cluster (no gVisor, NVMe spark.local.dir)
         # the defaults are fine — these are safe there too, just unneeded.
     )

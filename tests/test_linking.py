@@ -392,6 +392,54 @@ def test_sequential_matches_distributed_edge_names(spark):
     assert seq == dist
 
 
+def test_sequential_matches_distributed_non_ascii(spark):
+    # ADVICE r03 (high): the distributed norm is ASCII-regex based
+    # ('Zoë Café' → 'zo caf') while kernel normalize_string is Unicode
+    # ('zoë café') — the sequential path must mirror the DISTRIBUTED
+    # semantics or linking output silently changes when the row count
+    # crosses link_small_input_rows. NBSP (\xa0) is NOT Java \s, so it is
+    # stripped (not a token separator): 'Jon\xa0Smith' norms to 'jonsmith'.
+    rows = [
+        ("PERSON_zoe1", "Zoë Café", "PERSON", 0.9),
+        ("PERSON_zoe2", "Zoe Cafe", "PERSON", 0.8),
+        ("PERSON_zoe3", "Zo Caf", "PERSON", 0.7),
+        ("PERSON_nbsp", "Jon\u00a0Smith", "PERSON", 0.9),
+        ("PERSON_plain", "Jon Smith", "PERSON", 0.8),
+        ("PERSON_accent", "émile zola", "PERSON", 0.85),
+        ("PERSON_noaccent", "mile zola", "PERSON", 0.65),
+        ("ORGANIZATION_uni", "Münster Universität", "ORGANIZATION", 0.9),
+    ]
+    for extra in ({}, {"link_use_phonetic": True}):
+        seq, dist = _both_paths(spark, rows, link_min_similarity=0.8, **extra)
+        assert seq == dist
+    # the ASCII mirror links the stripped equivalents exactly-on-norm
+    seq, _ = _both_paths(spark, rows, link_min_similarity=0.99)
+    clusters = {r[0]: r[2] for r in seq}
+    assert clusters["PERSON_zoe1"] == clusters["PERSON_zoe3"]
+
+
+def test_sequential_null_confidence(spark):
+    # ADVICE r03 (low): a NULL confidence must not crash the sequential
+    # path; canonical selection mirrors desc() = nulls-last ordering
+    data = [
+        ("PERSON_a", "Jon Smith", "PERSON", None, 1),
+        ("PERSON_b", "Jon Smith", "PERSON", 0.5, 1),
+        ("PERSON_c", "Jhon Smith", "PERSON", None, 1),
+    ]
+    schema = (
+        "entity_id string, name string, entity_type string, "
+        "confidence float, mention_count long"
+    )
+    ents = spark.createDataFrame(data, schema=schema)
+    seq = link_entities(ents, PipelineConfig())
+    dist = link_entities(ents, PipelineConfig(link_small_input_rows=0))
+    key = lambda r: tuple(r)
+    seq_rows = sorted(map(tuple, seq.collect()), key=key)
+    assert seq_rows == sorted(map(tuple, dist.collect()), key=key)
+    # max-confidence member wins over both nulls
+    assert all(r[1] == "PERSON_b" for r in seq_rows)
+
+
 def test_spark_soundex_parity(spark):
     """kernel.spark_soundex must equal F.soundex over the blocking-key
     domain (normalized names: [a-z0-9 ]) plus pinned semantic probes."""
