@@ -563,8 +563,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):
         from graphrag_rs_spark.operators.similarity import cosine_topk_lsh
 
-        emb = _t(spark, sf, "embeddings")
-        return cosine_topk_lsh(emb, dim=64, k=5).select(
+        # portable sha256 plane family + fixed-point projection: the DuckDB
+        # oracle replays bucket assignment bit-for-bit (integer-valued
+        # doubles < 2^53 make the dot products summation-order exact), so
+        # this LSH row is hash-checked end-to-end, not rows-only. Double
+        # cast for the same reason as ann_cosine_topk.
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        return cosine_topk_lsh(emb, dim=64, k=5, plane_fn="portable").select(
             "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
         )
 
@@ -687,9 +695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the paragraph-final word UNPUNCTUATED — a break right after
         # sentence punctuation is typed Sentence by the reference's
         # position-dedup quirk and would not be a split candidate.
-        # Rows-only check (greedy mean-coherence optimization over hash
-        # embeddings is iterative, not SQL-expressible); the kernel is
-        # pinned by tests/test_boundary_late.py goldens instead.
+        # The greedy mean-coherence optimization itself is iterative (not
+        # SQL-expressible) — the kernel is pinned by
+        # tests/test_boundary_late.py goldens — but its OUTPUT INVARIANTS
+        # are exactly checkable: chunks tile the document (start 0, no
+        # gap/overlap, end = len), no chunk exceeds the max size, and the
+        # final offset equals the rebuilt-content length (which the DuckDB
+        # oracle computes arithmetically: every word gains exactly 2 chars,
+        # '. ' or '\n\n'). A kernel regression in coverage, ordering,
+        # offsets, or size enforcement flips a boolean → hash mismatch.
         norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
         words = F.split(norm, " ")
         rebuilt = F.array_join(
@@ -710,9 +724,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             PipelineConfig(boundary_min_chunk_chars=10),
             strategy="boundary",
         )
-        return chunks.groupBy("doc_id").agg(
-            F.count("*").alias("n_chunks"),
-            F.max("end_offset").alias("max_end"),
+        w = Window.partitionBy("doc_id").orderBy("start_offset")
+        gap = F.when(
+            F.lag("end_offset").over(w).isNotNull()
+            & (F.col("start_offset") != F.lag("end_offset").over(w)),
+            1,
+        ).otherwise(0)
+        return (
+            chunks.withColumn("gap", gap)
+            .groupBy("doc_id")
+            .agg(
+                ((F.min("start_offset") == 0) & (F.sum("gap") == 0)).alias("tiled"),
+                (F.max(F.length("content")) <= 2000).alias("max_len_ok"),
+                F.max("end_offset").alias("max_end"),
+            )
         )
 
     q["kg_chunking_boundary"] = kg_chunking_boundary
@@ -1782,6 +1807,59 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.sig, b.sig)) <= 8
     """
 
+    # ann_lsh_topk: replay the portable LSH (sha256 ±1 planes, fixed-point
+    # projection) exactly — see operators/similarity.portable_planes. The
+    # floor(x*1e6) trick keeps every dot-product term integer-valued, so
+    # float64 accumulation is exact in any order and numpy matmul (Spark
+    # side) == sequential SQL fold (this side), bit-for-bit.
+    from graphrag_rs_spark.operators.similarity import portable_planes as _pp
+
+    def _lsh_bucket_expr(table_idx: int) -> str:
+        planes = _pp(64, 12, table_idx)
+        terms = []
+        for p in range(12):
+            lit = "[" + ",".join(
+                "1.0" if s > 0 else "-1.0" for s in planes[p]
+            ) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(ivec, {lit}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    _lsh_tables = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {t} AS tbl, {_lsh_bucket_expr(t)} AS bucket FROM e"
+        for t in range(4)
+    )
+    sql["ann_lsh_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[], x -> floor(x*1000000.0)) AS ivec
+            FROM embeddings
+        ),
+        b AS (
+{_lsh_tables}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM b a JOIN b c
+              ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id != c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(q.emb, n.emb) AS cosine
+            FROM cand
+            JOIN e q ON q.vec_id = cand.query_id
+            JOIN e n ON n.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
     sql["ann_cosine_topk"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
@@ -1986,6 +2064,23 @@ def oracle_sql() -> dict[str, str]:
                ELSE len(list_filter(diffs, x -> x > threshold)) + 1 END AS BIGINT) AS n_chunks,
           CAST(CASE WHEN n <= 1 THEN 1 ELSE n END AS BIGINT) AS n_sentences
         FROM th
+    """
+
+    # kg_chunking_boundary invariant oracle: the greedy coherence search is
+    # iterative, but the query emits only provable invariants — chunks tile
+    # the rebuilt document (tiled=TRUE), no chunk exceeds max size
+    # (max_len_ok=TRUE), and max_end equals the rebuilt length, which is
+    # pure arithmetic: every word gains exactly 2 chars ('. ' or '\n\n').
+    sql["kg_chunking_boundary"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 regexp_replace(trim(text), ' +', ' ', 'g') AS norm
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, TRUE AS tiled, TRUE AS max_len_ok,
+               CAST(length(replace(norm, ' ', ''))
+                    + 2 * len(string_split(norm, ' ')) AS BIGINT) AS max_end
+        FROM d
     """
 
     # R3 exact path (method="exact" = the reference's literal O(n²) loop,

@@ -85,21 +85,51 @@ def _planes(dim: int, n_planes: int, table_idx: int, seed: int = 42):
     return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).astype("float64")
 
 
-def make_lsh_bucket_udf(dim: int, n_planes: int, table_idx: int):
+def portable_planes(dim: int, n_planes: int, table_idx: int):
+    """±1 hyperplanes from sha256 nibble parity — engine-portable.
+
+    Any SQL engine with sha256 (or a driver that can precompute the same
+    hashes) reproduces the exact matrix, so an external oracle can replay
+    bucket assignment bit-for-bit. Used by the correctness harness; the
+    production default stays the seeded-RNG family above."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype="float64")
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.sha256(f"lsh:{table_idx}:{p}:{d}".encode()).hexdigest()
+            out[p, d] = 1.0 if int(h[0], 16) % 2 else -1.0
+    return out
+
+
+#: fixed-point scale for the portable projection: floor(x * 1e6) keeps every
+#: term integer-valued, and a 64-dim dot of ±few-million values stays far
+#: below 2^53 — float64 matmul is then EXACT in any summation order, so
+#: numpy (BLAS, blocked) and a SQL engine (sequential fold) agree bit-for-bit.
+PORTABLE_SCALE = 1_000_000.0
+
+
+def make_lsh_bucket_udf(dim: int, n_planes: int, table_idx: int, plane_fn: str = "gaussian"):
     """Arrow-batched bucket assignment: one numpy matmul per batch.
 
     Dense projections are linear algebra — a vectorized UDF (BLAS matmul
     over the whole Arrow batch) beats thousands of per-plane Catalyst
     expressions by orders of magnitude; this is the documented exception
     where built-ins can't express the op efficiently."""
-    planes = _planes(dim, n_planes, table_idx)
+    if plane_fn == "portable":
+        planes = portable_planes(dim, n_planes, table_idx)
+    else:
+        planes = _planes(dim, n_planes, table_idx)
     weights = (2 ** np.arange(n_planes)).astype("int64")
+    portable = plane_fn == "portable"
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype="float64") for v in vecs], dtype="float64")
         if m.size == 0:
             return pd.Series([], dtype="int64")
+        if portable:
+            m = np.floor(m * PORTABLE_SCALE)
         signs = (m @ planes.T) >= 0
         return pd.Series(signs @ weights, dtype="int64")
 
@@ -115,16 +145,19 @@ def cosine_topk_lsh(
     k: int = 5,
     n_planes: int = 12,
     n_tables: int = 4,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Approximate self-ANN: candidates share an LSH bucket in ≥1 of
     ``n_tables`` tables; exact cosine re-rank within candidates.
 
     Recall grows with n_tables, cost with bucket collision rates — both
-    deterministic here (hash-derived planes)."""
+    deterministic here (hash-derived planes). ``plane_fn="portable"``
+    switches to the sha256 plane family + fixed-point projection so an
+    external SQL oracle can replay bucketing exactly."""
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     tables = []
     for t in range(n_tables):
-        udf = make_lsh_bucket_udf(dim, n_planes, t)
+        udf = make_lsh_bucket_udf(dim, n_planes, t, plane_fn=plane_fn)
         tables.append(
             base.select(
                 "id", "vec",

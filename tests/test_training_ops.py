@@ -130,6 +130,49 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_lsh_portable_planes_exact_and_recall(spark):
+    """The portable (sha256 + fixed-point) plane family: deterministic ±1
+    matrix, summation-order-exact projections, and recall on par with the
+    gaussian family — this is the family the DuckDB oracle replays."""
+    import numpy as np
+
+    from graphrag_rs_spark.operators.similarity import (
+        PORTABLE_SCALE,
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        portable_planes,
+    )
+
+    p1 = portable_planes(16, 8, 3)
+    p2 = portable_planes(16, 8, 3)
+    assert np.array_equal(p1, p2)
+    assert set(np.unique(p1)) == {-1.0, 1.0}
+    assert not np.array_equal(p1, portable_planes(16, 8, 4))
+
+    # fixed-point projection is exact in any summation order: BLAS matmul
+    # == sequential fold, bit-for-bit
+    rng = np.random.default_rng(7)
+    m = np.floor(rng.standard_normal((40, 16)) * PORTABLE_SCALE)
+    blas = m @ p1.T
+    seq = np.array([[sum(row[d] * p1[p, d] for d in range(16))
+                     for p in range(8)] for row in m])
+    assert np.array_equal(blas, seq)
+
+    centers = rng.standard_normal((5, 16)) * 4
+    vecs = np.vstack([c + rng.standard_normal((12, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk_bruteforce(df, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              cosine_topk_lsh(df, dim=16, k=3, n_planes=8, n_tables=6,
+                              plane_fn="portable").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"portable LSH recall {recall}"
+
+
 def test_embedding_cosine_duplicates(spark):
     from graphrag_rs_spark.operators.similarity import embedding_cosine_duplicates
 
