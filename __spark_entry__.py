@@ -469,6 +469,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_bm25"] = rel_bm25
 
+    def rel_ask_hybrid(spark, sf):
+        """The composed ask-path (SURVEY §3.2): the reference's hybrid
+        retrieval fused by reciprocal-rank fusion.
+
+        Legs: semantic cosine (vector/store.rs top-k search), keyword BM25
+        (retrieval/bm25.rs), and a graph prior from personalized PageRank
+        over the co-occurrence KG (retrieval/pagerank_retrieval.rs),
+        mapped to documents via their mentions. Fusion per
+        retrieval/hybrid.rs:230-263: score = Σ weight/(rrf_k + rank),
+        rrf_k=60 (hybrid.rs:72), semantic 0.7 / keyword 0.3
+        (hybrid.rs:69-70), graph leg at RetrievalConfig.graph_weight 0.2
+        (retrieval/mod.rs:52-77). Results deduped by id keeping the best
+        fused score (graphrag/ask.rs:61-76) — structural here: the
+        full-outer join yields one row per doc id by construction."""
+        from graphrag_rs_spark.operators.bm25 import bm25_scores
+        from graphrag_rs_spark.operators.pagerank import (
+            personalized_pagerank_from_triples,
+        )
+        from graphrag_rs_spark.operators.similarity import cosine_col
+
+        docs = _docs(spark, sf)
+
+        kw = bm25_scores(docs.select("doc_id", "text"), query_terms=["spark", "window"])
+        wk = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        kw = kw.select("doc_id", F.row_number().over(wk).alias("kw_rank")).where(
+            F.col("kw_rank") <= 100
+        )
+
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        qvec = emb.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+        sem = (
+            emb.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qvec))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(cosine_col(F.col("emb"), F.col("qv")), 5).alias("cos"),
+            )
+        )
+        ws = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        sem = sem.select("doc_id", F.row_number().over(ws).alias("sem_rank")).where(
+            F.col("sem_rank") <= 100
+        )
+
+        t = kg_cooccurrence_triples(spark, sf)
+        seeds = spark.createDataFrame([("CONCEPT_spark", 1.0)], ["id", "prob"])
+        ppr = personalized_pagerank_from_triples(
+            t.withColumn("context_chunk_ids", F.array().cast("array<string>")),
+            seeds,
+            max_iterations=10,
+            tol=0.0,
+        ).select("id", F.round("rank", 6).alias("g"))
+        doc_g = (
+            _gaz_mentions(spark, sf)
+            .join(ppr, F.col("entity_id") == F.col("id"))
+            .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+            .agg(F.max("g").alias("gscore"))
+        )
+        wg = Window.orderBy(F.col("gscore").desc(), F.col("doc_id").asc())
+        gr = doc_g.select("doc_id", F.row_number().over(wg).alias("g_rank")).where(
+            F.col("g_rank") <= 100
+        )
+
+        fused = (
+            sem.join(kw, "doc_id", "full_outer")
+            .join(gr, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(0.7 / (60 + F.col("sem_rank")), F.lit(0.0))
+                    + F.coalesce(0.3 / (60 + F.col("kw_rank")), F.lit(0.0))
+                    + F.coalesce(0.2 / (60 + F.col("g_rank")), F.lit(0.0))
+                ).alias("fused"),
+            )
+        )
+        wtop = Window.orderBy(F.col("fused").desc(), F.col("doc_id").asc())
+        return (
+            fused.withColumn("rank", F.row_number().over(wtop))
+            .where(F.col("rank") <= 20)
+            .select("doc_id", F.round("fused", 6).alias("fused"), "rank")
+        )
+
+    q["rel_ask_hybrid"] = rel_ask_hybrid
+
     def rel_events_window(spark, sf):
         e = _t(spark, sf, "events")
         minute = F.date_trunc("minute", F.col("ts"))
@@ -1515,6 +1601,108 @@ def oracle_sql() -> dict[str, str]:
         ppr0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts),
         {','.join(_ppr_iters)}
         SELECT id, round(rank, 6) AS rank FROM ppr10
+    """
+
+    # rel_ask_hybrid: replay all three retrieval legs and the RRF fusion.
+    # The PPR CTE chain is the (green) kg_ppr oracle; the BM25 and cosine
+    # legs are the (green) rel_bm25 / ann_cosine_topk formulas; every leg
+    # ranks on a ROUNDED score (5dp cosine, 4dp bm25, 6dp ppr) so
+    # cross-engine ulp drift can't flip a rank.
+    sql["rel_ask_hybrid"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        sym AS (SELECT subj AS src, obj AS dst, 0.5::DOUBLE AS w FROM tri
+                UNION ALL SELECT obj, subj, 0.5::DOUBLE FROM tri),
+        verts AS (SELECT DISTINCT src AS id FROM sym),
+        nn AS (SELECT count(*) AS n FROM verts),
+        outw AS (SELECT src, sum(w) AS outw FROM sym GROUP BY src),
+        nedges AS (
+            SELECT s.src, s.dst, s.w / o.outw AS p
+            FROM sym s JOIN outw o ON s.src = o.src
+        ),
+        rverts AS (
+            SELECT id, CASE WHEN id = 'CONCEPT_spark' THEN 1.0::DOUBLE
+                            ELSE 1.0::DOUBLE / (SELECT n FROM nn) END AS reset
+            FROM verts
+        ),
+        ppr0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM verts),
+        {','.join(_ppr_iters)},
+        gleg AS (
+            SELECT m.doc_id, max(round(p.rank, 6)) AS gscore
+            FROM m JOIN ppr10 p ON m.eid = p.id GROUP BY m.doc_id
+        ),
+        gr AS (
+            SELECT doc_id, g_rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY gscore DESC, doc_id ASC) AS g_rank FROM gleg
+            ) WHERE g_rank <= 100
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t != '') AS tokens
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl FROM toks),
+        qterms(term) AS (VALUES ('spark'), ('window')),
+        tf AS (
+            SELECT t.doc_id, qterms.term, len(t.tokens) AS dl,
+                   len(list_filter(t.tokens, x -> x = qterms.term)) AS tf
+            FROM toks t CROSS JOIN qterms
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+        kwleg AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                   ), 4) AS bm25
+            FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+            WHERE tf.tf > 0
+            GROUP BY tf.doc_id
+        ),
+        kw AS (
+            SELECT doc_id, kw_rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id ASC) AS kw_rank FROM kwleg
+            ) WHERE kw_rank <= 100
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        qv AS (SELECT emb FROM e WHERE vec_id = 0),
+        semleg AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_cosine_similarity(e.emb, qv.emb), 5) AS cos
+            FROM e, qv WHERE e.vec_id != 0
+        ),
+        sem AS (
+            SELECT doc_id, sem_rank FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY cos DESC, doc_id ASC) AS sem_rank FROM semleg
+            ) WHERE sem_rank <= 100
+        ),
+        fused AS (
+            SELECT COALESCE(sem.doc_id, kw.doc_id, gr.doc_id) AS doc_id,
+                   COALESCE(0.7 / (60 + sem.sem_rank), 0.0)
+                   + COALESCE(0.3 / (60 + kw.kw_rank), 0.0)
+                   + COALESCE(0.2 / (60 + gr.g_rank), 0.0) AS fused
+            FROM sem
+            FULL OUTER JOIN kw ON sem.doc_id = kw.doc_id
+            FULL OUTER JOIN gr ON COALESCE(sem.doc_id, kw.doc_id) = gr.doc_id
+        )
+        SELECT doc_id, round(fused, 6) AS fused, rank FROM (
+            SELECT doc_id, fused,
+                   row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS rank
+            FROM fused
+        ) WHERE rank <= 20
     """
 
     # portable rolling fingerprint: identical sha256-hex token hash + fold
