@@ -27,6 +27,51 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_FIXTURE_DOCS", "4000"))
 
 
+def env_fingerprint() -> dict:
+    """~0.5 s machine fingerprint so cross-round bench comparisons are
+    like-for-like (BENCH.md: a mid-round-3 reboot changed identical-commit
+    walls 3-5× — the discriminator is the per-PROCESS concurrent-syscall
+    ceiling, which this measures directly: small-file create/stat/unlink
+    ops/s on one thread vs. total across 16 threads in this process)."""
+    import tempfile
+    import threading
+
+    def ops_in(seconds: float, stop_at: list) -> int:
+        n = 0
+        with tempfile.TemporaryDirectory() as d:
+            t_end = time.time() + seconds
+            while time.time() < t_end and not stop_at:
+                p = os.path.join(d, f"f{n}")
+                with open(p, "w") as fh:
+                    fh.write("x")
+                os.stat(p)
+                os.unlink(p)
+                n += 1
+        return n
+
+    t0 = time.time()
+    one = ops_in(0.2, [])
+    single = round(one / 0.2)
+    counts = [0] * 16
+    threads = []
+
+    def worker(i):
+        counts[i] = ops_in(0.2, [])
+
+    for i in range(16):
+        th = threading.Thread(target=worker, args=(i,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    return {
+        "file_ops_per_sec_1thread": single,
+        "file_ops_per_sec_16threads_total": round(sum(counts) / 0.2),
+        "os_cpus": os.cpu_count(),
+        "fingerprint_sec": round(time.time() - t0, 2),
+    }
+
+
 def main() -> None:
     from graphrag_rs_spark.operators.chunking import chunk_documents
     from graphrag_rs_spark.operators.extraction import extract_mentions, rollup_entities
@@ -182,6 +227,7 @@ def main() -> None:
                 "triples_per_sec": triples_per_sec,
                 "cpus": CPUS,
                 "fixture_docs": FIXTURE_DOCS,
+                "env": env_fingerprint(),
             }
         )
     )

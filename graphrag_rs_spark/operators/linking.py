@@ -82,23 +82,25 @@ def candidate_pairs(
     # array_distinct: a name repeating a token ("new new york") must key
     # once, so block row counts equal DISTINCT entities per block — the
     # hot-block cap means entities, and the small-input guard skip
-    # (rows ≤ cap ⇒ no block exceeds the cap) is provable
-    tokens = base.select(
-        "entity_id", "entity_type", "confidence", "norm",
-        F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias("key_raw"),
-    ).select(
-        "entity_id", "entity_type", "confidence", "norm",
-        F.concat(F.lit("tok:"), F.col("key_raw")).alias("key"),
+    # (rows ≤ cap ⇒ no block exceeds the cap) is provable.
+    # All three key families (tokens, soundex-of-first-token, 4-char
+    # prefix) ride ONE explode over a per-entity key array — one scan and
+    # one narrow pipeline instead of a 3-way union that reads the input
+    # three times. Family prefixes keep the key spaces disjoint, so the
+    # produced (entity, key) multiset is identical to the old union's.
+    first_tok = F.split(F.col("norm"), " ").getItem(0)
+    keys = F.concat(
+        F.transform(
+            F.array_distinct(F.split(F.col("norm"), " ")),
+            lambda t: F.concat(F.lit("tok:"), t),
+        ),
+        F.array(F.concat(F.lit("sdx:"), F.soundex(first_tok))),
+        F.array(F.concat(F.lit("pre:"), F.substring(F.col("norm"), 1, 4))),
     )
-    sdx = base.select(
+    keyed = base.select(
         "entity_id", "entity_type", "confidence", "norm",
-        F.concat(F.lit("sdx:"), F.soundex(F.split(F.col("norm"), " ").getItem(0))).alias("key"),
-    )
-    prefix = base.select(
-        "entity_id", "entity_type", "confidence", "norm",
-        F.concat(F.lit("pre:"), F.substring(F.col("norm"), 1, 4)).alias("key"),
-    )
-    keyed = tokens.unionByName(sdx).unionByName(prefix).where(F.col("key").isNotNull())
+        F.explode(keys).alias("key"),
+    ).where(F.col("key").isNotNull())
 
     # hot-block guard: drop keys with more members than max_block_size
     # (provably a no-op when the whole input fits one block — skipped)

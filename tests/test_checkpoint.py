@@ -81,3 +81,84 @@ def test_fingerprint_order_independent(spark):
     fp1 = fingerprint(df, ["repo", "path"])
     fp2 = fingerprint(df.repartition(13).sortWithinPartitions("lang"), ["repo", "path"])
     assert fp1 == fp2
+
+
+# --- Iceberg routing seam (no Iceberg runtime in this sandbox: the test
+# pins WHICH writer/reader surface each table_format selects, with
+# duck-typed frames standing in for DataFrames) ---
+
+
+class _Recorder:
+    def __init__(self, log, name):
+        self._log, self._name = log, name
+
+    def __call__(self, *a, **k):
+        self._log.append((self._name, a))
+        return self
+
+    def __getattr__(self, attr):
+        return _Recorder(self._log, f"{self._name}.{attr}")
+
+
+class _FakeFrame:
+    def __init__(self, log):
+        self.log = log
+
+    @property
+    def write(self):
+        return _Recorder(self.log, "write")
+
+    def writeTo(self, ident):
+        self.log.append(("writeTo", (ident,)))
+        return _Recorder(self.log, "writeTo")
+
+
+def test_iceberg_flag_routes_writes_and_reads(tmp_path):
+    mgr = CheckpointManager(
+        str(tmp_path / "ws"), table_format="iceberg", catalog_ns="cat.graphrag"
+    )
+    log = []
+    mgr._write_table(_FakeFrame(log), "triples", ["doc_bucket"], "overwrite")
+    names = [n for n, _ in log]
+    assert names[0] == "writeTo" and log[0][1] == ("cat.graphrag.triples",)
+    assert "writeTo.using" in names          # .using("iceberg")
+    assert "writeTo.using.partitionedBy" in names
+    assert names[-1].endswith(".createOrReplace")
+
+    log2 = []
+    mgr._write_table(_FakeFrame(log2), "entities", None, "append")
+    assert [n for n, _ in log2][-1].endswith(".append")
+
+    reads = []
+    class _FakeReader:
+        def table(self, ident):
+            reads.append(ident)
+    class _FakeSpark:
+        read = _FakeReader()
+    mgr._read_table(_FakeSpark(), "triples")
+    assert reads == ["cat.graphrag.triples"]
+
+    # iceberg existence is witnessed by the ledger (written post-commit)
+    mgr._append_ledger(
+        {"stage": "triples", "status": "ok", "input_fingerprint": {"rows": 1}}
+    )
+    assert mgr.is_current("triples", {"rows": 1})
+
+
+def test_parquet_default_routes_to_workspace_paths(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ws"))
+    log = []
+    mgr._write_table(_FakeFrame(log), "triples", ["doc_bucket"], "overwrite")
+    names = [n for n, _ in log]
+    assert names[0].startswith("write.")
+    assert any(n.endswith(".parquet") for n in names)
+    assert not any(n.startswith("writeTo") for n in names)
+
+
+def test_iceberg_flag_validation(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path), table_format="iceberg")
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path), table_format="delta")
