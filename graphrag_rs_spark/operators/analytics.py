@@ -210,7 +210,7 @@ def centrality_scores(edges: DataFrame, *, max_nodes: int = CENTRALITY_MAX_NODES
             f"centrality_scores: graph has more than {max_nodes} nodes - "
             "the all-pairs suite is O(n^2 log n) by definition (the "
             "reference's own shape). Use degree_centrality (distributed) "
-            "or sample sources for closeness/betweenness estimates."
+            "or sampled_centrality (distributed k-source pivot estimate)."
         )
     rows = sym.collect()
     adj: dict[str, list[tuple[str, float]]] = {}
@@ -259,6 +259,131 @@ def centrality_scores(edges: DataFrame, *, max_nodes: int = CENTRALITY_MAX_NODES
 
     return edges.sparkSession.createDataFrame(
         results, "id string, degree double, betweenness double, closeness double"
+    )
+
+
+def sampled_centrality(
+    edges: DataFrame,
+    *,
+    k: int = 64,
+    seed: int = 42,
+    max_hops: int = 30,
+) -> DataFrame:
+    """→ (id, degree, betweenness, closeness): the DISTRIBUTED pivot-
+    sampled estimator the exact suite's guard points to — k-source
+    Brandes-style sampling (Brandes & Pich 2007, "Centrality Estimation
+    in Large Networks") adapted to the reference's single-path
+    betweenness semantics (analytics.rs:219-248 counts v on THE chosen
+    shortest path per ordered pair, not the σ-weighted path count).
+
+    - pivots: k nodes chosen by xxhash64(id, seed) order — deterministic,
+      uniform-ish, no RNG state anywhere;
+    - one multi-source frontier relaxation computes all k shortest-path
+      TREES at once (same (dist, path) lexicographic tie-break as the
+      exact kernel's Dijkstra, so with k = n the estimate EQUALS the
+      exact suite's output — pinned by tests);
+    - betweenness(v) ≈ (n/k) · #{(s,t): s ∈ pivots, v interior of
+      path(s,t)} / ((n−1)(n−2)/2)   [the n/k factor unbiases the
+      sampled source sum; with k = n it is exactly the full sum];
+    - closeness(v) ≈ reached_pivots / Σ_p dist(p, v) — the exact
+      formula's reachable/Σd ratio evaluated on the pivot sample
+      (distances symmetric: the suite operates on the symmetrized
+      graph);
+    - degree is exact (one distributed aggregation).
+
+    Cost: O(k · |V|) state rows, diameter-bounded rounds — linear in the
+    graph, executor-side throughout; no driver collect.
+    """
+    sym = _sym(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+
+    nodes = sym.select("src").distinct()
+    n = nodes.count()
+    pivots = (
+        nodes.orderBy(F.xxhash64("src", F.lit(seed)), F.col("src"))
+        .limit(k)
+        .select(F.col("src").alias("pivot"))
+    )
+
+    best = pivots.select(
+        "pivot",
+        F.col("pivot").alias("id"),
+        F.lit(0.0).alias("dist"),
+        F.array("pivot").alias("path"),
+    ).localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(max_hops):
+        relax = (
+            frontier.join(sym.withColumnRenamed("src", "id"), "id")
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(
+                "pivot",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+                F.concat("path", F.array("dst")).alias("path"),
+            )
+        )
+        merged = (
+            best.unionByName(relax)
+            .groupBy("pivot", "id")
+            .agg(F.min(F.struct("dist", "path")).alias("b"))
+            .select(
+                "pivot", "id",
+                F.col("b.dist").alias("dist"), F.col("b.path").alias("path"),
+            )
+        )
+        merged = cut_lineage(merged, tag="sampled-centrality")
+        improved = (
+            merged.alias("m")
+            .join(best.alias("o"), ["pivot", "id"], "left")
+            .where(F.col("o.dist").isNull() | (F.col("m.dist") < F.col("o.dist")))
+            .select(
+                "pivot", "id",
+                F.col("m.dist").alias("dist"), F.col("m.path").alias("path"),
+            )
+        ).localCheckpoint(eager=True)
+        best = merged
+        if improved.limit(1).count() == 0:
+            break
+        frontier = improved
+
+    # betweenness: explode interior nodes of every pivot-rooted path
+    interior = best.where(F.col("id") != F.col("pivot")).select(
+        F.explode(F.slice("path", 2, F.greatest(F.size("path") - 2, F.lit(0)))).alias("id")
+    )
+    k_eff = pivots.count()  # k may exceed |V|
+    norm = (n - 1) * (n - 2) / 2 if n > 2 else 1.0
+    bet = interior.groupBy("id").agg(
+        (F.count("*") * (float(n) / k_eff) / norm).alias("betweenness")
+    )
+
+    # closeness: pivot-sample of reachable/Σd (self excluded)
+    clo = (
+        best.where(F.col("id") != F.col("pivot"))
+        .groupBy("id")
+        .agg(
+            (F.count("*") / F.sum("dist")).alias("closeness_raw"),
+            F.sum("dist").alias("_sd"),
+        )
+        .select(
+            "id",
+            F.when(F.col("_sd") > 0, F.col("closeness_raw")).otherwise(0.0).alias("closeness"),
+        )
+    )
+
+    deg = sym.groupBy("src").agg(
+        (F.count("*") / F.lit(max(n - 1, 1))).alias("degree")
+    ).withColumnRenamed("src", "id")
+
+    return (
+        deg.join(bet, "id", "left")
+        .join(clo, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("double"),
+            F.coalesce("betweenness", F.lit(0.0)).cast("double").alias("betweenness"),
+            F.coalesce("closeness", F.lit(0.0)).cast("double").alias("closeness"),
+        )
     )
 
 

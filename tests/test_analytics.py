@@ -114,3 +114,47 @@ def test_cc_communities_with_modularity(spark, diamond):
            for r in cc_communities_with_modularity(e2).collect()}
     assert got["a"] == (2, pytest.approx(2 / 10))
     assert got["x"] == (3, pytest.approx(4 / 10))
+
+
+def test_sampled_centrality_equals_exact_at_full_k(spark):
+    """With k = n pivots and the same (dist, path) tie-break, the
+    distributed estimator reproduces the exact all-pairs suite."""
+    from graphrag_rs_spark.operators.analytics import sampled_centrality
+
+    # a less symmetric graph than the diamond so betweenness is nontrivial
+    edges = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "C", 1.0), ("C", "D", 1.0),
+         ("B", "D", 3.0), ("D", "E", 1.0), ("A", "F", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    exact = {r["id"]: r for r in centrality_scores(edges).collect()}
+    est = {r["id"]: r for r in sampled_centrality(edges, k=6).collect()}
+    assert set(est) == set(exact)
+    for v in exact:
+        assert est[v]["degree"] == pytest.approx(exact[v]["degree"]), v
+        assert est[v]["betweenness"] == pytest.approx(exact[v]["betweenness"]), v
+        assert est[v]["closeness"] == pytest.approx(exact[v]["closeness"]), v
+
+
+def test_sampled_centrality_partial_k_tracks_exact(spark):
+    """k < n: rankings stay useful — the top-betweenness node of the
+    exact suite is in the estimator's top ranks, and closeness errors
+    stay bounded on a path+star graph."""
+    from graphrag_rs_spark.operators.analytics import sampled_centrality
+
+    rows = [("hub", f"s{i}", 1.0) for i in range(10)]
+    rows += [(f"s{i}", f"t{i}", 1.0) for i in range(10)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+
+    exact = {r["id"]: r for r in centrality_scores(edges).collect()}
+    est = {r["id"]: r for r in sampled_centrality(edges, k=8, seed=7).collect()}
+
+    top_exact = max(exact, key=lambda v: exact[v]["betweenness"])
+    est_sorted = sorted(est, key=lambda v: -est[v]["betweenness"])
+    assert top_exact == "hub"
+    assert "hub" in est_sorted[:3]
+    # closeness is a ratio estimate — bounded relative error on this graph
+    for v in exact:
+        if exact[v]["closeness"] > 0 and est[v]["closeness"] > 0:
+            rel = abs(est[v]["closeness"] - exact[v]["closeness"]) / exact[v]["closeness"]
+            assert rel < 0.8, (v, rel)
