@@ -664,6 +664,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def dedup_embedding(spark, sf):
+        from graphrag_rs_spark.operators.similarity import (
+            embedding_cosine_duplicates,
+        )
+
+        # the embedding leg of the dedup family — LSH-blocked (portable
+        # sha256 plane family so the oracle replays bucketing exactly),
+        # exact cosine verify, threshold 0.3 (the synthetic embeddings
+        # have no 0.95-cosine near-dups; 0.3 keeps the row non-vacuous —
+        # 990 true pairs corpus-wide, closest 6.9e-5 from the boundary so
+        # ulp drift can't flip membership)
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        pairs = embedding_cosine_duplicates(
+            emb, dim=64, threshold=0.3, plane_fn="portable"
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+        )
+
+    q["dedup_embedding"] = dedup_embedding
+
     def text_token_counts(spark, sf):
         from graphrag_rs_spark.operators.textstats import token_count_col
 
@@ -727,6 +751,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_fingerprint"] = text_fingerprint
+
+    def text_repetition(spark, sf):
+        from graphrag_rs_spark.operators.textstats import repetition_signals
+
+        # Gopher-style repetition pre-filter signals. The synthetic corpus
+        # is single-line, so every 5th doc is doubled around a newline to
+        # make the duplicate-line legs non-vacuous (deterministic, mirrored
+        # verbatim in the oracle); the n-gram legs are non-vacuous on the
+        # corpus as-is.
+        t = F.col("text")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n"), t)
+            ).otherwise(t).alias("text"),
+        )
+        return repetition_signals(docs)
+
+    q["text_repetition"] = text_repetition
+
+    def text_pii_scrub(spark, sf):
+        from graphrag_rs_spark.operators.textstats import pii_scrub
+
+        # the corpus carries no PII, so deterministic synthetic PII is
+        # appended (email / IPv4 / phone on residue classes 3, 5, 7) and
+        # the oracle replays the same injection — the checked artifact is
+        # the count columns + fully redacted text
+        did = F.col("doc_id")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example"), (did % 7).cast("string"),
+                        F.lit(".com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 5 == 0,
+                    F.concat(
+                        F.lit(" from 10."), (did % 256).cast("string"),
+                        F.lit(".0."), (did % 100).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 7 == 0,
+                    F.concat(
+                        F.lit(" tel 55512"),
+                        F.lpad((did % 100000).cast("string"), 5, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return pii_scrub(docs).select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+        )
+
+    q["text_pii_scrub"] = text_pii_scrub
 
     def kg_chunking_hierarchical(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
@@ -2002,10 +2087,10 @@ def oracle_sql() -> dict[str, str]:
     # side) == sequential SQL fold (this side), bit-for-bit.
     from graphrag_rs_spark.operators.similarity import portable_planes as _pp
 
-    def _lsh_bucket_expr(table_idx: int) -> str:
-        planes = _pp(64, 12, table_idx)
+    def _lsh_bucket_expr(table_idx: int, n_planes: int) -> str:
+        planes = _pp(64, n_planes, table_idx)
         terms = []
-        for p in range(12):
+        for p in range(n_planes):
             lit = "[" + ",".join(
                 "1.0" if s > 0 else "-1.0" for s in planes[p]
             ) + "]::DOUBLE[]"
@@ -2015,37 +2100,53 @@ def oracle_sql() -> dict[str, str]:
             )
         return "(" + " + ".join(terms) + ")"
 
-    _lsh_tables = "\n        UNION ALL\n".join(
-        f"        SELECT vec_id, {t} AS tbl, {_lsh_bucket_expr(t)} AS bucket FROM e"
-        for t in range(4)
-    )
-    sql["ann_lsh_topk"] = f"""
+    def _lsh_scored_ctes(n_planes: int, n_tables: int) -> str:
+        """Shared CTE chain: portable-LSH buckets → distinct candidate
+        pairs → exact cosine → per-query rank (ties by neighbor asc)."""
+        tables = "\n        UNION ALL\n".join(
+            f"        SELECT vec_id, {t} AS tbl, "
+            f"{_lsh_bucket_expr(t, n_planes)} AS bucket FROM e"
+            for t in range(n_tables)
+        )
+        return f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_transform(embedding::DOUBLE[], x -> floor(x*1000000.0)) AS ivec
             FROM embeddings
         ),
         b AS (
-{_lsh_tables}
+{tables}
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM b a JOIN b c
               ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id != c.vec_id
         ),
-        scored AS (
-            SELECT cand.query_id, cand.neighbor_id,
-                   list_cosine_similarity(q.emb, n.emb) AS cosine
-            FROM cand
-            JOIN e q ON q.vec_id = cand.query_id
-            JOIN e n ON n.vec_id = cand.neighbor_id
-        )
-        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+        ranked AS (
             SELECT query_id, neighbor_id, cosine,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
-            FROM scored
-        ) WHERE rank <= 5
+            FROM (
+                SELECT cand.query_id, cand.neighbor_id,
+                       list_cosine_similarity(q.emb, n.emb) AS cosine
+                FROM cand
+                JOIN e q ON q.vec_id = cand.query_id
+                JOIN e n ON n.vec_id = cand.neighbor_id
+            )
+        )"""
+
+    sql["ann_lsh_topk"] = f"""{_lsh_scored_ctes(12, 4)}
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+    # dedup_embedding: the embedding dedup leg = portable LSH top-50 per
+    # query, filtered to cosine ≥ 0.3 and ordered pairs (id_a < id_b)
+    sql["dedup_embedding"] = f"""{_lsh_scored_ctes(10, 6)}
+        SELECT query_id AS id_a, neighbor_id AS id_b,
+               round(cosine, 5) AS cosine
+        FROM ranked
+        WHERE rank <= 50 AND cosine >= 0.3 AND query_id < neighbor_id
     """
 
     sql["ann_cosine_topk"] = """
@@ -2162,6 +2263,135 @@ def oracle_sql() -> dict[str, str]:
                - ((least(n_punct * 5 + n_digit * 2, greatest(n_chars,1)) * 3000) // greatest(n_chars,1))
                AS score_bp
         FROM f
+    """
+
+    # Gopher repetition signals (Rae et al. 2021 §A1.1): same injected
+    # doubled-text transform, same tokenization family as text_quality,
+    # integer basis points via `//` == Spark's floor(num*10000/denom)
+    sql["text_repetition"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                        ELSE text END AS text
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS words,
+                   list_filter(string_split_regex(text, '\\n'),
+                               l -> trim(l) != '') AS lines
+            FROM d
+        ),
+        b2 AS (
+            SELECT doc_id, words, lines,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(length(array_to_string(words, ' ')) AS BIGINT) AS word_chars
+            FROM base
+        ),
+        dupw AS (
+            SELECT doc_id, n_words, word_chars,
+                   CAST(n_words - len(list_distinct(words)) AS BIGINT) AS n_dup_words
+            FROM b2
+        ),
+        g2c AS (
+            SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+                  FROM (SELECT doc_id, words,
+                               unnest(generate_series(1, len(words)-1)) AS i
+                        FROM b2))
+            GROUP BY doc_id, gram
+        ),
+        top2 AS (
+            SELECT doc_id, gram AS top2_gram, cnt AS top2_cnt,
+                   CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+            FROM (SELECT doc_id, gram, cnt,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY cnt DESC, gram ASC) AS rn
+                  FROM g2c)
+            WHERE rn = 1
+        ),
+        g3d AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+                       AS dup3_chars
+            FROM (SELECT doc_id, gram, count(*) AS cnt
+                  FROM (SELECT doc_id,
+                               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+                        FROM (SELECT doc_id, words,
+                                     unnest(generate_series(1, len(words)-2)) AS i
+                              FROM b2))
+                  GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        ),
+        ls AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                   CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars,
+                   CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT)
+                       AS dup_line_chars
+            FROM (SELECT doc_id, line, count(*) AS cnt
+                  FROM (SELECT doc_id, unnest(lines) AS line FROM b2)
+                  GROUP BY doc_id, line)
+            GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.n_words,
+               (w.n_dup_words * 10000) // greatest(w.n_words, 1) AS dup_word_bp,
+               COALESCE(t.top2_gram, '') AS top2_gram,
+               COALESCE(t.top2_cnt, 0) AS top2_cnt,
+               (COALESCE(t.top2_chars, 0) * 10000) // greatest(w.word_chars, 1) AS top2_char_bp,
+               (COALESCE(g.dup3_chars, 0) * 10000) // greatest(w.word_chars, 1) AS dup3_char_bp,
+               COALESCE(l.n_lines, 0) AS n_lines,
+               (COALESCE(l.n_dup_lines, 0) * 10000) // greatest(COALESCE(l.n_lines, 0), 1)
+                   AS dup_line_bp,
+               (COALESCE(l.dup_line_chars, 0) * 10000) // greatest(COALESCE(l.line_chars, 0), 1)
+                   AS dup_line_char_bp
+        FROM dupw w
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN g3d g USING (doc_id)
+        LEFT JOIN ls l USING (doc_id)
+    """
+
+    # PII scrub: identical injected PII, identical RE2/Java-portable
+    # patterns applied in the same order on progressively redacted text
+    from graphrag_rs_spark.operators.textstats import PII_PATTERNS as _PII
+
+    _pii_inject = """
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' tel 55512' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+                           ELSE '' END AS text
+            FROM documents
+    """
+    (_, _em_pat, _em_tok), (_, _ip_pat, _ip_tok), (_, _ph_pat, _ph_tok) = _PII
+    sql["text_pii_scrub"] = f"""
+        WITH d AS ({_pii_inject}),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_em_pat}')) AS BIGINT) AS n_email,
+                   regexp_replace(text, '{_em_pat}', '{_em_tok}', 'g') AS t1
+            FROM d
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   CAST(len(regexp_extract_all(t1, '{_ip_pat}')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(t1, '{_ip_pat}', '{_ip_tok}', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2, '{_ph_pat}')) AS BIGINT) AS n_phone,
+               regexp_replace(t2, '{_ph_pat}', '{_ph_tok}', 'g') AS text_redacted
+        FROM s2
     """
 
     # G1 on a provable fixture: disjoint nation-cliques — no inter-nation

@@ -196,12 +196,13 @@ def embedding_cosine_duplicates(
     threshold: float = 0.95,
     n_planes: int = 10,
     n_tables: int = 6,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-blocked,
     exact-verified) — the embedding leg of the dedup family."""
     topk = cosine_topk_lsh(
         corpus, id_col=id_col, vec_col=vec_col, dim=dim,
-        k=50, n_planes=n_planes, n_tables=n_tables,
+        k=50, n_planes=n_planes, n_tables=n_tables, plane_fn=plane_fn,
     )
     return (
         topk.where((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))

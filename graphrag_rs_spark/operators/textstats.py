@@ -113,6 +113,281 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _grams(words: Column, n: int) -> Column:
+    """Adjacent word n-grams joined by single spaces (empty array when the
+    document has fewer than n words)."""
+    size = F.size(words)
+    if n == 2:
+        g = F.zip_with(
+            F.slice(words, 1, F.greatest(size - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(size - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    elif n == 3:
+        g = F.zip_with(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(size - 2, F.lit(0))),
+                F.slice(words, 2, F.greatest(size - 2, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            F.slice(words, 3, F.greatest(size - 2, F.lit(0))),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        )
+    else:  # pragma: no cover - only 2/3 used
+        raise ValueError(f"unsupported n={n}")
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(g)
+
+
+def repetition_signals(
+    df: DataFrame, doc_id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    public), the standard corpus-curation pre-filter for training data:
+
+    - ``dup_word_bp``      — excess word occurrences / words (basis points)
+    - ``top2_gram``/``top2_cnt``/``top2_char_bp`` — most frequent word
+      2-gram (ties broken lexicographically) and the fraction of word-stream
+      characters its occurrences cover
+    - ``dup3_char_bp``     — fraction of word-stream characters inside
+      3-grams that occur more than once (all occurrences counted)
+    - ``n_lines``/``dup_line_bp``/``dup_line_char_bp`` — duplicate-line
+      fraction by count and by character mass (lines = ``\\n``-split,
+      whitespace-only lines dropped)
+
+    All fractions are integer basis points (``x*10000 div denom``) so the
+    numbers are bit-identical across engines (same trick as the quality
+    score's ``score_bp``).
+
+    Scale shape: one explode + hash-aggregate per gram family, keyed on
+    (doc, gram) — map-side combine collapses the duplicates that matter, so
+    shuffle mass is bounded by the *distinct* grams per doc, and every join
+    back is on the ``doc_id`` grain. No UDFs, no driver loops.
+    """
+    t = F.col(text_col)
+    words = _tokens(t)
+    base = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        words.alias("words"),
+        F.filter(
+            F.split(t, r"\n"), lambda l: F.trim(l) != ""
+        ).alias("lines"),
+    )
+    base = base.select(
+        "doc_id",
+        "words",
+        "lines",
+        F.size("words").cast("long").alias("n_words"),
+        # word-stream character mass: words joined by single spaces
+        F.length(F.concat_ws(" ", F.col("words"))).cast("long").alias("word_chars"),
+        _grams(F.col("words"), 2).alias("g2"),
+        _grams(F.col("words"), 3).alias("g3"),
+    )
+
+    # dup words: excess occurrences = n_words - distinct words (array ops,
+    # no shuffle — O(n) per doc)
+    dup_words = base.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        (F.col("n_words") - F.size(F.array_distinct("words"))).cast("long").alias(
+            "n_dup_words"
+        ),
+    )
+
+    # top 2-gram: explode → count per (doc, gram) → rank by (cnt desc,
+    # gram asc); ASC tie-break needs a window (max(struct) would break DESC)
+    from pyspark.sql import Window
+
+    g2_counts = (
+        base.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top2 = (
+        g2_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top2_gram"),
+            F.col("cnt").alias("top2_cnt"),
+            (F.col("cnt") * F.length("gram")).cast("long").alias("top2_chars"),
+        )
+    )
+
+    # duplicated 3-grams: character mass of all occurrences of grams seen >1
+    g3_dup = (
+        base.select("doc_id", F.explode("g3").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+            ).cast("long").alias("dup3_chars")
+        )
+    )
+
+    # duplicate lines: count + char mass of lines occurring more than once
+    line_stats = (
+        base.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast("long").alias("n_dup_lines"),
+            F.sum(F.col("cnt") * F.length("line")).cast("long").alias("line_chars"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+            ).cast("long").alias("dup_line_chars"),
+        )
+    )
+
+    out = (
+        dup_words.join(top2, "doc_id", "left")
+        .join(g3_dup, "doc_id", "left")
+        .join(line_stats, "doc_id", "left")
+    )
+    z = F.lit(0).cast("long")
+
+    def _bp(num: Column, denom: Column) -> Column:
+        # exact integer basis points: counts here stay far below 2^43, so
+        # num*10000 is exactly representable as double and floor(a/b) equals
+        # integer division for non-negative operands (== DuckDB's `//`)
+        return F.floor(num * 10000 / F.greatest(denom, F.lit(1))).cast("long")
+
+    return out.select(
+        "doc_id",
+        "n_words",
+        _bp(F.col("n_dup_words"), F.col("n_words")).alias("dup_word_bp"),
+        F.coalesce(F.col("top2_gram"), F.lit("")).alias("top2_gram"),
+        F.coalesce(F.col("top2_cnt"), z).alias("top2_cnt"),
+        _bp(F.coalesce(F.col("top2_chars"), z), F.col("word_chars")).alias(
+            "top2_char_bp"
+        ),
+        _bp(F.coalesce(F.col("dup3_chars"), z), F.col("word_chars")).alias(
+            "dup3_char_bp"
+        ),
+        F.coalesce(F.col("n_lines"), z).alias("n_lines"),
+        _bp(F.coalesce(F.col("n_dup_lines"), z), F.coalesce(F.col("n_lines"), z)).alias(
+            "dup_line_bp"
+        ),
+        _bp(
+            F.coalesce(F.col("dup_line_chars"), z), F.coalesce(F.col("line_chars"), z)
+        ).alias("dup_line_char_bp"),
+    )
+
+
+# PII scrubbing: patterns chosen to parse and behave identically under
+# Java regex (Spark) and RE2 (DuckDB/most engines) — simple greedy character
+# classes, no backtracking-dependent constructs. Applied IN ORDER (emails
+# before IPv4 before digit-runs) so counts are unambiguous: each stage
+# counts on the previous stage's redacted text, and replacement tokens
+# contain no digits so later stages can't re-match them.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{7,15}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs (phone-shaped),
+    returning per-pattern match counts plus the redacted text. Pure
+    ``regexp_count``/``regexp_replace`` column expressions — codegen'd,
+    runs on every row of a 100 TB corpus with zero Python."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias("text_redacted"))
+
+
+def curation_decision(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    min_score_bp: int = 5000,
+    max_dup_word_bp: int = 6000,
+    max_pii: int = 2,
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed corpus-curation keep/drop decision a training-data
+    pipeline runs over every document: language gate + integer quality
+    score + duplicate-word repetition gate + length gate + PII budget,
+    with an auditable ``drop_reasons`` trail (fixed order
+    lang,quality,repeat,short,pii; empty when kept).
+
+    Every signal is a pure column expression over the single input row —
+    the whole decision is ONE parquet scan with zero shuffles and zero
+    Python, entirely inside whole-stage codegen. At 100 TB this is a
+    map-only pass whose cost is the scan itself.
+    """
+    t = F.col(text_col)
+
+    # language gate (argmax stopword ratio, same family as language_id_col)
+    lang = language_id_col(t)
+
+    # integer quality score — identical arithmetic to the text_quality
+    # board artifact (basis points, exact in any engine)
+    n_chars = F.length(t).cast("long")
+    ws = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.trim(t) == "", 0).otherwise(F.size(ws)).cast("long")
+    n_punct = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+    n_digit = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = _tokens(t)
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x))).cast("long")
+    safe_w = F.greatest(n_words, F.lit(1))
+    safe_c = F.greatest(n_chars, F.lit(1))
+    score_bp = (
+        40 * F.least(n_words, F.lit(100))
+        + F.floor(F.least(stop_hits * 9000, safe_w * 3000) / safe_w)
+        + 3000
+        - F.floor(F.least(n_punct * 5 + n_digit * 2, safe_c) * 3000 / safe_c)
+    ).cast("long")
+
+    # repetition gate: duplicate-word mass (array ops, no shuffle)
+    n_toks = F.size(toks).cast("long")
+    dup_word_bp = F.floor(
+        (n_toks - F.size(F.array_distinct(toks))) * 10000
+        / F.greatest(n_toks, F.lit(1))
+    ).cast("long")
+
+    # PII budget: staged counts on progressively redacted text
+    cur = t
+    pii_total = F.lit(0).cast("long")
+    for _, pat, token in PII_PATTERNS:
+        pii_total = pii_total + F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+
+    sig = df.select(
+        "*",
+        lang.alias("lang_pred"),
+        score_bp.alias("score_bp"),
+        n_words.alias("n_words"),
+        dup_word_bp.alias("dup_word_bp"),
+        pii_total.alias("pii_total"),
+    )
+    lang_ok = F.col("lang_pred").isin(*allowed_langs)
+    reasons = F.array(
+        F.when(~lang_ok, F.lit("lang")),
+        F.when(F.col("score_bp") < min_score_bp, F.lit("quality")),
+        F.when(F.col("dup_word_bp") > max_dup_word_bp, F.lit("repeat")),
+        F.when(F.col("n_words") < min_words, F.lit("short")),
+        F.when(F.col("pii_total") > max_pii, F.lit("pii")),
+    )
+    reasons = F.filter(reasons, lambda x: x.isNotNull())
+    return sig.select(
+        "*",
+        F.when(F.size(reasons) == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+        F.concat_ws(",", reasons).alias("drop_reasons"),
+    )
+
+
 def fingerprint_col(text_col, modulus: int = 2**31 - 1) -> Column:
     """Deterministic rolling document fingerprint over tokens:
     acc ← (acc * 31 + (h(token) mod m)) mod m,

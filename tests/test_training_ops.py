@@ -323,3 +323,74 @@ def test_simhash_hash_families_agree_on_pairs(spark):
                  simhash_duplicates(df, "text", "doc_id", max_hamming=6, hash_fn=fn).collect()}
         assert (0, 1) in pairs, fn
         assert (0, 2) not in pairs, fn
+
+
+def test_repetition_signals(spark):
+    from graphrag_rs_spark.operators.textstats import repetition_signals
+
+    df = _docs(
+        spark,
+        [
+            # two identical lines + one unique: hand-checked literals
+            "the cat sat on the mat the cat sat again\n"
+            "the cat sat on the mat the cat sat again\nunique line",
+            "hello world",
+            "",
+            "a a a a a a",
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    r0 = got[0]
+    # 22 words, 8 distinct -> 14 dup words -> floor(14*10000/22)
+    assert (r0["n_words"], r0["dup_word_bp"]) == (22, 6363)
+    # "cat sat" occurs 4x (7 chars); word-stream chars = 93
+    assert (r0["top2_gram"], r0["top2_cnt"], r0["top2_char_bp"]) == ("cat sat", 4, 3010)
+    assert r0["dup3_char_bp"] == 18709
+    # 3 non-blank lines, 2 identical (40 chars each), 91 line chars total
+    assert (r0["n_lines"], r0["dup_line_bp"], r0["dup_line_char_bp"]) == (3, 6666, 8791)
+
+    r1 = got[1]
+    # single 2-gram covers the whole word stream; no 3-gram, no dup lines
+    assert (r1["top2_gram"], r1["top2_cnt"], r1["top2_char_bp"]) == ("hello world", 1, 10000)
+    assert (r1["dup_word_bp"], r1["dup3_char_bp"], r1["dup_line_bp"]) == (0, 0, 0)
+
+    r2 = got[2]
+    # empty doc: everything zero, empty top gram, zero lines
+    assert (r2["n_words"], r2["top2_gram"], r2["top2_cnt"], r2["n_lines"]) == (0, "", 0, 0)
+
+    r3 = got[3]
+    # overlapping "a a" grams legitimately exceed 10000 bp (count * gram
+    # chars over word-stream chars — the standard Gopher-filter accounting)
+    assert (r3["dup_word_bp"], r3["top2_cnt"], r3["top2_char_bp"]) == (8333, 5, 13636)
+
+
+def test_pii_scrub(spark):
+    from graphrag_rs_spark.operators.textstats import pii_scrub
+
+    df = _docs(
+        spark,
+        [
+            "mail bob@example.com and alice.smith+x@sub.domain.org today",
+            "host 192.168.1.1 and 10.0.0.255 up",
+            "call 5551234567 or +44 7911123456 now",
+            "clean text with short 123 and 12.5 numbers",
+            "mixed a@b.co 1.2.3.4 9876543210",
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert (got[0]["n_email"], got[0]["text_redacted"]) == (
+        2, "mail <EMAIL> and <EMAIL> today")
+    assert (got[1]["n_ipv4"], got[1]["text_redacted"]) == (
+        2, "host <IP> and <IP> up")
+    # 7-15 digit runs redact; the +44 prefix stays (digits-only matcher)
+    assert (got[2]["n_phone"], got[2]["text_redacted"]) == (
+        2, "call <PHONE> or +44 <PHONE> now")
+    # short digit runs and decimals survive
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (0, 0, 0)
+    assert got[3]["text_redacted"] == "clean text with short 123 and 12.5 numbers"
+    # stages see the previous stage's redaction: tokens carry no digits,
+    # so the IP inside a redacted email can't double-count
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["text_redacted"] == "mixed <EMAIL> <IP> <PHONE>"
