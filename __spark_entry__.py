@@ -813,6 +813,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pii_scrub"] = text_pii_scrub
 
+    def text_curation(spark, sf):
+        from graphrag_rs_spark.operators.textstats import curation_decision
+
+        # the composed corpus-curation decision over the PII-injected
+        # corpus (same injection as text_pii_scrub, so every gate fires on
+        # some document): lang + quality + repetition + length + PII
+        # budget. The whole decision is one map-only projection — the plan
+        # has no exchange at all (pinned in test_plans).
+        did = F.col("doc_id")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example"), (did % 7).cast("string"),
+                        F.lit(".com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 5 == 0,
+                    F.concat(
+                        F.lit(" from 10."), (did % 256).cast("string"),
+                        F.lit(".0."), (did % 100).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 7 == 0,
+                    F.concat(
+                        F.lit(" tel 55512"),
+                        F.lpad((did % 100000).cast("string"), 5, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return curation_decision(docs).select(
+            "doc_id", "lang_pred", "score_bp", "n_words", "dup_word_bp",
+            "pii_total", "keep", "drop_reasons",
+        )
+
+    q["text_curation"] = text_curation
+
     def kg_chunking_hierarchical(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -2392,6 +2436,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '{_ph_pat}')) AS BIGINT) AS n_phone,
                regexp_replace(t2, '{_ph_pat}', '{_ph_tok}', 'g') AS text_redacted
         FROM s2
+    """
+
+    # composed curation decision: langid (same CASE family as text_langid)
+    # + integer quality score (same arithmetic as text_quality) + dup-word
+    # basis points + staged PII counts, fused into keep/drop + reasons
+    _en_list = ", ".join(repr(w) for w in _langs["en"].split())
+    sql["text_curation"] = f"""
+        WITH d AS ({_pii_inject}),
+        tk AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS toks
+            FROM d
+        ),
+        lang AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.02 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM (SELECT doc_id,
+               {_score_exprs}
+                  FROM tk)
+        ),
+        qual AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(len(list_filter(toks, t -> list_contains([{_en_list}], t))) AS BIGINT) AS stop_hits,
+                   CAST(len(toks) AS BIGINT) AS n_toks,
+                   CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_dup
+            FROM tk
+        ),
+        pii AS (
+            SELECT doc_id,
+                   n_email + CAST(len(regexp_extract_all(t2, '{_ip_pat}')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(
+                         regexp_replace(t2, '{_ip_pat}', '{_ip_tok}', 'g'),
+                         '{_ph_pat}')) AS BIGINT) AS pii_total
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_em_pat}')) AS BIGINT) AS n_email,
+                       regexp_replace(text, '{_em_pat}', '{_em_tok}', 'g') AS t2
+                FROM d
+            )
+        ),
+        sig AS (
+            SELECT q.doc_id, l.lang_pred,
+                   40 * least(q.n_words, 100)
+                   + (least(q.stop_hits * 9000, greatest(q.n_words,1) * 3000) // greatest(q.n_words,1))
+                   + 3000
+                   - ((least(q.n_punct * 5 + q.n_digit * 2, greatest(q.n_chars,1)) * 3000) // greatest(q.n_chars,1))
+                       AS score_bp,
+                   q.n_words,
+                   (q.n_dup * 10000) // greatest(q.n_toks, 1) AS dup_word_bp,
+                   p.pii_total
+            FROM qual q JOIN lang l USING (doc_id) JOIN pii p USING (doc_id)
+        ),
+        dec AS (
+            SELECT doc_id, lang_pred, score_bp, n_words, dup_word_bp, pii_total,
+                   list_filter([
+                       CASE WHEN lang_pred NOT IN ('en') THEN 'lang' END,
+                       CASE WHEN score_bp < 5000 THEN 'quality' END,
+                       CASE WHEN dup_word_bp > 6000 THEN 'repeat' END,
+                       CASE WHEN n_words < 20 THEN 'short' END,
+                       CASE WHEN pii_total > 2 THEN 'pii' END
+                   ], x -> x IS NOT NULL) AS reasons
+            FROM sig
+        )
+        SELECT doc_id, lang_pred, score_bp, n_words, dup_word_bp, pii_total,
+               CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+               COALESCE(array_to_string(reasons, ','), '') AS drop_reasons
+        FROM dec
     """
 
     # G1 on a provable fixture: disjoint nation-cliques — no inter-nation

@@ -221,3 +221,20 @@ def test_semantic_merge_plan_no_cartesian(spark):
     plan = _plan(semantic_merge_decisions(ents, groups))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_decision_is_map_only(spark, parquet_docs):
+    # the composed keep/drop gate must stay a single scan-project pass:
+    # any Exchange here would turn a 100 TB map-only sweep into a shuffle
+    from graphrag_rs_spark.operators.textstats import curation_decision
+
+    df = curation_decision(
+        parquet_docs.select("repo", "path", F.col("content").alias("text"))
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # scan + project only — no joins, aggregates, or sorts sneak in
+    # (the array higher-order fns keep the projection out of codegen,
+    # but it is still a single JVM-side narrow pass)
+    assert "Join" not in plan and "Aggregate" not in plan and "Sort" not in plan
+    assert "Scan parquet" in plan

@@ -394,3 +394,31 @@ def test_pii_scrub(spark):
     # so the IP inside a redacted email can't double-count
     assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
     assert got[4]["text_redacted"] == "mixed <EMAIL> <IP> <PHONE>"
+
+
+def test_curation_decision(spark):
+    from graphrag_rs_spark.operators.textstats import curation_decision
+
+    good = ("the cat and the dog are with a fox in the yard and it is "
+            "a fine day for all of them to be out in the sun again")
+    df = _docs(
+        spark,
+        [
+            good,                                  # keeps: en, long, varied
+            "el la de que y a en un ser se no haber por con su",  # lang
+            "a a a a a a a a a a a a a a a a a a a a a a",        # repeat
+            "tiny",                                               # short
+            good + " mail a@b.co or c@d.org or e@f.io today",     # pii > 2
+        ],
+    )
+    got = {r["doc_id"]: r for r in curation_decision(df).collect()}
+    assert (got[0]["keep"], got[0]["drop_reasons"]) == (1, "")
+    assert got[1]["keep"] == 0 and "lang" in got[1]["drop_reasons"]
+    assert got[2]["keep"] == 0 and "repeat" in got[2]["drop_reasons"]
+    assert got[3]["keep"] == 0 and "short" in got[3]["drop_reasons"]
+    assert got[4]["keep"] == 0 and got[4]["drop_reasons"] == "pii"
+    assert got[4]["pii_total"] == 3
+    # reasons come in fixed order (lang first) for multi-reason docs:
+    # 'a' is a stopword in BOTH en and es, and equal-ratio ties go to the
+    # lexicographically larger language — so the repeat doc also fails lang
+    assert got[2]["drop_reasons"] == "lang,repeat"
