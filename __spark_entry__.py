@@ -688,6 +688,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding"] = dedup_embedding
 
+    def ann_ivf_topk(spark, sf):
+        from graphrag_rs_spark.operators.similarity import cosine_topk_ivf
+
+        # the IVF scale path next to LSH: integer-exact k-means coarse
+        # quantizer (2 Lloyd iterations, 8 centroids), 2-probe bucket
+        # search, exact cosine re-rank — the oracle replays the entire
+        # quantizer training bit-for-bit in SQL
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        res = cosine_topk_ivf(
+            emb, dim=64, k=5, n_centroids=8, n_probe=2, n_iters=2
+        )
+        return res.select(
+            "query_id", "neighbor_id",
+            F.round("cosine", 5).alias("cosine"), "rank",
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def text_token_counts(spark, sf):
         from graphrag_rs_spark.operators.textstats import token_count_col
 
@@ -2191,6 +2212,98 @@ def oracle_sql() -> dict[str, str]:
                round(cosine, 5) AS cosine
         FROM ranked
         WHERE rank <= 50 AND cosine >= 0.3 AND query_id < neighbor_id
+    """
+
+    # IVF ANN: the ENTIRE quantizer training is replayed in SQL — init =
+    # 8 lowest-id fixed-point vectors, two unrolled Lloyd iterations with
+    # exact integer squared distances (ties -> smaller centroid index) and
+    # floor(sum/count) centroid updates (empty clusters keep their previous
+    # centroid), then 2-probe bucket search + exact cosine re-rank. Every
+    # intermediate is integer or an engine-exact double op, so Spark and
+    # DuckDB agree bit-for-bit.
+    _ivf_iter_ctes = []
+    _prev_cent = "cent0"
+    for _i in range(1, 3):
+        _ivf_iter_ctes.append(f"""
+        dist{_i} AS (
+            SELECT v.vec_id, c.j, sum((v.val - c.val) * (v.val - c.val)) AS d
+            FROM ev v JOIN {_prev_cent} c USING (pos)
+            GROUP BY v.vec_id, c.j
+        ),
+        asg{_i} AS (
+            SELECT vec_id, j FROM (
+                SELECT vec_id, j,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d ASC, j ASC) AS rn
+                FROM dist{_i}
+            ) WHERE rn = 1
+        ),
+        upd{_i} AS (
+            SELECT a.j, v.pos,
+                   CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(*)) AS BIGINT) AS val
+            FROM asg{_i} a JOIN ev v USING (vec_id)
+            GROUP BY a.j, v.pos
+        ),
+        cent{_i} AS (
+            SELECT c.j, c.pos, COALESCE(u.val, c.val) AS val
+            FROM {_prev_cent} c LEFT JOIN upd{_i} u ON u.j = c.j AND u.pos = c.pos
+        )""")
+        _prev_cent = f"cent{_i}"
+
+    sql["ann_ivf_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS ivec
+            FROM embeddings
+        ),
+        ev AS (
+            SELECT vec_id, u[2] AS pos, u[1] AS val
+            FROM (SELECT vec_id,
+                         unnest(list_zip(ivec, generate_series(1, len(ivec)))) AS u
+                  FROM e)
+        ),
+        init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, ivec
+            FROM (SELECT vec_id, ivec FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        cent0 AS (
+            SELECT j, u[2] AS pos, u[1] AS val
+            FROM (SELECT j,
+                         unnest(list_zip(ivec, generate_series(1, len(ivec)))) AS u
+                  FROM init)
+        ),{",".join(_ivf_iter_ctes)},
+        finald AS (
+            SELECT v.vec_id, c.j, sum((v.val - c.val) * (v.val - c.val)) AS d
+            FROM ev v JOIN {_prev_cent} c USING (pos)
+            GROUP BY v.vec_id, c.j
+        ),
+        rankedd AS (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, j ASC) AS rn
+            FROM finald
+        ),
+        members AS (SELECT vec_id, j FROM rankedd WHERE rn = 1),
+        probes AS (SELECT vec_id, j FROM rankedd WHERE rn <= 2),
+        cand AS (
+            SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+            FROM probes p JOIN members m USING (j)
+            WHERE p.vec_id != m.vec_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_cosine_similarity(q.emb, n.emb) AS cosine
+            FROM cand c
+            JOIN e q ON q.vec_id = c.query_id
+            JOIN e n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """
 
     sql["ann_cosine_topk"] = """

@@ -2,7 +2,7 @@
 
 Training-data-pipeline operators beyond the reference inventory (the
 reference keeps embeddings in single-node vector stores, vector/*.rs —
-surveyed as S7/out-of-scope). Two paths:
+surveyed as S7/out-of-scope). Three paths:
 
 - brute-force cosine top-k: exact baseline. Higher-order array fns
   (zip_with + aggregate) keep the dot product JVM-side; the cross join is
@@ -12,6 +12,10 @@ surveyed as S7/out-of-scope). Two paths:
   xxhash64 (no RNG state), multi-table bucketing bounds candidates; exact
   re-rank inside buckets. The 100TB path: shuffle is bounded by bucket
   sizes, not n².
+- IVF top-k: integer-exact k-means coarse quantizer (Lloyd's over
+  fixed-point vectors — engine-reproducible training), n_probe bucket
+  search, exact cosine re-rank. The second scale path: best when the
+  corpus is clustered; provably equals brute force at n_probe=K.
 """
 
 from __future__ import annotations
@@ -175,6 +179,145 @@ def cosine_topk_lsh(
         a.join(b, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine_col(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _int_vec(vec_col):
+    """Fixed-point image of an embedding: floor(x * 1e6) as long — the
+    engine-portable integer domain (same family as the LSH oracle)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * PORTABLE_SCALE).cast("long")
+    )
+
+
+def _sqdist_to(ivec_col, centroid: list[int]):
+    """Exact integer squared euclidean distance to a literal centroid
+    (in-row fold: order-independent, identical in any engine)."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(ivec_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_dists(ivec_col, centroids: list[list[int]]):
+    """Array of (squared-distance, centroid-index) structs; array_min /
+    array_sort over it break ties toward the smaller index."""
+    return F.array(
+        *[
+            F.named_struct(
+                F.lit("d"), _sqdist_to(ivec_col, c), F.lit("j"), F.lit(j)
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 2,
+) -> list[list[int]]:
+    """Lloyd's k-means coarse quantizer in EXACT integer arithmetic.
+
+    Every step is engine-reproducible: fixed-point vectors, integer
+    squared distances (ties -> smaller centroid index), centroid update =
+    floor(sum/count) — so an external SQL oracle replays training
+    bit-for-bit. Init = the ``n_centroids`` lowest-id vectors.
+
+    Per iteration: one map-only assignment pass + one (centroid, dim)
+    integer-sum aggregation; only the K x dim model state (a few KB)
+    crosses to the driver — the classic IVF training shape, scale-bounded
+    by the corpus scan.
+    """
+    import math
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    )
+    init = base.orderBy("id").limit(n_centroids).select("ivec").collect()
+    centroids = [list(r["ivec"]) for r in init]
+    for _ in range(n_iters):
+        assigned = base.select(
+            F.array_min(_centroid_dists(F.col("ivec"), centroids))["j"].alias("c"),
+            F.posexplode("ivec").alias("pos", "val"),
+        )
+        upd = (
+            assigned.groupBy("c", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in upd:
+            # floor of double division == SQL floor(CAST(s AS DOUBLE)/n):
+            # sums stay far below 2^53 so the division is engine-exact
+            new[r["c"]][r["pos"]] = math.floor(r["s"] / r["n"])
+        centroids = new  # empty clusters keep their previous centroid
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF approximate self-ANN: k-means coarse quantizer, each vector
+    indexed under its nearest centroid, each query probing its ``n_probe``
+    nearest centroid buckets; exact cosine re-rank within candidates.
+
+    The second scale path next to ``cosine_topk_lsh``: candidate count is
+    bounded by the probed buckets (~ n_probe/n_centroids of the corpus per
+    query instead of n²), the bucket join shuffles on centroid id, and at
+    ``n_probe == n_centroids`` the result provably equals the brute-force
+    top-k (every member bucket is probed). All quantizer arithmetic is
+    exact integer math, so results are deterministic and replayable by a
+    SQL oracle.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, n_iters=n_iters,
+        )
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _int_vec(F.col(vec_col)).alias("ivec"),
+    )
+    dists = _centroid_dists(F.col("ivec"), centroids)
+    members = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.array_min(dists)["j"].alias("c"),
+    )
+    probes = base.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("p"),
+    ).select("query_id", "qvec", F.col("p.j").alias("c"))
+    # each member lives in exactly one bucket and probes are distinct
+    # buckets, so a candidate pair appears at most once — no dedup pass
+    cand = probes.join(members, "c").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn("cosine", cosine_col(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(

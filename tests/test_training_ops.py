@@ -422,3 +422,56 @@ def test_curation_decision(spark):
     # 'a' is a stopword in BOTH en and es, and equal-ratio ties go to the
     # lexicographically larger language — so the repeat doc also fails lang
     assert got[2]["drop_reasons"] == "lang,repeat"
+
+
+def _clustered_vecs(n_clusters=4, per_cluster=30, dim=16):
+    # deterministic clustered corpus: orthogonal-ish centers + small
+    # per-vector perturbation (no RNG — hash-free arithmetic)
+    vecs = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [10.0 if d % n_clusters == c else 0.0 for d in range(dim)]
+        for i in range(per_cluster):
+            v = [center[d] + 0.01 * ((vid * 31 + d * 7) % 11 - 5) for d in range(dim)]
+            vecs.append((vid, v))
+            vid += 1
+    return vecs
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from graphrag_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf, train_ivf_centroids,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_vecs(), "vec_id long, embedding array<double>"
+    )
+    cents = train_ivf_centroids(df, n_centroids=4, n_iters=2)
+    bf = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in cosine_topk_bruteforce(df, k=3).collect()}
+    # probing every bucket covers every member: provably exact
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in cosine_topk_ivf(
+                df, dim=16, k=3, n_centroids=4, n_probe=4, centroids=cents
+            ).collect()}
+    assert full == bf
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    from graphrag_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_vecs(), "vec_id long, embedding array<double>"
+    )
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk_bruteforce(df, k=3).collect()}
+    iv = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk_ivf(
+              df, dim=16, k=3, n_centroids=4, n_probe=1, n_iters=3
+          ).collect()}
+    recall = len(bf & iv) / len(bf)
+    # on separable clusters even a single probe recovers nearly all true
+    # neighbors (they share the query's cluster by construction)
+    assert recall >= 0.9, recall
