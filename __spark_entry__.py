@@ -878,6 +878,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_curation"] = text_curation
 
+    def text_boilerplate(spark, sf):
+        from graphrag_rs_spark.operators.mixture import boilerplate_scores
+
+        # cross-document repeated-span detection (C4/CCNet boilerplate
+        # removal): fraction of each doc's distinct word 3-grams shared by
+        # >= 3 docs corpus-wide. Inverted-index shape: grams dedup
+        # array-side, ship 60-bit hashes only, one doc-frequency
+        # hash-aggregate + one key-partitioned join back.
+        return boilerplate_scores(_docs(spark, sf), n=3, min_docs=3)
+
+    q["text_boilerplate"] = text_boilerplate
+
+    def text_mixture(spark, sf):
+        from graphrag_rs_spark.operators.mixture import mixture_sample
+
+        # deterministic training-mixture sampling: per-language keep rates
+        # (DoReMi/Pile-style) + per-source document cap (RefinedWeb-style).
+        # Every draw is sha256(key:seed) — bit-reproducible across engines
+        # and cluster sizes; the rate gate is a map-only filter, the cap is
+        # one window over the post-filter survivors.
+        return mixture_sample(
+            _docs(spark, sf),
+            rates_ppm={"en": 800_000, "de": 500_000, "es": 500_000, "fr": 250_000},
+            default_ppm=100_000,
+            domain_cap=12,
+            seed="mix-v1",
+        )
+
+    q["text_mixture"] = text_mixture
+
     def kg_chunking_hierarchical(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -2626,6 +2656,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
                COALESCE(array_to_string(reasons, ','), '') AS drop_reasons
         FROM dec
+    """
+
+    # boilerplate: identical tokenizer regex + identical 60-bit sha256
+    # gram hash, so the doc-frequency index and the per-doc fractions
+    # replay exactly (DuckDB range(a,b) is end-exclusive, list slicing is
+    # 1-based — i runs 1..len-2 for 3-grams)
+    sql["text_boilerplate"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(w) - 1),
+                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       END) AS grams
+            FROM toks
+        ),
+        exploded AS (
+            SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gram_h
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM grams)
+        ),
+        docfreq AS (SELECT gram_h, count(*) AS docs FROM exploded GROUP BY gram_h),
+        per_doc AS (
+            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_common
+            FROM exploded e JOIN docfreq f ON e.gram_h = f.gram_h
+            WHERE f.docs >= 3
+            GROUP BY e.doc_id
+        )
+        SELECT g.doc_id,
+               CAST(len(g.grams) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+               CAST((COALESCE(p.n_common, 0) * 10000) // greatest(len(g.grams), 1)
+                    AS BIGINT) AS boilerplate_bp
+        FROM grams g LEFT JOIN per_doc p USING (doc_id)
+    """
+
+    # mixture sampling: the draw is sha256(doc_id || ':mix-v1') reduced to
+    # 60 bits then mod 1e6 — both engines compute the identical integer,
+    # so keep/drop and per-domain ranks replay exactly
+    sql["text_mixture"] = """
+        WITH base AS (
+            SELECT doc_id, lang AS stratum, source AS domain,
+                   ('0x' || substr(sha256(doc_id::VARCHAR || ':mix-v1'), 1, 15))::BIGINT
+                       % 1000000 AS u,
+                   CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                             WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+                             ELSE 100000 END AS rate_ppm
+            FROM documents
+        ),
+        kept AS (SELECT * FROM base WHERE u < rate_ppm),
+        ranked AS (
+            SELECT doc_id, stratum, domain, CAST(u AS BIGINT) AS u,
+                   CAST(row_number() OVER (PARTITION BY domain
+                                           ORDER BY u ASC, doc_id ASC) AS BIGINT)
+                       AS domain_rank
+            FROM kept
+        )
+        SELECT doc_id, stratum, domain, u, domain_rank
+        FROM ranked
+        WHERE domain_rank <= 12
     """
 
     # G1 on a provable fixture: disjoint nation-cliques — no inter-nation

@@ -1,0 +1,204 @@
+"""Corpus-mixture curation for training-data pipelines: cross-document
+boilerplate detection and deterministic stratified sampling with
+per-domain caps.
+
+These are the corpus-level companions to the per-document signals in
+``textstats.py`` (which needs only the row in hand): boilerplate needs a
+corpus-wide n-gram document-frequency index, and mixture sampling needs a
+corpus-wide per-domain ranking. Both are standard web-scale curation
+steps (C4 removed boilerplate lines seen across pages; RefinedWeb capped
+per-domain document mass; The Pile / DoReMi mix strata at fixed rates).
+The reference repo has no corpus-curation stage — these extend the
+engine for the 100 TB training-data use case.
+
+Determinism: every probabilistic choice is a pure function of
+(key, seed) through the engine-portable sha256 hash family
+(``conv(substr(sha2(x,256),1,15),16,10)``), so runs are bit-reproducible
+across engines, partitionings, and cluster sizes, and the DuckDB oracles
+replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+#: modulus for the deterministic uniform draw (keeps rate arithmetic in
+#: exact integers: keep iff u < rate_ppm, with rates in parts-per-million)
+SAMPLE_MOD = 1_000_000
+
+
+def ngrams_col(words: Column, n: int) -> Column:
+    """Adjacent word n-grams (space-joined) for ANY n — generalizes
+    textstats._grams beyond 2/3 via sequence+slice inside codegen.
+    Empty array when the document has fewer than n words OR a NULL
+    token array (NULL text): under ANSI ``size(NULL)`` is NULL, so a
+    bare ``size < n`` guard falls through to the build branch, where
+    ``greatest(NULL, 1)`` manufactures one NULL gram — coalesce first."""
+    size = F.coalesce(F.size(words), F.lit(0))
+    g = F.transform(
+        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(g)
+
+
+def _portable_hash60(c: Column) -> Column:
+    """First 15 hex chars of sha256 as a 60-bit long — the repo-wide
+    engine-portable hash family (same as dedup.py / textstats.py)."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def boilerplate_scores(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection: for each
+    document, the fraction of its DISTINCT word n-grams that appear in at
+    least ``min_docs`` distinct documents corpus-wide. High values mean
+    the document is mostly template/boilerplate text shared across the
+    corpus (nav menus, license footers, scraped chrome) — C4/CCNet drop
+    or strip such content before training.
+
+    Returns one row per input document:
+      doc_id, n_grams (distinct n-grams), n_common (of those, how many
+      are corpus-common), boilerplate_bp (exact integer basis points).
+
+    Scale shape (the inverted-index pattern, ONE pass over the text):
+      1. tokenize + n-gram + ``array_distinct`` ARRAY-SIDE — dedup within
+         a document costs no shuffle and makes the exploded row count the
+         distinct-gram mass, not the token mass;
+      2. explode ships (doc_id, gram_hash) pairs — the gram itself is
+         hashed to a 60-bit long BEFORE the shuffle, so shuffle bytes are
+         16/row regardless of gram length;
+      3. document frequency rides a window count partitioned on
+         gram_hash: rows are pre-deduped per doc, so count(*) over the
+         partition IS doc-frequency, and the same rows flow on — a
+         groupBy+self-join formulation would recompute the whole
+         tokenize/explode subtree a second time (Spark DAGs don't share
+         non-persisted subtrees across join branches);
+      4. per-doc totals = one hash-aggregate on doc_id counting all rows
+         vs rows whose gram cleared ``min_docs`` — no join back to the
+         gram index at all;
+      5. documents with zero n-grams (shorter than n words) vanish at the
+         explode, so an ids-only left join from the input restores them —
+         the probe side carries ONE long column.
+    No UDFs, no driver collection. The window's per-partition sort is
+    over 8-byte keys; a hot gram's partition holds at most one row per
+    document (pre-deduped), the same bound a groupBy would have.
+
+    60-bit hash collisions: ~N²/2⁶¹ expected false merges (N = distinct
+    grams corpus-wide); at 10¹⁰ grams that is ~0.05 expected collisions —
+    negligible, and the DuckDB oracle uses the identical hash so the
+    board comparison is exact either way.
+    """
+    words = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.array_distinct(ngrams_col(words, n)).alias("grams"),
+    )
+    exploded = base.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", _portable_hash60(F.col("gram")).alias("gram_h"))
+
+    counted = exploded.withColumn(
+        "docs", F.count("*").over(Window.partitionBy("gram_h"))
+    )
+    stats = counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("docs") >= min_docs, 1).otherwise(0))
+        .cast("long").alias("n_common"),
+    )
+    z = F.lit(0).cast("long")
+    return df.select(F.col(doc_id_col).alias("doc_id")).join(
+        stats, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), z).alias("n_grams"),
+        F.coalesce(F.col("n_common"), z).alias("n_common"),
+        F.floor(
+            F.coalesce(F.col("n_common"), z) * 10000
+            / F.greatest(F.coalesce(F.col("n_grams"), z), F.lit(1))
+        ).cast("long").alias("boilerplate_bp"),
+    )
+
+
+def uniform_ppm_col(key_col: Column, seed: str) -> Column:
+    """Deterministic uniform draw in [0, 1e6): portable sha256 hash of
+    ``key || ':' || seed`` reduced mod 1e6. A pure function of (key,
+    seed) — independent of partitioning, task order, and cluster size,
+    unlike ``rand()`` which is seeded PER PARTITION and silently
+    reshuffles the sample when parallelism changes."""
+    return F.pmod(
+        _portable_hash60(F.concat(key_col.cast("string"), F.lit(":" + seed))),
+        F.lit(SAMPLE_MOD),
+    ).cast("long")
+
+
+def stratum_rate_ppm_col(
+    stratum_col: Column, rates_ppm: dict[str, int], default_ppm: int = 0
+) -> Column:
+    """Per-stratum sampling rate (parts-per-million) as a when-chain —
+    strata sets (languages, source buckets) are small, so this stays a
+    codegen'd scalar expression rather than a join."""
+    expr = F.lit(default_ppm)
+    for stratum, ppm in sorted(rates_ppm.items()):
+        expr = F.when(stratum_col == stratum, F.lit(ppm)).otherwise(expr)
+    return expr.cast("long")
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    doc_id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    domain_col: str = "source",
+    default_ppm: int = 0,
+    domain_cap: int | None = None,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic training-mixture sampling: per-stratum keep rates
+    (DoReMi/Pile-style mixture weights) plus an optional per-domain
+    document cap (RefinedWeb-style anti-domination guard).
+
+    A document is kept iff its deterministic uniform draw u (a pure
+    function of doc_id and seed) falls under its stratum's rate; among
+    kept documents, each domain retains only its ``domain_cap``
+    lowest-u documents (ties broken by doc_id) — a deterministic
+    reservoir, stable under re-runs and re-partitioning.
+
+    Returns kept rows: doc_id, stratum, domain, u, domain_rank.
+
+    Scale shape: the rate gate is a map-only filter (scan-cost pass over
+    100 TB, zero shuffles). The cap is one window over domain — a single
+    hash-partition + per-domain top-k sort; domains are numerous and the
+    filter has already cut the row mass by the sample rate. For a
+    pathological mega-domain, the window input is at most that domain's
+    kept-document count; cap-first-then-rank semantics would need the
+    same shuffle anyway.
+    """
+    u = uniform_ppm_col(F.col(doc_id_col), seed)
+    rate = stratum_rate_ppm_col(F.col(stratum_col), rates_ppm, default_ppm)
+    kept = (
+        df.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col(domain_col).alias("domain"),
+            u.alias("u"),
+            rate.alias("rate_ppm"),
+        )
+        .where(F.col("u") < F.col("rate_ppm"))
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("u").asc(), F.col("doc_id").asc())
+    ranked = kept.select(
+        "doc_id", "stratum", "domain", "u",
+        F.row_number().over(w).cast("long").alias("domain_rank"),
+    )
+    if domain_cap is not None:
+        ranked = ranked.where(F.col("domain_rank") <= domain_cap)
+    return ranked

@@ -238,3 +238,61 @@ def test_curation_decision_is_map_only(spark, parquet_docs):
     # but it is still a single JVM-side narrow pass)
     assert "Join" not in plan and "Aggregate" not in plan and "Sort" not in plan
     assert "Scan parquet" in plan
+
+
+def test_boilerplate_single_text_scan(spark, parquet_docs):
+    # the doc-frequency index must ride a window count, not a groupBy +
+    # self-join: the join formulation recomputes the tokenize/explode
+    # subtree (a second full scan of the 100 TB text column). Exactly one
+    # scan may read the text column; the zero-gram restore join probes
+    # with ids only.
+    from graphrag_rs_spark.operators.mixture import boilerplate_scores
+
+    df = boilerplate_scores(
+        parquet_docs.select(
+            F.col("path").alias("doc_id"), F.col("content").alias("text")
+        ),
+        n=3,
+        min_docs=2,
+    )
+    plan = _plan(df)
+    # detail sections: "(N) Scan parquet" followed by its ReadSchema
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet.*?ReadSchema: (\S+)", plan, re.S)
+    assert len(scans) == 2, scans  # gram pass + ids-only restore
+    assert sum("content" in s for s in scans) == 1, (
+        "text column must be scanned exactly once: " + str(scans)
+    )
+    # the zero-gram restore must not reread text (ids only)
+    assert any(s == "struct<path:string>" for s in scans), scans
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_rate_gate_is_map_only_prefilter(spark, parquet_docs):
+    # the stratified rate gate must run BEFORE the domain-cap window so
+    # the only shuffle sees post-sample survivors, and as a pushable
+    # filter on the scan side (no Exchange under the Filter)
+    from graphrag_rs_spark.operators.mixture import mixture_sample
+
+    df = mixture_sample(
+        parquet_docs.select(
+            F.col("path").alias("doc_id"),
+            F.col("repo").alias("lang"),
+            F.col("repo").alias("source"),
+        ),
+        rates_ppm={"r": 500_000},
+        default_ppm=100_000,
+        domain_cap=5,
+    )
+    plan = _plan(df)
+    import re
+
+    # exactly one Exchange: the window's hash partitioning on domain
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    # the u < rate gate runs directly on the scan output, pre-shuffle
+    tree = plan.split("(1) Scan parquet")[0]
+    scan_side = tree.split("Exchange")[-1]  # nodes BELOW the exchange
+    assert "Filter" in scan_side
+    # Spark 4 bonus pinned: the domain cap's top-k runs map-side too
+    assert "WindowGroupLimit" in scan_side
