@@ -910,6 +910,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_mixture"] = text_mixture
 
+    def text_span_dedup(spark, sf):
+        from graphrag_rs_spark.operators.mixture import span_dedup
+
+        # C4-style duplicated-span removal (global first-occurrence-wins
+        # line dedup). The corpus is single-line, so each doc is split
+        # around a shared footer line (7 variants by doc_id % 7 — every
+        # variant's first doc keeps it, all later docs lose it); the
+        # synthesis is mirrored verbatim in the oracle. Portable hash
+        # family so DuckDB replays the window partitioning exactly.
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.expr("substring(text, 1, 120)"),
+                F.lit("\nshared footer line number "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("\n"),
+                F.expr("substring(text, 121)"),
+            ).alias("text"),
+        )
+        return span_dedup(docs, min_words=4, hash_fn="portable")
+
+    q["text_span_dedup"] = text_span_dedup
+
     def kg_chunking_hierarchical(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -2727,6 +2750,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stratum, domain, u, domain_rank
         FROM ranked
         WHERE domain_rank <= 12
+    """
+
+    # span dedup: same footer synthesis, same whitespace-split word
+    # gate, same 60-bit sha256 line hash for the dedup partition, same
+    # (doc_id, pos) first-occurrence order; string_agg skips the NULLed
+    # losers exactly as collect_list does engine-side
+    sql["text_span_dedup"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   substr(text, 1, 120) || chr(10)
+                   || 'shared footer line number ' || (doc_id % 7)
+                   || chr(10) || substr(text, 121) AS text
+            FROM documents
+        ),
+        ls AS (
+            SELECT doc_id, string_split(text, chr(10)) AS l FROM d
+        ),
+        lines AS (
+            SELECT doc_id, i - 1 AS pos, l[i] AS line,
+                   len(list_filter(string_split_regex(l[i], '\\s+'),
+                                   t -> t != '')) >= 4 AS eligible
+            FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+                  FROM ls)
+        ),
+        ranked AS (
+            SELECT doc_id, pos, line,
+                   CASE WHEN eligible THEN
+                       row_number() OVER (
+                           PARTITION BY eligible,
+                               CASE WHEN eligible THEN
+                                   ('0x' || substr(sha256(line), 1, 15))::BIGINT
+                               ELSE 0 END
+                           ORDER BY doc_id ASC, pos ASC)
+                   ELSE 1 END AS rn
+            FROM lines
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                                   ORDER BY pos ASC), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM ranked
+        GROUP BY doc_id
     """
 
     # G1 on a provable fixture: disjoint nation-cliques — no inter-nation

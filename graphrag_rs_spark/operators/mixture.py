@@ -144,6 +144,84 @@ def boilerplate_scores(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 4,
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2: "we
+    removed any duplicated spans, keeping one occurrence"): split each
+    document into lines, and for every line long enough to be a real
+    span (≥ ``min_words`` words), keep only its GLOBAL first occurrence
+    — ordered by (doc_id, position) — deleting every later copy
+    corpus-wide. Short lines (headings, list bullets, blanks) are never
+    deduped: collapsing every empty line in the corpus onto one winner
+    would shred unrelated documents.
+
+    Returns (doc_id, text) with the surviving lines rejoined in original
+    order, plus n_lines/n_removed audit columns.
+
+    Scale shape — ONE text scan, ONE window shuffle, ONE aggregate:
+    posexplode lines, then rank first occurrences with a single window
+    whose partition key is (eligible, line_hash, doc_id', pos'): for
+    dedup-eligible spans the key is the line hash (global grouping);
+    for short lines it is the line's own (doc_id, pos) — a singleton
+    partition whose row_number is trivially 1, so short lines ride the
+    same window instead of forcing a filter/union/extra-scan plan. The
+    doc rebuild and the audit counts come from one hash-aggregate on
+    doc_id: ``collect_list`` skips NULLs, so ``when(rn = 1,
+    struct(pos, line))`` collects survivors while count(*) still sees
+    every line. Deterministic under any partitioning: rank order is
+    (doc_id, pos), never task order.
+
+    ``hash_fn``: "fast" = xxhash64; "portable" = sha256-based 60-bit
+    (board/oracle family, replayable in DuckDB).
+    """
+    hash_one = _portable_hash60 if hash_fn == "portable" else F.xxhash64
+    lines = df.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")).alias(
+            "pos", "line"
+        ),
+    )
+    n_words = F.size(F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != ""))
+    keyed = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        (n_words >= min_words).alias("eligible"),
+        F.when(n_words >= min_words, hash_one(F.col("line")))
+        .otherwise(F.lit(0)).alias("line_h"),
+        F.when(n_words >= min_words, F.lit("")).otherwise(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos"))
+        ).alias("self_key"),
+    )
+    w = Window.partitionBy("eligible", "line_h", "self_key").orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    z = F.lit(0).cast("long")
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_removed"),
+    ).select(
+        "doc_id", "text", "n_lines", F.coalesce(F.col("n_removed"), z).alias("n_removed")
+    )
+
+
 def uniform_ppm_col(key_col: Column, seed: str) -> Column:
     """Deterministic uniform draw in [0, 1e6): portable sha256 hash of
     ``key || ':' || seed`` reduced mod 1e6. A pure function of (key,

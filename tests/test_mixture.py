@@ -139,3 +139,71 @@ def test_mixture_rate_gate_expected_fraction(spark):
     )
     out = mixture_sample(df, rates_ppm={"en": 500_000}, seed="s3").count()
     assert 850 <= out <= 1150
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from graphrag_rs_spark.operators.mixture import span_dedup
+
+    footer = "this footer is long enough to dedup"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha body line one\n{footer}"),
+            (2, f"{footer}\nunique beta body line two"),
+            (3, f"unique gamma body line three\n{footer}\ntail line body four"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, min_words=4).collect()}
+    # doc 1 (lowest doc_id) keeps the footer; docs 2 and 3 lose it
+    assert out[1]["text"] == f"unique alpha body line one\n{footer}"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "unique beta body line two"
+    assert out[2]["n_removed"] == 1 and out[2]["n_lines"] == 2
+    assert out[3]["text"] == "unique gamma body line three\ntail line body four"
+    assert out[3]["n_removed"] == 1 and out[3]["n_lines"] == 3
+
+
+def test_span_dedup_position_breaks_ties_within_doc(spark):
+    from graphrag_rs_spark.operators.mixture import span_dedup
+
+    dup = "repeated span inside one document"
+    docs = spark.createDataFrame([(7, f"{dup}\nmiddle line body words\n{dup}")],
+                                 ["doc_id", "text"])
+    (row,) = span_dedup(docs, min_words=4).collect()
+    # first occurrence (pos 0) survives, pos 2 removed
+    assert row["text"] == f"{dup}\nmiddle line body words"
+    assert row["n_removed"] == 1
+
+
+def test_span_dedup_short_lines_never_dedup(spark):
+    from graphrag_rs_spark.operators.mixture import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "short\n\nshort"), (2, "short\nx y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, min_words=4).collect()}
+    # "short" and "" are below min_words: every copy survives everywhere
+    assert out[1]["text"] == "short\n\nshort" and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "short\nx y" and out[2]["n_removed"] == 0
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    from graphrag_rs_spark.operators.mixture import span_dedup
+
+    docs = spark.createDataFrame([(1, None), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert out[1]["text"] == "" and out[1]["n_lines"] == 1
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 0
+
+
+def test_span_dedup_deterministic_across_partitioning(spark):
+    from graphrag_rs_spark.operators.mixture import span_dedup
+
+    shared = "a shared footer line across many docs"
+    rows = [(i, f"doc {i} unique body line\n{shared}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, span_dedup(df.repartition(1)).collect()))
+    b = sorted(map(tuple, span_dedup(df.repartition(13)).collect()))
+    assert a == b
+    kept_footer = [r for r in a if shared in r[1]]
+    assert len(kept_footer) == 1 and kept_footer[0][0] == 0
