@@ -58,6 +58,50 @@ def _gaz_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gazetteer_mentions(_doc_chunks(spark, sf_dir), _gazetteer_df(spark))
 
 
+def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic (repo, path, lang, content) source files.
+
+    One file per doc_id: even ids are python, odd are rust; each imports
+    exactly ``mod_m1`` and ``mod_m2`` with m1 = (7·id+1) mod 1000 and
+    m2 = (3·id+2) mod 1000 (always distinct: 4·id ≡ 1 mod 1000 has no
+    solution), and defines exactly two symbols.  The first 40 chars of
+    the document text ride along as a comment line so extraction runs
+    over non-template bytes too.  The closed form lets the DuckDB
+    oracles derive imports/defs/edges arithmetically — independent
+    ground truth for the regex extractors.  Imports of mod_k with k ≥
+    corpus size dangle (realistic unresolved imports, dropped by the
+    edge join); id 499 self-imports via m2 (self-loop drop case).
+    """
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    m1 = s((did * 7 + 1) % 1000)
+    m2 = s((did * 3 + 2) % 1000)
+    py = F.concat(
+        F.lit("# "), F.expr("substring(text, 1, 40)"), F.lit("\n"),
+        F.lit("import mod_"), m1, F.lit("\n"),
+        F.lit("from mod_"), m2, F.lit(" import helper\n\n"),
+        F.lit("def fn_"), s(did), F.lit("(x):\n    return x\n\n"),
+        F.lit("class Cls_"), s(did), F.lit(":\n    pass\n"),
+    )
+    rs = F.concat(
+        F.lit("// "), F.expr("substring(text, 1, 40)"), F.lit("\n"),
+        F.lit("use crate::mod_"), m1, F.lit(";\n"),
+        F.lit("use crate::mod_"), m2, F.lit("::helper;\n\n"),
+        F.lit("pub fn process_"), s(did), F.lit("(x: u64) -> u64 { x }\n\n"),
+        F.lit("pub struct Record_"), s(did), F.lit(" { pub id: u64 }\n"),
+    )
+    is_py = did % 2 == 0
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("org"), s(did % 3), F.lit("/proj"), s(did % 2)).alias("repo"),
+        F.concat(
+            F.lit("src/mod_"), s(did),
+            F.when(is_py, F.lit(".py")).otherwise(F.lit(".rs")),
+        ).alias("path"),
+        F.when(is_py, F.lit("python")).otherwise(F.lit("rust")).alias("lang"),
+        F.when(is_py, py).otherwise(rs).alias("content"),
+    )
+
+
 # ---------------------------------------------------------------- entry --
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1300,6 +1344,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feats.unionByName(probes).unionByName(afeats)
 
     q["mm_media"] = mm_media
+
+    # === code-graph operators (north-star source-code corpus) ===
+    # deterministic code corpus derived from `documents`: doc_id → one
+    # source file whose imports/defs follow closed-form arithmetic
+    # (m1 = (7·id+1) mod 1000, m2 = (3·id+2) mod 1000), so the DuckDB
+    # oracles check the regex extractors against INDEPENDENT ground
+    # truth instead of replaying the same regexes.
+
+    def code_dependency_edges(spark, sf):
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        return dependency_edges(_code_corpus(spark, sf)).select(
+            "src_repo", "src_path", "dst_repo", "dst_path", "module"
+        )
+
+    q["code_dependency_edges"] = code_dependency_edges
+
+    def code_import_graph(spark, sf):
+        from graphrag_rs_spark.operators.code_graph import extract_imports
+
+        return extract_imports(_code_corpus(spark, sf))
+
+    q["code_import_graph"] = code_import_graph
+
+    def code_symbol_defs(spark, sf):
+        from graphrag_rs_spark.operators.code_graph import extract_defs
+
+        return extract_defs(_code_corpus(spark, sf))
+
+    q["code_symbol_defs"] = code_symbol_defs
+
+    def code_dependency_rollup(spark, sf):
+        from graphrag_rs_spark.operators.code_graph import (
+            dependency_edges,
+            repo_rollup,
+        )
+
+        files = _code_corpus(spark, sf)
+        return repo_rollup(dependency_edges(files))
+
+    q["code_dependency_rollup"] = code_dependency_rollup
 
     return q
 
@@ -2929,6 +3014,77 @@ def oracle_sql() -> dict[str, str]:
                neighbor_id AS obj
         FROM ranked
         WHERE rank <= 10 AND cosine > 0.25 AND query_id < neighbor_id
+    """
+
+    # === code graph — arithmetic ground truth for the regex extractors
+    # (corpus synthesis mirrors _code_corpus verbatim; imports/defs come
+    # from the m1/m2 closed form, NOT from re-running the regexes)
+    code_cte = """
+        code AS (
+            SELECT doc_id,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   'src/mod_' || doc_id
+                       || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs' END
+                       AS path,
+                   CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'rust' END
+                       AS lang,
+                   (doc_id * 7 + 1) % 1000 AS m1,
+                   (doc_id * 3 + 2) % 1000 AS m2
+            FROM documents
+        )
+    """
+
+    sql["code_import_graph"] = f"""
+        WITH {code_cte}
+        SELECT repo, path, lang, 'mod_' || m1 AS imported FROM code
+        UNION ALL
+        SELECT repo, path, lang, 'mod_' || m2 AS imported FROM code
+    """
+
+    sql["code_symbol_defs"] = f"""
+        WITH {code_cte}
+        SELECT repo, path, lang, 'function' AS kind,
+               'fn_' || doc_id AS symbol
+        FROM code WHERE lang = 'python'
+        UNION ALL
+        SELECT repo, path, lang, 'class', 'Cls_' || doc_id
+        FROM code WHERE lang = 'python'
+        UNION ALL
+        SELECT repo, path, lang, 'function', 'process_' || doc_id
+        FROM code WHERE lang = 'rust'
+        UNION ALL
+        SELECT repo, path, lang, 'struct', 'Record_' || doc_id
+        FROM code WHERE lang = 'rust'
+    """
+
+    _code_edges_sql = f"""
+        WITH {code_cte},
+        imp AS (
+            SELECT repo AS src_repo, path AS src_path, m1 AS m FROM code
+            UNION ALL
+            SELECT repo, path, m2 FROM code
+        ),
+        edges AS (
+            SELECT i.src_repo, i.src_path,
+                   c.repo AS dst_repo, c.path AS dst_path,
+                   'mod_' || i.m AS module
+            FROM imp i JOIN code c ON c.doc_id = i.m
+            WHERE NOT (i.src_repo = c.repo AND i.src_path = c.path)
+        )
+    """
+
+    sql["code_dependency_edges"] = (
+        _code_edges_sql
+        + "SELECT src_repo, src_path, dst_repo, dst_path, module FROM edges"
+    )
+
+    sql["code_dependency_rollup"] = _code_edges_sql + """
+        SELECT src_repo, dst_repo,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(count(DISTINCT src_path) AS BIGINT) AS n_src_files,
+               CAST(count(DISTINCT module) AS BIGINT) AS n_modules
+        FROM edges
+        GROUP BY src_repo, dst_repo
     """
 
     return sql

@@ -1,0 +1,241 @@
+"""Code dependency graph: imports / symbol defs / file- and repo-level edges.
+
+The north-star input is an Iceberg table of source-code repositories
+``(repo, path, commit, lang, content)``.  Beyond prose entities, the KG a
+user actually wants over such a corpus is the *code* graph: which file
+imports which module, which symbols a file defines, and the file→file /
+repo→repo dependency edges those induce.  The reference chunks code at
+item boundaries (graphrag-core/src/text/chunking_strategies.rs:145-255,
+same boundary set as operators/code_chunking.py); this module adds the
+graph-construction layer over those items.
+
+Everything here is pure DataFrame algebra — ``regexp_extract_all`` per
+language (JVM codegen, no Python), ``explode``, one equi-join on module
+name, hash aggregation:
+
+- imports/defs extraction is a map-only pass: linear scan of content,
+  predicate/column pruning reaches the parquet scan, no shuffle at all.
+- ``dependency_edges`` is ONE shuffle join keyed on module name.  At
+  10^12-file scale the skew risk is a popular module name ("utils",
+  "config") becoming a mega-key; AQE skew-split handles the moderate
+  case, and ``max_fanin`` provides an explicit cap that converts a
+  pathological key into bounded star-links (same guard pattern as the
+  MinHash band-bucket cap in dedup.py).
+- the repo rollup is a partial-aggregated groupBy of the edge list.
+
+Language coverage mirrors code_chunking's boundary table: python, rust,
+go, javascript/typescript.  Unknown langs yield no imports/defs (not an
+error) — the corpus scan stays single-pass over mixed languages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# per-language (pattern, group) lists. Patterns are shared verbatim with
+# the DuckDB oracles, so they stay in the RE2 ∩ java.util.regex dialect:
+# no lookbehind, no backrefs, ASCII classes only.
+IMPORT_PATTERNS: dict[str, list[str]] = {
+    "python": [
+        r"(?m)^import[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^from[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]+import\b",
+    ],
+    "rust": [
+        r"(?m)^use[ \t]+(?:crate|super|self)::([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^(?:pub[ \t]+)?mod[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*;",
+    ],
+    "go": [
+        r"(?m)^[ \t]*import[ \t]+\"([^\"]+)\"",
+        r"(?m)^[ \t]+_?[ \t]*\"([^\"]+)\"",  # inside import ( ... ) blocks
+    ],
+    "javascript": [
+        r"(?m)^import[ \t]+[^;\n]*?from[ \t]+['\"]([^'\"]+)['\"]",
+        r"(?m)^import[ \t]+['\"]([^'\"]+)['\"]",
+        r"require\(['\"]([^'\"]+)['\"]\)",
+    ],
+}
+IMPORT_PATTERNS["typescript"] = IMPORT_PATTERNS["javascript"]
+
+# (kind, pattern) — group 1 is always the symbol name
+DEF_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    "python": [
+        ("function", r"(?m)^(?:async[ \t]+)?def[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("class", r"(?m)^class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "rust": [
+        (
+            "function",
+            r"(?m)^(?:pub(?:\([^)]*\))?[ \t]+)?(?:async[ \t]+)?(?:unsafe[ \t]+)?"
+            r"fn[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+        ),
+        ("struct", r"(?m)^(?:pub(?:\([^)]*\))?[ \t]+)?struct[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("enum", r"(?m)^(?:pub(?:\([^)]*\))?[ \t]+)?enum[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("trait", r"(?m)^(?:pub(?:\([^)]*\))?[ \t]+)?trait[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "go": [
+        ("function", r"(?m)^func[ \t]+(?:\([^)]*\)[ \t]+)?([A-Za-z_][A-Za-z0-9_]*)"),
+        ("type", r"(?m)^type[ \t]+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "javascript": [
+        ("function", r"(?m)^(?:export[ \t]+)?(?:default[ \t]+)?(?:async[ \t]+)?"
+                     r"function[ \t]+([A-Za-z_$][A-Za-z0-9_$]*)"),
+        ("class", r"(?m)^(?:export[ \t]+)?(?:default[ \t]+)?class[ \t]+"
+                  r"([A-Za-z_$][A-Za-z0-9_$]*)"),
+    ],
+}
+DEF_PATTERNS["typescript"] = DEF_PATTERNS["javascript"]
+
+
+def _lang_dispatch(per_lang: dict[str, Column], default: Column) -> Column:
+    """CASE WHEN lang = ... chain — one codegen'd expression, no UDF."""
+    expr = None
+    for lang, col in per_lang.items():
+        cond = F.col("lang") == F.lit(lang)
+        expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+    return expr.otherwise(default) if expr is not None else default
+
+
+def module_stem(path_col: Column) -> Column:
+    """``src/a/mod_7.py`` → ``mod_7`` — the name an import resolves to."""
+    return F.regexp_extract(path_col, r"([^/]+)\.[A-Za-z0-9]+$", 1)
+
+
+def extract_imports(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → one row per distinct imported module.
+
+    Map-only: per-lang ``regexp_extract_all`` concatenated, dedup'd with
+    ``array_distinct`` (a file importing the same module twice is one
+    edge), exploded. Unknown langs produce zero rows.
+    """
+    per_lang = {
+        lang: F.array_distinct(
+            F.concat(*[
+                F.regexp_extract_all(F.col("content"), F.lit(p), F.lit(1))
+                for p in pats
+            ])
+        )
+        for lang, pats in IMPORT_PATTERNS.items()
+    }
+    arr = _lang_dispatch(per_lang, F.array().cast("array<string>"))
+    return (
+        files.select("repo", "path", "lang", arr.alias("_imports"))
+        .select("repo", "path", "lang", F.explode("_imports").alias("imported"))
+    )
+
+
+def extract_defs(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → one row per defined symbol.
+
+    Each (kind, pattern) contributes ``transform(extract_all, s ->
+    struct(kind, s))``; kinds are concatenated and exploded in the same
+    map-only pass.  Duplicate (kind, symbol) pairs within a file collapse
+    (re-defs / overloads are one node).
+    """
+    def _tag(kind):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the array INDEX as the second argument
+        return lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol"))
+
+    per_lang = {}
+    for lang, pats in DEF_PATTERNS.items():
+        parts = [
+            F.transform(
+                F.regexp_extract_all(F.col("content"), F.lit(p), F.lit(1)),
+                _tag(kind),
+            )
+            for kind, p in pats
+        ]
+        per_lang[lang] = F.array_distinct(F.concat(*parts))
+    empty = F.array().cast("array<struct<kind:string,symbol:string>>")
+    arr = _lang_dispatch(per_lang, empty)
+    return (
+        files.select("repo", "path", "lang", arr.alias("_defs"))
+        .select("repo", "path", "lang", F.explode("_defs").alias("_d"))
+        .select(
+            "repo", "path", "lang",
+            F.col("_d.kind").alias("kind"), F.col("_d.symbol").alias("symbol"),
+        )
+    )
+
+
+def dependency_edges(
+    files: DataFrame,
+    imports: DataFrame | None = None,
+    max_fanin: int | None = None,
+) -> DataFrame:
+    """File→file DEPENDS_ON edges: import name == target module stem.
+
+    One shuffle join on module name.  Self-loops (a file whose stem
+    matches its own import) are dropped; dangling imports (no file with
+    that stem in the corpus) drop out of the inner join — both exactly
+    the semantics a resolver would give.  ``max_fanin`` optionally keeps
+    only the first N providers per module name (ordered by repo, path —
+    deterministic) to bound a pathological shared-stem key at scale.
+    """
+    if imports is None:
+        imports = extract_imports(files)
+    providers = files.select(
+        F.col("repo").alias("dst_repo"),
+        F.col("path").alias("dst_path"),
+        module_stem(F.col("path")).alias("_module"),
+    )
+    if max_fanin is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_module").orderBy("dst_repo", "dst_path")
+        providers = (
+            providers.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_fanin)
+            .drop("_rn")
+        )
+    return (
+        imports.withColumnRenamed("imported", "_module")
+        .join(providers, "_module")
+        .where(
+            (F.col("repo") != F.col("dst_repo"))
+            | (F.col("path") != F.col("dst_path"))
+        )
+        .select(
+            F.col("repo").alias("src_repo"),
+            F.col("path").alias("src_path"),
+            F.lit("DEPENDS_ON").alias("pred"),
+            "dst_repo",
+            "dst_path",
+            F.col("_module").alias("module"),
+        )
+    )
+
+
+def repo_rollup(edges: DataFrame) -> DataFrame:
+    """Repo→repo dependency rollup: edge count, distinct importing files,
+    distinct modules crossed. Partial-aggregated groupBy — one shuffle."""
+    return edges.groupBy("src_repo", "dst_repo").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src_path").alias("n_src_files"),
+        F.countDistinct("module").alias("n_modules"),
+    )
+
+
+def code_triples(files: DataFrame) -> DataFrame:
+    """Unified triple view of the code graph, in the engine's
+    (subj, pred, obj) shape: file IMPORTS module, file DEFINES symbol,
+    file DEPENDS_ON file.  Subjects/objects are ``repo/path`` ids, so
+    these triples union cleanly with the prose-entity triples."""
+    fid = lambda r, p: F.concat_ws("/", F.col(r), F.col(p))  # noqa: E731
+    imp = extract_imports(files).select(
+        fid("repo", "path").alias("subj"),
+        F.lit("IMPORTS").alias("pred"),
+        F.col("imported").alias("obj"),
+    )
+    dfs = extract_defs(files).select(
+        fid("repo", "path").alias("subj"),
+        F.lit("DEFINES").alias("pred"),
+        F.concat_ws(":", "kind", "symbol").alias("obj"),
+    )
+    dep = dependency_edges(files).select(
+        fid("src_repo", "src_path").alias("subj"),
+        F.col("pred"),
+        fid("dst_repo", "dst_path").alias("obj"),
+    )
+    return imp.unionByName(dfs).unionByName(dep)

@@ -1,0 +1,269 @@
+"""Code dependency graph: imports / defs / edges / rollup / triples."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.code_graph import (
+    code_triples,
+    dependency_edges,
+    extract_defs,
+    extract_imports,
+    module_stem,
+    repo_rollup,
+)
+
+PY = """\
+# import fake_commented
+import os
+import os
+from collections import deque
+from functools import wraps
+    import indented_not_toplevel
+
+def top(x):
+    return x
+
+async def atop():
+    pass
+
+class Widget:
+    def method(self):  # not top-level
+        pass
+"""
+
+RS = """\
+use crate::parser;
+use super::lexer::Token;
+use self::util;
+pub mod child;
+mod private_child;
+mod inline_block {
+// use crate::commented_out;
+
+pub fn parse(s: &str) -> usize { s.len() }
+pub(crate) fn internal() {}
+async fn io_task() {}
+unsafe fn danger() {}
+pub struct Ast { pub id: u64 }
+enum Node { Leaf }
+pub trait Visit {}
+"""
+
+GO = """\
+package main
+
+import "fmt"
+import (
+    "net/http"
+    _ "embed"
+)
+
+func Handler(w int) {}
+func (s *Server) Serve() {}
+type Server struct{}
+"""
+
+JS = """\
+import React from 'react'
+import './side-effect.css'
+import { useState } from "react"
+const _ = require('lodash')
+
+export default function App() {}
+export class Store {}
+function helper() {}
+"""
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, ["repo", "path", "lang", "content"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _files(
+        spark,
+        [
+            ("org/a", "src/main.py", "python", PY),
+            ("org/a", "src/parser.rs", "rust", RS),
+            ("org/b", "cmd/server.go", "go", GO),
+            ("org/b", "web/app.js", "javascript", JS),
+            ("org/b", "web/app.ts", "typescript", JS),
+            ("org/c", "README.md", "markdown", "# not code\nimport nothing\n"),
+        ],
+    )
+
+
+def test_python_imports(spark, corpus):
+    got = {
+        r["imported"]
+        for r in extract_imports(corpus).where(F.col("lang") == "python").collect()
+    }
+    # commented/indented lines don't match; duplicate `import os` collapses
+    assert got == {"os", "collections", "functools"}
+
+
+def test_rust_imports_and_mods(spark, corpus):
+    got = {
+        r["imported"]
+        for r in extract_imports(corpus).where(F.col("lang") == "rust").collect()
+    }
+    # `mod inline_block {` (no semicolon) and commented `use` excluded
+    assert got == {"parser", "lexer", "util", "child", "private_child"}
+
+
+def test_go_imports(spark, corpus):
+    got = {
+        r["imported"]
+        for r in extract_imports(corpus).where(F.col("lang") == "go").collect()
+    }
+    assert got == {"fmt", "net/http", "embed"}
+
+
+def test_js_ts_imports(spark, corpus):
+    js = {
+        r["imported"]
+        for r in extract_imports(corpus).where(F.col("lang") == "javascript").collect()
+    }
+    assert js == {"react", "./side-effect.css", "lodash"}
+    ts = {
+        r["imported"]
+        for r in extract_imports(corpus).where(F.col("lang") == "typescript").collect()
+    }
+    assert ts == js
+
+
+def test_unknown_lang_yields_nothing(spark, corpus):
+    assert extract_imports(corpus).where(F.col("lang") == "markdown").count() == 0
+    assert extract_defs(corpus).where(F.col("lang") == "markdown").count() == 0
+
+
+def test_python_defs(spark, corpus):
+    got = {
+        (r["kind"], r["symbol"])
+        for r in extract_defs(corpus).where(F.col("lang") == "python").collect()
+    }
+    # `method` is indented → not top-level
+    assert got == {
+        ("function", "top"),
+        ("function", "atop"),
+        ("class", "Widget"),
+    }
+
+
+def test_rust_defs(spark, corpus):
+    got = {
+        (r["kind"], r["symbol"])
+        for r in extract_defs(corpus).where(F.col("lang") == "rust").collect()
+    }
+    assert got == {
+        ("function", "parse"),
+        ("function", "internal"),
+        ("function", "io_task"),
+        ("function", "danger"),
+        ("struct", "Ast"),
+        ("enum", "Node"),
+        ("trait", "Visit"),
+    }
+
+
+def test_go_defs_skip_method_receiver(spark, corpus):
+    got = {
+        (r["kind"], r["symbol"])
+        for r in extract_defs(corpus).where(F.col("lang") == "go").collect()
+    }
+    assert ("function", "Handler") in got
+    assert ("function", "Serve") in got  # method receiver form still yields the name
+    assert ("type", "Server") in got
+
+
+def test_js_defs(spark, corpus):
+    got = {
+        (r["kind"], r["symbol"])
+        for r in extract_defs(corpus).where(F.col("lang") == "javascript").collect()
+    }
+    assert got == {
+        ("function", "App"),
+        ("function", "helper"),
+        ("class", "Store"),
+    }
+
+
+def test_module_stem(spark):
+    df = spark.range(1).select(
+        module_stem(F.lit("src/a/mod_7.py")).alias("a"),
+        module_stem(F.lit("parser.rs")).alias("b"),
+        module_stem(F.lit("no_extension")).alias("c"),
+    )
+    r = df.collect()[0]
+    assert r["a"] == "mod_7" and r["b"] == "parser" and r["c"] == ""
+
+
+def test_dependency_edges_semantics(spark):
+    files = _files(
+        spark,
+        [
+            # a.py imports b and dangling_x; b.py imports a (cycle ok) and b (self)
+            ("r1", "src/a.py", "python", "import b\nimport dangling_x\n"),
+            ("r1", "src/b.py", "python", "import a\nimport b\n"),
+            # second provider of module `a` in another repo → fan-in of 2
+            ("r2", "lib/a.py", "python", ""),
+        ],
+    )
+    edges = dependency_edges(files)
+    got = {
+        (r["src_path"], r["dst_repo"], r["dst_path"]) for r in edges.collect()
+    }
+    # dangling_x resolves nowhere; b.py's self-import is dropped;
+    # `import a` resolves to BOTH providers (r1 and r2)
+    assert got == {
+        ("src/a.py", "r1", "src/b.py"),
+        ("src/b.py", "r1", "src/a.py"),
+        ("src/b.py", "r2", "lib/a.py"),
+    }
+    # max_fanin=1 keeps the deterministic first provider (repo asc)
+    capped = dependency_edges(files, max_fanin=1)
+    got1 = {
+        (r["src_path"], r["dst_repo"], r["dst_path"]) for r in capped.collect()
+    }
+    assert got1 == {
+        ("src/a.py", "r1", "src/b.py"),
+        ("src/b.py", "r1", "src/a.py"),
+    }
+
+
+def test_repo_rollup(spark):
+    files = _files(
+        spark,
+        [
+            ("r1", "src/a.py", "python", "import c\nimport d\n"),
+            ("r1", "src/b.py", "python", "import c\n"),
+            ("r2", "lib/c.py", "python", ""),
+            ("r2", "lib/d.py", "python", ""),
+        ],
+    )
+    roll = repo_rollup(dependency_edges(files)).collect()
+    assert len(roll) == 1
+    r = roll[0]
+    assert (r["src_repo"], r["dst_repo"]) == ("r1", "r2")
+    assert r["n_edges"] == 3 and r["n_src_files"] == 2 and r["n_modules"] == 2
+
+
+def test_code_triples_shape(spark, corpus):
+    t = code_triples(corpus)
+    assert t.columns == ["subj", "pred", "obj"]
+    preds = {r["pred"] for r in t.select("pred").distinct().collect()}
+    assert preds <= {"IMPORTS", "DEFINES", "DEPENDS_ON"}
+    assert {"IMPORTS", "DEFINES"} <= preds
+    # DEFINES objects are kind:symbol
+    d = t.where(F.col("pred") == "DEFINES").select("obj").collect()
+    assert all(":" in r["obj"] for r in d)
+
+
+def test_extraction_is_udf_free(spark, corpus):
+    plan = extract_imports(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan2 = extract_defs(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
