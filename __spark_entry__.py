@@ -1386,6 +1386,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_dependency_rollup"] = code_dependency_rollup
 
+    # === scalable graph extras: oriented triangles + k-core peeling ===
+    # clique+chain fixture (customers 1..120, groups of 8): idx 0..4 form
+    # a 5-clique, 4-5-6-7 a chain, plus edge 0-5 — triangle counts and
+    # the 4-core have closed forms, so the oracles are arithmetic ground
+    # truth while Spark runs the real oriented-join / peeling operators.
+
+    def _clique_chain_edges(spark, sf):
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        pairs = a.join(b, "g").where(
+            ((F.col("ia") < 5) & (F.col("ib") < 5) & (F.col("ia") < F.col("ib")))
+            | ((F.col("ia") >= 4) & (F.col("ib") == F.col("ia") + 1))
+            | ((F.col("ia") == 0) & (F.col("ib") == 5))
+        )
+        return pairs.select(
+            F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias("dst"),
+        )
+
+    def kg_triangles(spark, sf):
+        from graphrag_rs_spark.operators.analytics import triangle_counts
+
+        return triangle_counts(_clique_chain_edges(spark, sf))
+
+    q["kg_triangles"] = kg_triangles
+
+    def kg_kcore(spark, sf):
+        from graphrag_rs_spark.operators.analytics import k_core
+
+        return k_core(_clique_chain_edges(spark, sf), k=4)
+
+    q["kg_kcore"] = kg_kcore
+
     return q
 
 
@@ -3085,6 +3123,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT module) AS BIGINT) AS n_modules
         FROM edges
         GROUP BY src_repo, dst_repo
+    """
+
+    # === graph extras — closed-form answers for the clique+chain fixture
+    # (customers 0..119 in groups of 8: 5-clique on idx 0-4, chain
+    # 4-5-6-7, extra edge 0-5). Triangles per node: clique members are in
+    # C(4,2)=6, idx 0 and 4 gain the (0,4,5) triangle → 7, idx 5 is in
+    # exactly that one; the 4-core is the clique with all degrees 4.
+    sql["kg_triangles"] = """
+        SELECT 'C' || c_custkey AS id,
+               CAST(CASE c_custkey % 8
+                    WHEN 0 THEN 7 WHEN 4 THEN 7 WHEN 5 THEN 1
+                    ELSE 6 END AS BIGINT) AS triangles
+        FROM customer
+        WHERE c_custkey < 120 AND c_custkey % 8 <= 5
+    """
+
+    sql["kg_kcore"] = """
+        SELECT 'C' || c_custkey AS id, CAST(4 AS BIGINT) AS core_degree
+        FROM customer
+        WHERE c_custkey < 120 AND c_custkey % 8 < 5
     """
 
     return sql

@@ -417,3 +417,89 @@ def cc_communities_with_modularity(edges: DataFrame) -> DataFrame:
             / F.lit(2.0 * max(n_total, 1))
         ).alias("modularity"),
     )
+
+
+# ------------------------------------------------- scalable graph extras --
+
+def _sym_unweighted(edges: DataFrame) -> DataFrame:
+    """Distinct symmetric (src, dst) pairs, self-loops dropped. Accepts
+    edge frames with or without a weight column."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts via degree-ordered orientation.
+
+    The clustering-coefficient wedge join above is O(k²) per node and
+    counts each triangle 6× (once per node per wedge direction); this is
+    the scale version: orient every undirected edge from its
+    (degree, id)-smaller endpoint to the larger, join oriented edges on
+    their common source, and close each wedge against the oriented edge
+    set.  Every triangle is materialized exactly once, and out-degree
+    under degree orientation is O(√m) on any graph — the wedge fan-out a
+    hub would otherwise explode into is provably bounded, so no
+    ``max_degree`` exclusion knob is needed.  Three shuffles total
+    (degree agg, wedge join, closing join); ships only (id, id) pairs.
+
+    → (id, triangles) for nodes in ≥1 triangle.
+    """
+    sym = _sym_unweighted(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
+    with_keys = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("_deg").alias("_ks")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("_deg").alias("_kd")), "dst")
+    )
+    oriented = with_keys.where(
+        F.struct(F.col("_ks"), F.col("src")) < F.struct(F.col("_kd"), F.col("dst"))
+    ).select("src", "dst", F.struct(F.col("_kd"), F.col("dst")).alias("_key"))
+    a = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("_key").alias("_kv"))
+    b = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("_key").alias("_kw"))
+    wedges = a.join(b, "u").where(F.col("_kv") < F.col("_kw")).select("u", "v", "w")
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])  # one row per triangle
+    members = (
+        tris.select(F.col("u").alias("id"))
+        .union(tris.select(F.col("v").alias("id")))
+        .union(tris.select(F.col("w").alias("id")))
+    )
+    return members.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """k-core decomposition by simultaneous peeling: repeatedly remove
+    every node with degree < k until the graph is stable.
+
+    Each round is one degree aggregation plus two semi-joins (filter both
+    endpoints), lineage-cut per round; rounds needed = the peel depth of
+    the graph (typically small), each a constant number of shuffles over
+    a strictly shrinking edge set.  Convergence is detected by node
+    count, which the degree frame already materializes — no extra scan.
+
+    → (id, core_degree) for nodes in the k-core, where core_degree is the
+    node's degree WITHIN the core (≥ k by construction).
+    """
+    cur = _sym_unweighted(edges).localCheckpoint(eager=True)
+    prev_nodes = -1
+    for _ in range(max_iter):
+        deg = cur.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k).persist()
+        n = keep.count()
+        if n == 0:
+            keep.unpersist()
+            return deg.where(F.lit(False))  # empty, correct schema
+        if n == prev_nodes:
+            keep.unpersist()
+            return deg.where(F.col("core_degree") >= k)
+        prev_nodes = n
+        cur = (
+            cur.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        keep.unpersist()
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("core_degree")
+    )

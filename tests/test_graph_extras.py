@@ -1,0 +1,84 @@
+"""triangle_counts (degree-oriented) and k_core (simultaneous peeling)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.analytics import (
+    clustering_coefficients,
+    k_core,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], ["src", "dst", "weight"]
+    )
+
+
+def test_triangles_k4(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {r["id"]: r["triangles"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    # K4 has C(4,3)=4 triangles; each node is in C(3,2)=3
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_none_on_star_and_path(spark):
+    star = [("hub", f"n{i}") for i in range(6)]
+    assert triangle_counts(_edges(spark, star)).count() == 0
+    path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+    assert triangle_counts(_edges(spark, path)).count() == 0
+
+
+def test_triangles_duplicate_and_reversed_edges_collapse(spark):
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "a"), ("a", "a")]
+    got = {r["id"]: r["triangles"] for r in triangle_counts(_edges(spark, tri)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_match_clustering_coefficient_wedges(spark):
+    # random graph cross-check: clustering_coefficients counts each
+    # triangle at a node TWICE (ordered wedges), so cc.triangles == 2x ours
+    rng = random.Random(7)
+    nodes = [f"v{i}" for i in range(30)]
+    pairs = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)
+    }
+    e = _edges(spark, sorted(pairs))
+    ours = {r["id"]: r["triangles"] for r in triangle_counts(e).collect()}
+    cc = {r["id"]: r["triangles"] for r in clustering_coefficients(e).collect()}
+    for node, wedge_count in cc.items():
+        assert ours.get(node, 0) * 2 == wedge_count
+
+
+def test_kcore_triangle_with_tail(spark):
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "t1"), ("t1", "t2")]
+    got = {r["id"]: r["core_degree"] for r in k_core(_edges(spark, e), 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert k_core(_edges(spark, e), 3).count() == 0
+
+
+def test_kcore_cascade_chain_empties(spark):
+    chain = [(f"c{i}", f"c{i+1}") for i in range(5)]
+    # every round peels only the current endpoints → multi-round cascade
+    assert k_core(_edges(spark, chain), 2).count() == 0
+
+
+def test_kcore_clique_chain_fixture_shape(spark):
+    # one 5-clique (0..4) + chain 4-5-6-7 + extra edge 0-5 (the board
+    # fixture's group shape): 4-core = the clique, all core degrees 4
+    pairs = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    pairs += [("n4", "n5"), ("n5", "n6"), ("n6", "n7"), ("n0", "n5")]
+    got = {r["id"]: r["core_degree"] for r in k_core(_edges(spark, pairs), 4).collect()}
+    assert got == {f"n{i}": 4 for i in range(5)}
+    tri = {r["id"]: r["triangles"] for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert tri == {"n0": 7, "n1": 6, "n2": 6, "n3": 6, "n4": 7, "n5": 1}
+
+
+def test_triangle_plan_is_udf_free(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
