@@ -1424,6 +1424,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_kcore"] = kg_kcore
 
+    def text_contamination(spark, sf):
+        from graphrag_rs_spark.operators.mixture import contamination_scores
+
+        # benchmark decontamination: docs with doc_id % 83 == 0 play the
+        # held-out eval suite; flag training docs sharing ≥2 distinct
+        # word 3-grams with it. Eval gram-hash set is broadcast — the
+        # corpus side is one map pass, no shuffle.
+        d = _docs(spark, sf)
+        return contamination_scores(
+            d.where(F.col("doc_id") % 83 != 0),
+            d.where(F.col("doc_id") % 83 == 0),
+            n=3,
+            min_hits=2,
+            hash_fn="portable",
+        )
+
+    q["text_contamination"] = text_contamination
+
     return q
 
 
@@ -3143,6 +3161,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'C' || c_custkey AS id, CAST(4 AS BIGINT) AS core_degree
         FROM customer
         WHERE c_custkey < 120 AND c_custkey % 8 < 5
+    """
+
+    # === benchmark decontamination (same tokenizer/gram/hash family as
+    # text_boilerplate; eval suite = doc_id % 83 == 0)
+    sql["text_contamination"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   END AS grams
+            FROM toks
+        ),
+        exploded AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gram_h
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM grams)
+        ),
+        ev AS (SELECT DISTINCT gram_h FROM exploded WHERE doc_id % 83 = 0),
+        hits AS (
+            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM exploded e JOIN ev USING (gram_h)
+            WHERE e.doc_id % 83 != 0
+            GROUP BY e.doc_id
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM exploded WHERE doc_id % 83 != 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(h.n_contaminated, 0) >= 2 AS contaminated
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 83 != 0
     """
 
     return sql

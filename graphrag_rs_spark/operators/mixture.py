@@ -296,3 +296,62 @@ def mixture_sample(
     if domain_cap is not None:
         ranked = ranked.where(F.col("domain_rank") <= domain_cap)
     return ranked
+
+
+def contamination_scores(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    min_hits: int = 1,
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word n-grams
+    with an evaluation set (GPT-3 appendix C / PaLM / Llama style).
+
+    ``eval_docs`` is the benchmark suite (doc_id, text) — in practice a
+    few MB against a 100 TB corpus, so its distinct gram-hash set is
+    BROADCAST and the whole check is a map-side join: one linear scan of
+    the corpus, zero shuffles on the big side (the final per-doc agg is
+    map-side-combined on doc_id, which parquet row-groups already
+    cluster). Grams dedup per doc array-side (hashed longs, same
+    convention as boilerplate_scores); matching is on the 60-bit hash.
+
+    ``hash_fn``: "fast" = xxhash64 (production), "portable" = sha256
+    60-bit (oracle-replayable). → (doc_id, n_grams, n_contaminated,
+    contaminated) with n_grams = distinct grams in the doc,
+    n_contaminated = distinct grams also in the eval set, contaminated =
+    n_contaminated ≥ min_hits.
+    """
+    hash_one = _portable_hash60 if hash_fn == "portable" else F.xxhash64
+    gr = lambda c: F.array_distinct(ngrams_col(_tokens(c), n))  # noqa: E731
+    ev = (
+        eval_docs.select(F.explode(gr(F.col("text"))).alias("gram"))
+        .select(hash_one(F.col("gram")).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = (
+        docs.select("doc_id", gr(F.col("text")).alias("_grams"))
+        .select(
+            "doc_id",
+            F.size("_grams").alias("n_grams"),
+            F.explode_outer("_grams").alias("gram"),
+        )
+        .withColumn("g", hash_one(F.col("gram")))
+    )
+    return (
+        ex.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("_hit").isNotNull(), F.col("g"))
+            ).alias("n_contaminated")
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+        )
+    )
