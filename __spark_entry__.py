@@ -629,6 +629,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_events_sessionize"] = rel_events_sessionize
 
+    def rel_events_asof(spark, sf):
+        """As-of join (operators/asof.py): each click matched to the same
+        user's latest view at-or-before it — ONE window shuffle (merged
+        timeline + last(ignorenulls)), no range join. The right side is
+        deduped to one row per (user, ts) so ties can't make the match
+        nondeterministic; nullable outputs are coalesced to -1 so both
+        engines agree on dtype. Oracle: DuckDB's native ASOF LEFT JOIN
+        (l.ts >= r.ts — equal timestamps match, same as ours)."""
+        from graphrag_rs_spark.operators.asof import asof_join
+
+        e = _t(spark, sf, "events")
+        clicks = e.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        views = (
+            e.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        j = asof_join(clicks, views, on=["user_id"], left_time="ts", right_time="ts")
+        return j.select(
+            "user_id",
+            "click_id",
+            F.coalesce("view_id", F.lit(-1)).cast("long").alias("view_id"),
+            # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+            # NTZ→TZ cast shifts both sides by the same session-TZ offset,
+            # so the difference stays exact
+            F.coalesce(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_r").cast("timestamp")),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("gap_us"),
+        )
+
+    q["rel_events_asof"] = rel_events_asof
+
     # === training-data ops ===
 
     def dedup_exact(spark, sf):
@@ -2225,6 +2263,24 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    # rel_events_asof: DuckDB has a native ASOF JOIN with exactly our
+    # backward semantics (latest right.ts <= left.ts per key, ties match).
+    sql["rel_events_asof"] = """
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts
+            FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+        )
+        SELECT c.user_id, c.click_id,
+               CAST(coalesce(v.view_id, -1) AS BIGINT) AS view_id,
+               CAST(coalesce(epoch_us(c.ts) - epoch_us(v.ts), -1) AS BIGINT)
+                   AS gap_us
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
     """
 
     # temporal edges over events: interval = [epoch, epoch+300]; buckets of

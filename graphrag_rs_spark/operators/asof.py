@@ -1,0 +1,96 @@
+"""Generic as-of join — the time-series join Spark's DataFrame API lacks.
+
+For each left row, find the right row in the same key group whose
+timestamp is the latest ≤ the left timestamp (``direction="backward"``,
+the pandas ``merge_asof`` / kdb ``aj`` / DuckDB ``ASOF JOIN`` default),
+or the earliest ≥ it (``"forward"``).
+
+Re-expression instead of a range join: tag both sides, union them, and
+take ``last(payload, ignorenulls=True)`` over ONE window sorted by
+(time, side) within the key — the right row in effect at each left row
+is whatever payload most recently preceded it in the merged timeline.
+This is the same single-window trick the chunk enricher uses for heading
+paths (enrich.py:_asof_headings) and the classic streaming as-of shape:
+
+- ONE shuffle (the window partitionBy), vs a range join's O(n·m)
+  per-key blowup or a join+groupBy-max double shuffle;
+- at equal timestamps the right row sorts BEFORE the left row, so a
+  simultaneous right event matches (DuckDB ``l.t >= r.t`` semantics);
+- 100 TB shape: cost is a sort within each key partition — skewed keys
+  spill but never cross-product; AQE handles moderate key skew.
+
+``tolerance`` (in the time column's own units) nulls out matches older
+(backward) / newer (forward) than the bound, keeping the row — exactly
+``merge_asof(tolerance=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """→ all left columns + right payload columns (right's key/time
+    columns excluded; names colliding with left's get ``suffix``).
+    Left rows with no match keep NULL payload (left-outer semantics)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    key = list(on)
+    r_payload_cols = [c for c in right.columns if c not in key]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in r_payload_cols
+    }
+    payload = F.struct(*[F.col(c).alias(c) for c in r_payload_cols])
+    r = right.select(
+        *key,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    lrow = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    l = left.select(
+        *key,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        lrow.alias("_lrow"),
+    )
+    u = l.unionByName(r.withColumn("_lrow", F.lit(None).cast(l.schema["_lrow"].dataType)))
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - F.col(f"_m.{right_time}")
+            if direction == "backward"
+            else F.col(f"_m.{right_time}") - F.col("_t")
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= tolerance, F.col("_m"))
+        )
+    return matched.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(out_names[c]) for c in r_payload_cols],
+    )
