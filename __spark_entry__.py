@@ -1462,6 +1462,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_kcore"] = kg_kcore
 
+    def kg_motif_open_triads(spark, sf):
+        """Motif matching (operators/motif.py): open triads — x→y→z with NO
+        closing x→z edge — on the clique+chain graph. The pattern compiles
+        to two equi-joins plus one left_anti; the oracle replays it as SQL
+        self-joins with NOT EXISTS."""
+        from graphrag_rs_spark.operators.motif import match_motif
+
+        return match_motif(
+            _clique_chain_edges(spark, sf),
+            "(x)-[]->(y); (y)-[]->(z); !(x)-[]->(z)",
+            distinct_vertices=True,
+        )
+
+    q["kg_motif_open_triads"] = kg_motif_open_triads
+
     def text_contamination(spark, sf):
         from graphrag_rs_spark.operators.mixture import contamination_scores
 
@@ -3217,6 +3232,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'C' || c_custkey AS id, CAST(4 AS BIGINT) AS core_degree
         FROM customer
         WHERE c_custkey < 120 AND c_custkey % 8 < 5
+    """
+
+    # kg_motif_open_triads: replay the clique+chain edge construction, then
+    # the motif "(x)->(y); (y)->(z); !(x)->(z)" as self-joins + NOT EXISTS
+    # with the distinct-vertices pairwise filters.
+    sql["kg_motif_open_triads"] = """
+        WITH c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        e AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE (a.idx < 5 AND b.idx < 5 AND a.idx < b.idx)
+               OR (a.idx >= 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 0 AND b.idx = 5)
+        )
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        WHERE NOT EXISTS (
+                  SELECT 1 FROM e e3
+                  WHERE e3.src = e1.src AND e3.dst = e2.dst
+              )
+          AND e1.src <> e1.dst AND e1.src <> e2.dst AND e1.dst <> e2.dst
     """
 
     # === benchmark decontamination (same tokenizer/gram/hash family as
