@@ -1477,6 +1477,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_motif_open_triads"] = kg_motif_open_triads
 
+    def kg_random_walks(spark, sf):
+        """DeepWalk-style deterministic walks (operators/walks.py) on the
+        clique+chain graph: portable sha256 choice hash, so the DuckDB
+        oracle replays every step in a recursive CTE. Sinks (idx-7 chain
+        tails) exercise the early-stop path."""
+        from graphrag_rs_spark.operators.walks import random_walks
+
+        return random_walks(
+            _clique_chain_edges(spark, sf), walk_length=4, walks_per_node=2, seed=42
+        )
+
+    q["kg_random_walks"] = kg_random_walks
+
     def text_contamination(spark, sf):
         from graphrag_rs_spark.operators.mixture import contamination_scores
 
@@ -3232,6 +3245,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'C' || c_custkey AS id, CAST(4 AS BIGINT) AS core_degree
         FROM customer
         WHERE c_custkey < 120 AND c_custkey % 8 < 5
+    """
+
+    # kg_random_walks: recursive-CTE replay of the deterministic walks —
+    # same adjacency indexing (row_number over dst), same 60-bit sha256
+    # choice hash H(cur␟w␟t␟seed) mod degree, same early stop at sinks
+    # (the inner join stops extending; the max-t row per walk is terminal).
+    sql["kg_random_walks"] = """
+        WITH RECURSIVE
+        c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        e AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE (a.idx < 5 AND b.idx < 5 AND a.idx < b.idx)
+               OR (a.idx >= 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 0 AND b.idx = 5)
+        ),
+        adj AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                   count(*) OVER (PARTITION BY src) AS d
+            FROM (SELECT DISTINCT src, dst FROM e)
+        ),
+        walk(walk_id, start, w, t, cur, path) AS (
+            SELECT s.src || '#' || CAST(ws.w AS VARCHAR), s.src, ws.w, 0,
+                   s.src, s.src
+            FROM (SELECT DISTINCT src FROM adj) s
+                 CROSS JOIN (SELECT unnest([0, 1]) AS w) ws
+            UNION ALL
+            SELECT walk.walk_id, walk.start, walk.w, walk.t + 1, a.dst,
+                   walk.path || '>' || a.dst
+            FROM walk JOIN adj a
+              ON a.src = walk.cur
+             AND a.idx = ('0x' || substr(sha256(
+                     walk.cur || chr(31) || CAST(walk.w AS VARCHAR)
+                     || chr(31) || CAST(walk.t + 1 AS VARCHAR)
+                     || chr(31) || '42'), 1, 15))::BIGINT % a.d
+            WHERE walk.t < 4
+        )
+        SELECT walk_id, start, CAST(t AS INT) AS steps, path AS path_str
+        FROM walk
+        QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY t DESC) = 1
     """
 
     # kg_motif_open_triads: replay the clique+chain edge construction, then

@@ -1,0 +1,69 @@
+"""Deterministic random walks vs a pure-Python replay of the hash choices."""
+
+import hashlib
+
+import pytest
+
+from graphrag_rs_spark.operators.walks import SEP, random_walks
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a")]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _replay(walk_length: int, walks_per_node: int, seed: int):
+    adj: dict[str, list[str]] = {}
+    for s, d in sorted(set(EDGES)):
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for start in adj:
+        for w in range(walks_per_node):
+            cur, path = start, [start]
+            steps = 0
+            for t in range(1, walk_length + 1):
+                if cur not in adj:
+                    break
+                nbrs = adj[cur]
+                i = _h60(SEP.join([cur, str(w), str(t), str(seed)])) % len(nbrs)
+                cur = nbrs[i]
+                path.append(cur)
+                steps = t
+            out[f"{start}#{w}"] = (start, steps, ">".join(path))
+    return out
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_matches_python_replay(edges):
+    got = {
+        r["walk_id"]: (r["start"], r["steps"], r["path_str"])
+        for r in random_walks(
+            edges, walk_length=3, walks_per_node=2, seed=7
+        ).collect()
+    }
+    assert got == _replay(3, 2, 7)
+
+
+def test_deterministic_and_seed_sensitive(edges):
+    a = sorted(map(tuple, random_walks(edges, seed=7).collect()))
+    b = sorted(map(tuple, random_walks(edges, seed=7).collect()))
+    c = sorted(map(tuple, random_walks(edges, seed=8).collect()))
+    assert a == b
+    assert a != c
+
+
+def test_sink_walks_stop_early(edges):
+    rows = random_walks(edges, walk_length=4, walks_per_node=1, seed=1).collect()
+    by_id = {r["walk_id"]: r for r in rows}
+    # every node with out-edges starts exactly one walk
+    assert set(by_id) == {"a#0", "b#0", "c#0"}
+    for r in rows:
+        hops = r["path_str"].count(">")
+        assert hops == r["steps"]
+        if r["steps"] < 4:  # stopped early ⇒ ended at the sink 'd'
+            assert r["path_str"].endswith(">d")
