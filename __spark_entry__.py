@@ -76,18 +76,29 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = lambda c: c.cast("string")  # noqa: E731
     m1 = s((did * 7 + 1) % 1000)
     m2 = s((did * 3 + 2) % 1000)
+    # call sites: k1 = (id+6) mod 1000 keeps parity AND id mod 3 (6 ≡ 0
+    # mod 2 and 3), so the same-lang same-repo call resolves whenever file
+    # k1 exists; k2 = (13·id+5) mod 1000 flips parity, so the cross-lang
+    # call ALWAYS dangles (defining file lives in the other proj).
+    # Comment head is paren-stripped so it can never fake a call site.
+    k1 = s((did + 6) % 1000)
+    k2 = s((did * 13 + 5) % 1000)
+    head = F.expr("regexp_replace(substring(text, 1, 40), '[()]', '')")
     py = F.concat(
-        F.lit("# "), F.expr("substring(text, 1, 40)"), F.lit("\n"),
+        F.lit("# "), head, F.lit("\n"),
         F.lit("import mod_"), m1, F.lit("\n"),
         F.lit("from mod_"), m2, F.lit(" import helper\n\n"),
-        F.lit("def fn_"), s(did), F.lit("(x):\n    return x\n\n"),
+        F.lit("def fn_"), s(did), F.lit("(x):\n    y = fn_"), k1,
+        F.lit("(x)\n    return process_"), k2, F.lit("(y)\n\n"),
         F.lit("class Cls_"), s(did), F.lit(":\n    pass\n"),
     )
     rs = F.concat(
-        F.lit("// "), F.expr("substring(text, 1, 40)"), F.lit("\n"),
+        F.lit("// "), head, F.lit("\n"),
         F.lit("use crate::mod_"), m1, F.lit(";\n"),
         F.lit("use crate::mod_"), m2, F.lit("::helper;\n\n"),
-        F.lit("pub fn process_"), s(did), F.lit("(x: u64) -> u64 { x }\n\n"),
+        F.lit("pub fn process_"), s(did),
+        F.lit("(x: u64) -> u64 {\n    let y = process_"), k1,
+        F.lit("(x);\n    fn_"), k2, F.lit("(y)\n}\n\n"),
         F.lit("pub struct Record_"), s(did), F.lit(" { pub id: u64 }\n"),
     )
     is_py = did % 2 == 0
@@ -1423,6 +1434,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repo_rollup(dependency_edges(files))
 
     q["code_dependency_rollup"] = code_dependency_rollup
+
+    def code_call_graph(spark, sf):
+        """Call-graph resolution (code_graph.py:call_edges): call sites
+        extracted regex-only, resolved to same-repo function defs. The
+        corpus's closed-form call targets (k1 = (id+6) mod 1000 resolves,
+        k2 = (13·id+5) mod 1000 dangles by parity) give the oracle
+        arithmetic ground truth — it never runs the call regex."""
+        from graphrag_rs_spark.operators.code_graph import call_edges
+
+        return call_edges(_code_corpus(spark, sf))
+
+    q["code_call_graph"] = code_call_graph
 
     # === scalable graph extras: oriented triangles + k-core peeling ===
     # clique+chain fixture (customers 1..120, groups of 8): idx 0..4 form
@@ -3217,6 +3240,21 @@ def oracle_sql() -> dict[str, str]:
         _code_edges_sql
         + "SELECT src_repo, src_path, dst_repo, dst_path, module FROM edges"
     )
+
+    # code_call_graph: arithmetic ground truth — the k1=(id+6)%1000 call
+    # resolves iff that file exists in the SAME repo (parity and mod-3
+    # residue are preserved by +6 except across the %1000 wrap, which the
+    # repo-equality predicate handles); the k2 call never resolves (parity
+    # flip ⇒ other proj). Symbol prefix follows the CALLER's language.
+    sql["code_call_graph"] = f"""
+        WITH {code_cte}
+        SELECT c1.repo, c1.path AS src_path, 'CALLS' AS pred,
+               c2.path AS dst_path,
+               CASE WHEN c1.lang = 'python' THEN 'fn_' ELSE 'process_' END
+                   || c2.doc_id AS symbol
+        FROM code c1 JOIN code c2
+          ON c2.doc_id = (c1.doc_id + 6) % 1000 AND c2.repo = c1.repo
+    """
 
     sql["code_dependency_rollup"] = _code_edges_sql + """
         SELECT src_repo, dst_repo,

@@ -87,6 +87,28 @@ DEF_PATTERNS: dict[str, list[tuple[str, str]]] = {
 DEF_PATTERNS["typescript"] = DEF_PATTERNS["javascript"]
 
 
+# call sites: identifier directly followed by '(' — the regex-level
+# approximation of a call expression (tree-sitter-exact call graphs need
+# the C4 plug-point; this is the corpus-scale heuristic). Definition sites
+# also match the pattern, so extract_calls subtracts the file's OWN defs
+# (array_except) — which also drops recursive self-calls, documented.
+CALL_PATTERN = r"([A-Za-z_][A-Za-z0-9_$]*)[ \t]*\("
+
+# syntactic keywords that precede '(' without being calls
+CALL_KEYWORDS: dict[str, list[str]] = {
+    "python": ["if", "elif", "while", "for", "with", "return", "yield",
+               "assert", "lambda", "del", "raise", "except", "not", "and",
+               "or", "in", "is"],
+    "rust": ["if", "while", "for", "match", "loop", "return", "unsafe",
+             "move", "in"],
+    "go": ["if", "for", "switch", "select", "go", "defer", "return",
+           "range", "func"],
+    "javascript": ["if", "while", "for", "switch", "catch", "function",
+                   "return", "typeof", "await", "in", "of", "new"],
+}
+CALL_KEYWORDS["typescript"] = CALL_KEYWORDS["javascript"]
+
+
 def _lang_dispatch(per_lang: dict[str, Column], default: Column) -> Column:
     """CASE WHEN lang = ... chain — one codegen'd expression, no UDF."""
     expr = None
@@ -155,6 +177,85 @@ def extract_defs(files: DataFrame) -> DataFrame:
         .select(
             "repo", "path", "lang",
             F.col("_d.kind").alias("kind"), F.col("_d.symbol").alias("symbol"),
+        )
+    )
+
+
+def extract_calls(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → one row per distinct called symbol.
+
+    Map-only like extract_imports: ``regexp_extract_all(CALL_PATTERN)``,
+    minus the language's keywords, minus the file's own defined symbols
+    (def/fn sites match the call pattern too — subtracting own defs drops
+    them AND recursive/intra-file calls, which call_edges would discard
+    anyway). Unknown langs yield zero rows.
+    """
+    raw = F.array_distinct(
+        F.regexp_extract_all(F.col("content"), F.lit(CALL_PATTERN), F.lit(1))
+    )
+    per_lang = {
+        lang: F.array_except(raw, F.array(*[F.lit(k) for k in kws]))
+        for lang, kws in CALL_KEYWORDS.items()
+    }
+    arr = _lang_dispatch(per_lang, F.array().cast("array<string>"))
+    own_defs = extract_defs(files).groupBy("repo", "path").agg(
+        F.collect_set("symbol").alias("_own")
+    )
+    return (
+        files.select("repo", "path", "lang", arr.alias("_calls"))
+        .join(own_defs, ["repo", "path"], "left")
+        .select(
+            "repo", "path", "lang",
+            F.explode(
+                F.array_except(
+                    "_calls", F.coalesce("_own", F.array().cast("array<string>"))
+                )
+            ).alias("called"),
+        )
+    )
+
+
+def call_edges(
+    files: DataFrame,
+    calls: DataFrame | None = None,
+    defs: DataFrame | None = None,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """File→file CALLS edges: called symbol == a *function* def in another
+    file of the SAME repo (cross-repo reuse goes through imports — that's
+    dependency_edges' job; scoping resolution to the repo keeps the join
+    key (repo, symbol) instead of the skew-prone bare symbol).
+
+    One shuffle join.  Unresolved calls (stdlib, vendored, cross-repo)
+    drop out of the inner join; same-file hits are excluded.  ``max_fanout``
+    keeps only the first N defining files per (repo, symbol) — the guard
+    for a repo that defines the same popular name in hundreds of files.
+    """
+    if calls is None:
+        calls = extract_calls(files)
+    if defs is None:
+        defs = extract_defs(files)
+    providers = defs.where(F.col("kind") == "function").select(
+        "repo", F.col("path").alias("dst_path"), F.col("symbol").alias("called")
+    )
+    if max_fanout is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("repo", "called").orderBy("dst_path")
+        providers = (
+            providers.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_fanout)
+            .drop("_rn")
+        )
+    return (
+        calls.join(providers, ["repo", "called"])
+        .where(F.col("path") != F.col("dst_path"))
+        .select(
+            "repo",
+            F.col("path").alias("src_path"),
+            F.lit("CALLS").alias("pred"),
+            "dst_path",
+            F.col("called").alias("symbol"),
         )
     )
 
@@ -238,4 +339,9 @@ def code_triples(files: DataFrame) -> DataFrame:
         F.col("pred"),
         fid("dst_repo", "dst_path").alias("obj"),
     )
-    return imp.unionByName(dfs).unionByName(dep)
+    cal = call_edges(files).select(
+        fid("repo", "src_path").alias("subj"),
+        F.col("pred"),
+        fid("repo", "dst_path").alias("obj"),
+    )
+    return imp.unionByName(dfs).unionByName(dep).unionByName(cal)

@@ -255,7 +255,7 @@ def test_code_triples_shape(spark, corpus):
     t = code_triples(corpus)
     assert t.columns == ["subj", "pred", "obj"]
     preds = {r["pred"] for r in t.select("pred").distinct().collect()}
-    assert preds <= {"IMPORTS", "DEFINES", "DEPENDS_ON"}
+    assert preds <= {"IMPORTS", "DEFINES", "DEPENDS_ON", "CALLS"}
     assert {"IMPORTS", "DEFINES"} <= preds
     # DEFINES objects are kind:symbol
     d = t.where(F.col("pred") == "DEFINES").select("obj").collect()
@@ -267,3 +267,116 @@ def test_extraction_is_udf_free(spark, corpus):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan2 = extract_defs(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+# ---------------------------------------------------------- call graph --
+
+CALL_A = """\
+def alpha(x):
+    return beta(util_fn(x))
+
+class Tool:
+    pass
+"""
+
+CALL_B = """\
+def beta(y):
+    if y:
+        return alpha(y)
+    return beta(y - 1)
+"""
+
+CALL_C = """\
+def gamma(z):
+    t = Tool()
+    while z:
+        z -= 1
+    return t
+"""
+
+CALL_RS = """\
+pub fn run(x: u64) -> u64 {
+    match compute(x) {
+        v => helper_call(v),
+    }
+}
+pub fn compute(x: u64) -> u64 { x }
+"""
+
+
+@pytest.fixture(scope="module")
+def call_corpus(spark):
+    return _files(
+        spark,
+        [
+            ("r1", "src/a.py", "python", CALL_A),
+            ("r1", "src/b.py", "python", CALL_B),
+            ("r1", "src/c.py", "python", CALL_C),
+            ("r2", "src/b2.py", "python", "def beta(q):\n    return q\n"),
+            ("r2", "src/runner.rs", "rust", CALL_RS),
+        ],
+    )
+
+
+def test_extract_calls_filters_keywords_and_own_defs(spark, call_corpus):
+    from graphrag_rs_spark.operators.code_graph import extract_calls
+
+    got = {
+        (r["path"], r["called"]) for r in extract_calls(call_corpus).collect()
+    }
+    # a.py: alpha is its own def (subtracted); beta + util_fn survive
+    assert {("src/a.py", "beta"), ("src/a.py", "util_fn")} <= got
+    # b.py: recursive beta subtracted with its own def; alpha survives
+    assert ("src/b.py", "alpha") in got
+    assert ("src/b.py", "beta") not in got
+    # c.py: `while z:` has no paren; Tool( survives; gamma is own def
+    assert ("src/c.py", "Tool") in got
+    assert ("src/c.py", "while") not in got and ("src/c.py", "gamma") not in got
+    # rust: `match compute(x)` — match is a keyword, compute is an
+    # intra-file call to its own def (subtracted); helper_call survives
+    assert ("src/runner.rs", "helper_call") in got
+    assert ("src/runner.rs", "match") not in got
+    assert ("src/runner.rs", "compute") not in got
+
+
+def test_call_edges_resolve_same_repo_functions_only(spark, call_corpus):
+    from graphrag_rs_spark.operators.code_graph import call_edges
+
+    got = {
+        (r["repo"], r["src_path"], r["dst_path"], r["symbol"])
+        for r in call_edges(call_corpus).collect()
+    }
+    # a.py→beta resolves to b.py (same repo), NOT to r2's b2.py
+    # b.py→alpha resolves to a.py; util_fn/helper_call dangle;
+    # c.py→Tool does NOT resolve (Tool is a class, providers are functions)
+    assert got == {
+        ("r1", "src/a.py", "src/b.py", "beta"),
+        ("r1", "src/b.py", "src/a.py", "alpha"),
+    }
+
+
+def test_call_edges_max_fanout(spark):
+    from graphrag_rs_spark.operators.code_graph import call_edges
+
+    files = _files(
+        spark,
+        [("r", f"src/p{i}.py", "python", "def common(x):\n    return x\n")
+         for i in range(4)]
+        + [("r", "src/caller.py", "python", "def go():\n    return common(1)\n")],
+    )
+    full = call_edges(files).where(F.col("src_path") == "src/caller.py")
+    assert full.count() == 4
+    capped = call_edges(files, max_fanout=2).where(
+        F.col("src_path") == "src/caller.py"
+    )
+    # deterministic: first two providers ordered by dst_path
+    assert sorted(r["dst_path"] for r in capped.collect()) == [
+        "src/p0.py", "src/p1.py",
+    ]
+
+
+def test_extract_calls_is_udf_free(spark, call_corpus):
+    from graphrag_rs_spark.operators.code_graph import extract_calls
+
+    plan = extract_calls(call_corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
