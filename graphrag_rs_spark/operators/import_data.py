@@ -239,10 +239,16 @@ def import_rdf_turtle(spark: SparkSession, path: str):
         _local_name(F.col("o")).alias("obj"),
     )
 
+    # strip quotes, then unescape \" and \\ (what a real Turtle parser —
+    # the reference's oxttl — does; sentinel keeps \\" unambiguous)
+    _val = F.regexp_replace(F.col("o"), r'^"|"$', "")
+    _val = F.regexp_replace(_val, r"\\\\", "\x00")
+    _val = F.regexp_replace(_val, r'\\"', '"')
+    _val = F.regexp_replace(_val, "\x00", r"\\")
     lits = parsed.where(~is_uri).select(
         _local_name(F.col("s")).alias("entity_id"),
         _local_name(F.col("p")).alias("prop"),
-        F.regexp_replace(F.col("o"), r'^"|"$', "").alias("value"),
+        _val.alias("value"),
     )
     subj_ids = parsed.select(_local_name(F.col("s")).alias("entity_id"))
     obj_ids = parsed.where(is_uri).select(_local_name(F.col("o")).alias("entity_id"))
