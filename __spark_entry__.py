@@ -678,6 +678,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_events_asof"] = rel_events_asof
 
+    def rel_snapshot_diff(spark, sf):
+        """Snapshot diff (operators/diff.py): per-customer order rollups
+        over two overlapping date windows, full-outer joined null-safe —
+        added / removed / changed with the differing-column list. Oracle:
+        the same two aggregates + FULL OUTER JOIN + IS DISTINCT FROM."""
+        from graphrag_rs_spark.operators.diff import snapshot_diff
+
+        o = _t(spark, sf, "orders")
+
+        def snap(lo, hi):
+            return (
+                o.where(
+                    (F.col("o_orderdate") >= F.lit(lo))
+                    & (F.col("o_orderdate") < F.lit(hi))
+                )
+                .groupBy("o_custkey")
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                )
+            )
+
+        d = snapshot_diff(
+            snap("1995-01-01", "1998-01-01"),
+            snap("1996-06-01", "2001-01-01"),
+            keys=["o_custkey"],
+            compare=["n_orders", "revenue"],
+        )
+        return d.select(
+            "o_custkey",
+            "status",
+            F.array_join("changed_cols", ",").alias("changed"),
+            F.coalesce("old_n_orders", F.lit(-1)).alias("old_n_orders"),
+            F.coalesce("new_n_orders", F.lit(-1)).alias("new_n_orders"),
+            F.coalesce("old_revenue", F.lit(-1.0)).alias("old_revenue"),
+            F.coalesce("new_revenue", F.lit(-1.0)).alias("new_revenue"),
+        )
+
+    q["rel_snapshot_diff"] = rel_snapshot_diff
+
     # === training-data ops ===
 
     def dedup_exact(spark, sf):
@@ -2314,6 +2354,47 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    sql["rel_snapshot_diff"] = """
+        WITH snap_old AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        ), snap_new AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+              AND o_orderdate < TIMESTAMP '2001-01-01'
+            GROUP BY o_custkey
+        ), j AS (
+            SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+                   CASE WHEN o.o_custkey IS NULL THEN 'added'
+                        WHEN n.o_custkey IS NULL THEN 'removed'
+                        WHEN o.n_orders IS DISTINCT FROM n.n_orders
+                          OR o.revenue IS DISTINCT FROM n.revenue
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN o.o_custkey IS NULL OR n.o_custkey IS NULL
+                        THEN ''
+                        ELSE ltrim(
+                            CASE WHEN o.n_orders IS DISTINCT FROM n.n_orders
+                                 THEN ',n_orders' ELSE '' END ||
+                            CASE WHEN o.revenue IS DISTINCT FROM n.revenue
+                                 THEN ',revenue' ELSE '' END, ',')
+                   END AS changed,
+                   coalesce(o.n_orders, -1) AS old_n_orders,
+                   coalesce(n.n_orders, -1) AS new_n_orders,
+                   coalesce(o.revenue, -1.0) AS old_revenue,
+                   coalesce(n.revenue, -1.0) AS new_revenue
+            FROM snap_old o FULL OUTER JOIN snap_new n
+              ON o.o_custkey = n.o_custkey
+        )
+        SELECT * FROM j WHERE status <> 'unchanged'
     """
 
     # rel_events_asof: DuckDB has a native ASOF JOIN with exactly our
