@@ -718,6 +718,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_snapshot_diff"] = rel_snapshot_diff
 
+    def text_bpe_pairs(spark, sf):
+        """BPE trainer's first iteration (operators/bpe.py): corpus →
+        word counts (the one corpus shuffle) → weighted symbol-pair
+        counts, top-50 merge candidates with the trainer's exact
+        tie-break. The oracle rebuilds char pairs in SQL from the same
+        tokenizer family."""
+        from graphrag_rs_spark.operators.bpe import (
+            _initial_symbols,
+            pair_counts,
+            word_counts,
+        )
+
+        pc = pair_counts(_initial_symbols(word_counts(_docs(spark, sf))))
+        return pc.orderBy(
+            F.desc("pair_count"), "left_sym", "right_sym"
+        ).limit(50)
+
+    q["text_bpe_pairs"] = text_bpe_pairs
+
     # === training-data ops ===
 
     def dedup_exact(spark, sf):
@@ -2354,6 +2373,36 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    # text_bpe_pairs: same tokenizer family as the other text oracles,
+    # then chars + '</w>' sentinel, adjacent pairs weighted by word count.
+    sql["text_bpe_pairs"] = """
+        WITH toks AS (
+            SELECT list_filter(
+                       string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                       t -> t != '') AS ws
+            FROM documents
+        ),
+        words AS (
+            SELECT w AS word, count(*) AS wc
+            FROM toks, unnest(ws) AS t(w) GROUP BY w
+        ),
+        syms AS (
+            SELECT wc,
+                   list_append(
+                       list_transform(range(1, len(word) + 1),
+                                      i -> substr(word, i, 1)),
+                       '</w>') AS s
+            FROM words
+        ),
+        pairs AS (
+            SELECT s[i] AS left_sym, s[i + 1] AS right_sym, sum(wc) AS c
+            FROM syms, unnest(range(1, len(s))) AS t(i)
+            GROUP BY 1, 2
+        )
+        SELECT left_sym, right_sym, CAST(c AS BIGINT) AS pair_count
+        FROM pairs ORDER BY c DESC, left_sym, right_sym LIMIT 50
     """
 
     sql["rel_snapshot_diff"] = """
