@@ -122,6 +122,19 @@ def main() -> None:
 
     bench("chunk_extract_testdata", q_chunk_extract)
 
+    # 1b. code-corpus KG triples — the north-star input shape (repo, path,
+    # lang, content): imports + defs + call resolution + dependency edges,
+    # all regex/join DataFrame algebra (operators/code_graph.py)
+    from __spark_entry__ import _code_corpus
+    from graphrag_rs_spark.operators.code_graph import code_triples
+
+    code_files = _code_corpus(spark, SF_DIR).localCheckpoint(eager=True)
+
+    def q_code_triples():
+        return code_triples(code_files).count()
+
+    bench("code_triples", q_code_triples)
+
     # 2. full KG pipeline (fused path) on the entity-rich fixture corpus
     from graphrag_rs_spark.fixtures import generate_corpus_distributed
     from graphrag_rs_spark.pipeline import build_graph
@@ -246,6 +259,9 @@ def main() -> None:
                 "attempts": attempts,
                 "counters": counters,
                 "triples_per_sec": triples_per_sec,
+                "code_triples_per_sec": round(
+                    counters["code_triples"] / timings["code_triples"], 1
+                ) if timings.get("code_triples") else 0.0,
                 "cpus": CPUS,
                 "fixture_docs": FIXTURE_DOCS,
                 "env": env_fingerprint(),
