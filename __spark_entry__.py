@@ -737,6 +737,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_pairs"] = text_bpe_pairs
 
+    def text_allpairs_cosine(spark, sf):
+        """All-pairs TF-IDF cosine (operators/allpairs.py), exact path:
+        inverted-index self-join per term, unit-norm dot = cosine. The
+        oracle replays tf-idf + the term self-join in SQL. The synthetic
+        corpus's tiny vocabulary makes every term frequent, so the exact
+        path is the right one here; max_df blocking is pytest-covered."""
+        from graphrag_rs_spark.operators.allpairs import allpairs_cosine
+
+        d = _docs(spark, sf).where(F.col("doc_id") < 120)
+        return allpairs_cosine(d, threshold=0.8)
+
+    q["text_allpairs_cosine"] = text_allpairs_cosine
+
     # === training-data ops ===
 
     def dedup_exact(spark, sf):
@@ -1572,6 +1585,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_random_walks"] = kg_random_walks
 
+    def kg_lpa(spark, sf):
+        """Synchronous label propagation (operators/lpa.py), 3 rounds on
+        the clique+chain graph — deterministic via the (count desc, label
+        asc) tie-break; the oracle unrolls the same rounds as CTEs."""
+        from graphrag_rs_spark.operators.lpa import label_propagation
+
+        return label_propagation(_clique_chain_edges(spark, sf), n_rounds=3)
+
+    q["kg_lpa"] = kg_lpa
+
     def text_contamination(spark, sf):
         from graphrag_rs_spark.operators.mixture import contamination_scores
 
@@ -2373,6 +2396,35 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+    """
+
+    # text_allpairs_cosine: replay tf·ln(1+N/df), L2 norm, per-term
+    # self-join (id_a < id_b), round(·,4) ≥ threshold−1e-9.
+    sql["text_allpairs_cosine"] = """
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        toks AS (
+            SELECT doc_id AS id, w AS term
+            FROM d, unnest(list_filter(
+                     string_split_regex(lower(trim(text)), '[^a-zA-Z0-9'']+'),
+                     t -> t != '')) AS u(w)
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        wt AS (
+            SELECT tf.id, tf.term, tf.tf * ln(1.0 + nn.n / dfx.df) AS w
+            FROM tf JOIN dfx USING (term) CROSS JOIN nn
+        ),
+        nrm AS (SELECT id, sqrt(sum(w * w)) AS norm FROM wt GROUP BY id),
+        v AS (SELECT wt.id, wt.term, wt.w / nrm.norm AS w
+              FROM wt JOIN nrm USING (id)),
+        dots AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(sum(a.w * b.w), 4) AS cosine
+            FROM v a JOIN v b ON a.term = b.term AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.8 - 1e-9
     """
 
     # text_bpe_pairs: same tokenizer family as the other text oracles,
@@ -3459,6 +3511,29 @@ def oracle_sql() -> dict[str, str]:
         FROM walk
         QUALIFY row_number() OVER (PARTITION BY walk_id ORDER BY t DESC) = 1
     """
+
+    # kg_lpa: unrolled synchronous-LPA rounds (lpa.lpa_round_ctes builds
+    # the same SQL the Spark loop computes) over the clique+chain edges.
+    from graphrag_rs_spark.operators.lpa import lpa_round_ctes
+
+    _cc_edges_cte = """e AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM (SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                         c_custkey % 8 AS idx
+                  FROM customer WHERE c_custkey < 120) a
+                 JOIN (SELECT c_custkey AS ck,
+                              c_custkey - (c_custkey % 8) AS g,
+                              c_custkey % 8 AS idx
+                       FROM customer WHERE c_custkey < 120) b
+                   ON a.g = b.g
+            WHERE (a.idx < 5 AND b.idx < 5 AND a.idx < b.idx)
+               OR (a.idx >= 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 0 AND b.idx = 5)
+        )"""
+    sql["kg_lpa"] = (
+        "WITH " + lpa_round_ctes(_cc_edges_cte, 3)
+        + "\nSELECT id, label FROM lab3"
+    )
 
     # kg_motif_open_triads: replay the clique+chain edge construction, then
     # the motif "(x)->(y); (y)->(z); !(x)->(z)" as self-joins + NOT EXISTS
