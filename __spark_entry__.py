@@ -1595,6 +1595,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_lpa"] = kg_lpa
 
+    def _directed_fixture_edges(spark, sf):
+        """Directed analogue of the clique+chain graph: per customer group
+        of 8 (c_custkey < 120), a 5-cycle on idx 0-4, a bridge 4→5, a
+        2-cycle 5↔6 and a tail 6→7 — every SCC shape (big cycle, 2-cycle,
+        singleton tail) in one fixture."""
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        pairs = a.join(b, "g").where(
+            ((F.col("ia") < 4) & (F.col("ib") == F.col("ia") + 1))
+            | ((F.col("ia") == 4) & F.col("ib").isin(0, 5))
+            | ((F.col("ia") == 5) & (F.col("ib") == 6))
+            | ((F.col("ia") == 6) & F.col("ib").isin(5, 7))
+        )
+        return pairs.select(
+            F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias("dst"),
+        )
+
+    def kg_scc(spark, sf):
+        """Strongly connected components (operators/scc.py) on the directed
+        fixture — labels are min member ids, so the recursive-CTE
+        mutual-reachability oracle is independent ground truth (it never
+        sees the FW-BW-Trim/Tarjan machinery)."""
+        from graphrag_rs_spark.operators.scc import strongly_connected_components
+
+        return strongly_connected_components(_directed_fixture_edges(spark, sf))
+
+    q["kg_scc"] = kg_scc
+
+    def kg_build_layers(spark, sf):
+        """SCC condensation + longest-path layering (operators/scc.py
+        build_layers): the 'build waves' view of a cyclic dependency graph.
+        Expected per group: 5-cycle SCC at layer 0 → 2-cycle at 1 → tail
+        at 2."""
+        from graphrag_rs_spark.operators.scc import build_layers
+
+        return build_layers(_directed_fixture_edges(spark, sf))
+
+    q["kg_build_layers"] = kg_build_layers
+
     def text_contamination(spark, sf):
         from graphrag_rs_spark.operators.mixture import contamination_scores
 
@@ -3533,6 +3578,64 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_lpa"] = (
         "WITH " + lpa_round_ctes(_cc_edges_cte, 3)
         + "\nSELECT id, label FROM lab3"
+    )
+
+    # kg_scc / kg_build_layers: replay the DIRECTED fixture (5-cycle on
+    # idx 0-4, bridge 4→5, 2-cycle 5↔6, tail 6→7 per customer group),
+    # then SCC as recursive-CTE transitive closure + mutual reachability —
+    # independent ground truth that never sees the FW-BW-Trim machinery.
+    _scc_base = """e AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM (SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                         c_custkey % 8 AS idx
+                  FROM customer WHERE c_custkey < 120) a
+                 JOIN (SELECT c_custkey AS ck,
+                              c_custkey - (c_custkey % 8) AS g,
+                              c_custkey % 8 AS idx
+                       FROM customer WHERE c_custkey < 120) b
+                   ON a.g = b.g
+            WHERE (a.idx < 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 4 AND b.idx IN (0, 5))
+               OR (a.idx = 5 AND b.idx = 6)
+               OR (a.idx = 6 AND b.idx IN (5, 7))
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        reach(a, b) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+        ),
+        mutual AS (
+            SELECT id AS u, id AS v FROM nodes
+            UNION
+            SELECT r1.a, r1.b
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        scc AS (SELECT u AS id, min(v) AS scc_id FROM mutual GROUP BY u)"""
+    sql["kg_scc"] = (
+        "WITH RECURSIVE " + _scc_base + "\nSELECT id, scc_id FROM scc"
+    )
+
+    sql["kg_build_layers"] = (
+        "WITH RECURSIVE " + _scc_base + """,
+        ce AS (
+            SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+            FROM e JOIN scc s1 ON s1.id = e.src
+                   JOIN scc s2 ON s2.id = e.dst
+            WHERE s1.scc_id <> s2.scc_id
+        ),
+        cnodes AS (SELECT DISTINCT scc_id FROM scc),
+        walk(id, d) AS (
+            SELECT scc_id, 0 FROM cnodes
+            WHERE scc_id NOT IN (SELECT dst FROM ce)
+            UNION ALL
+            SELECT ce.dst, walk.d + 1 FROM walk JOIN ce ON ce.src = walk.id
+        ),
+        lay AS (SELECT id AS scc_id, CAST(max(d) AS INT) AS layer
+                FROM walk GROUP BY id)
+        SELECT scc.id, scc.scc_id, lay.layer
+        FROM scc JOIN lay USING (scc_id)"""
     )
 
     # kg_motif_open_triads: replay the clique+chain edge construction, then
