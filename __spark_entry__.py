@@ -1695,6 +1695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias("dst"),
         )
 
+    def kg_link_predict(spark, sf):
+        """Link prediction (operators/linkpred.py): common-neighbors /
+        Jaccard / Adamic-Adar over non-adjacent pairs of the clique+chain
+        graph — one wedge self-join + algebraic agg, oracle replays the
+        same formulas in SQL."""
+        from graphrag_rs_spark.operators.linkpred import link_prediction_scores
+
+        return link_prediction_scores(_clique_chain_edges(spark, sf))
+
+    q["kg_link_predict"] = kg_link_predict
+
     def kg_scc(spark, sf):
         """Strongly connected components (operators/scc.py) on the directed
         fixture — labels are min member ids, so the recursive-CTE
@@ -3791,6 +3802,38 @@ def oracle_sql() -> dict[str, str]:
         scc AS (SELECT u AS id, min(v) AS scc_id FROM mutual GROUP BY u)"""
     sql["kg_scc"] = (
         "WITH RECURSIVE " + _scc_base + "\nSELECT id, scc_id FROM scc"
+    )
+
+    # kg_link_predict: replay the clique+chain edges, then the wedge
+    # self-join + the three neighborhood formulas; NOT EXISTS keeps
+    # non-adjacent pairs (sym holds both orders).
+    sql["kg_link_predict"] = (
+        "WITH " + _cc_edges_cte + """,
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        ),
+        deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+        wdg AS (SELECT s.src AS w, s.dst AS n, d.degree
+                FROM sym s JOIN deg d ON d.id = s.src),
+        pairs AS (
+            SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn,
+                   sum(1.0 / ln(a.degree)) AS aa
+            FROM wdg a JOIN wdg b ON a.w = b.w AND a.n < b.n
+            GROUP BY a.n, b.n
+        ),
+        nonadj AS (
+            SELECT * FROM pairs p WHERE NOT EXISTS (
+                SELECT 1 FROM sym s
+                WHERE s.src = p.id_a AND s.dst = p.id_b)
+        )
+        SELECT id_a, id_b, cn AS common_neighbors,
+               round(CAST(cn AS DOUBLE)
+                     / (da.degree + db.degree - cn), 4) AS jaccard,
+               round(aa, 4) AS adamic_adar
+        FROM nonadj
+             JOIN deg da ON da.id = id_a
+             JOIN deg db ON db.id = id_b"""
     )
 
     sql["kg_build_layers"] = (

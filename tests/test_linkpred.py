@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from graphrag_rs_spark.operators.linkpred import link_prediction_scores
+
+
+def _scores(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        (r["id_a"], r["id_b"]): (
+            r["common_neighbors"], r["jaccard"], r["adamic_adar"]
+        )
+        for r in link_prediction_scores(df, **kw).collect()
+    }
+
+
+def test_path_graph_hand_computed(spark):
+    # a-b-c: only non-adjacent pair (a,c), shared neighbor b with deg 2
+    got = _scores(spark, [("a", "b"), ("b", "c")])
+    assert set(got) == {("a", "c")}
+    cn, jac, aa = got[("a", "c")]
+    assert cn == 1
+    assert jac == 1.0
+    assert aa == pytest.approx(round(1 / math.log(2), 4))
+
+
+def test_square_graph(spark):
+    # 4-cycle: diagonals share two deg-2 neighbors each
+    got = _scores(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for pair in got:
+        cn, jac, aa = got[pair]
+        assert cn == 2
+        assert jac == 1.0
+        assert aa == pytest.approx(round(2 / math.log(2), 4))
+
+
+def test_adjacent_pairs_excluded(spark):
+    # triangle: every pair is adjacent — nothing predicted
+    assert _scores(spark, [("a", "b"), ("b", "c"), ("c", "a")]) == {}
+
+
+def test_min_common_threshold(spark):
+    got = _scores(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], min_common=2
+    )
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert _scores(spark, [("a", "b"), ("b", "c")], min_common=2) == {}
+
+
+def test_hub_exclusion(spark):
+    # star: hub h connects a..d; all leaf pairs share only the hub
+    star = [("h", x) for x in "abcd"]
+    full = _scores(spark, star)
+    assert len(full) == 6  # C(4,2)
+    assert full[("a", "b")][0] == 1
+    # excluding hubs of degree > 3 removes every wedge
+    assert _scores(spark, star, max_hub_degree=3) == {}
+
+
+def test_jaccard_uses_union_of_neighborhoods(spark):
+    # a-{b,c}, d-{b}: pair (a,d) shares b; deg(a)=2, deg(d)=1 → 1/(2+1-1)
+    got = _scores(spark, [("a", "b"), ("a", "c"), ("d", "b")])
+    assert got[("a", "d")][1] == 0.5
