@@ -1596,6 +1596,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_secrets"] = code_secrets
 
+    def code_notebooks(spark, sf):
+        """Notebook ingestion (operators/notebooks.py): deterministic
+        2-cell ipynb JSON payloads (markdown head + closed-form code cell)
+        built with to_json, parsed back with the native from_json path and
+        exploded to cells. The oracle derives every cell arithmetically —
+        it never touches JSON, so escaping round-trips are checked for
+        free."""
+        from graphrag_rs_spark.operators.notebooks import parse_notebooks
+
+        did = F.col("doc_id")
+        m1 = ((did * 7 + 1) % 1000).cast("string")
+        nb = F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("markdown").alias("cell_type"),
+                        F.array(F.substring(F.col("text"), 1, 40)).alias("source"),
+                    ),
+                    F.struct(
+                        F.lit("code").alias("cell_type"),
+                        F.array(
+                            F.concat(F.lit("import mod_"), m1, F.lit("\n")),
+                            F.lit("print(1)\n"),
+                        ).alias("source"),
+                    ),
+                ).alias("cells")
+            )
+        )
+        files = _docs(spark, sf).select(
+            F.concat(F.lit("nb_"), did.cast("string"), F.lit(".ipynb")).alias(
+                "path"
+            ),
+            nb.alias("content"),
+        )
+        return parse_notebooks(files)
+
+    q["code_notebooks"] = code_notebooks
+
     # === scalable graph extras: oriented triangles + k-core peeling ===
     # clique+chain fixture (customers 1..120, groups of 8): idx 0..4 form
     # a 5-clique, 4-5-6-7 a chain, plus edge 0-5 — triangle counts and
@@ -3668,6 +3706,24 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT repo, path, lang, 'slack_token', CAST(1 AS INT)
         FROM codec WHERE doc_id % 31 = 0
+    """
+
+    # code_notebooks: closed-form cells — the oracle never parses JSON, so
+    # a hash match proves the to_json→from_json escaping round trip too.
+    sql["code_notebooks"] = """
+        WITH d AS (SELECT doc_id, substring(text, 1, 40) AS head
+                   FROM documents)
+        SELECT 'nb_' || doc_id || '.ipynb' AS path,
+               0 AS cell_idx, 'markdown' AS cell_type, head AS source,
+               CAST(length(head) AS INT) AS n_source_chars
+        FROM d
+        UNION ALL
+        SELECT 'nb_' || doc_id || '.ipynb', 1, 'code',
+               'import mod_' || (doc_id * 7 + 1) % 1000 || chr(10)
+                   || 'print(1)' || chr(10),
+               CAST(length('import mod_' || (doc_id * 7 + 1) % 1000) + 10
+                    AS INT)
+        FROM d
     """
 
     sql["code_dependency_rollup"] = _code_edges_sql + """
