@@ -1596,6 +1596,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_secrets"] = code_secrets
 
+    def code_licenses(spark, sf):
+        """License detection (code_quality.py:license_findings): SPDX tags
+        planted on id%37 (4 rotating ids), MIT full-text on id%53; the
+        oracle derives every row arithmetically (spdx beats text when both
+        are present, e.g. id 0)."""
+        from graphrag_rs_spark.operators.code_quality import license_findings
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        spdx_id = (
+            F.when(did % 4 == 0, F.lit("MIT"))
+            .when(did % 4 == 1, F.lit("Apache-2.0"))
+            .when(did % 4 == 2, F.lit("GPL-3.0-only"))
+            .otherwise(F.lit("BSD-3-Clause"))
+        )
+        tainted = base.withColumn(
+            "content",
+            F.concat(
+                F.when(
+                    did % 37 == 0,
+                    F.concat(
+                        F.lit("SPDX-License-Identifier: "), spdx_id, F.lit("\n")
+                    ),
+                ).otherwise(F.lit("")),
+                F.col("content"),
+                F.when(
+                    did % 53 == 0,
+                    F.lit(
+                        "Permission is hereby granted, free of charge, to any"
+                        " person obtaining a copy\n"
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ).drop("_id")
+        return license_findings(tainted)
+
+    q["code_licenses"] = code_licenses
+
+    def code_comments(spark, sf):
+        """Comment-density stats (code_quality.py:comment_stats): the base
+        corpus has exactly one comment line per file (the head line);
+        id%19 files get two planted marker lines — counts are arithmetic
+        ground truth, n_lines/fractions replay over identical content."""
+        from graphrag_rs_spark.operators.code_quality import comment_stats
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        planted = base.withColumn(
+            "content",
+            F.when(
+                F.col("_id") % 19 == 0,
+                F.concat(
+                    F.col("content"),
+                    F.when(F.col("lang") == "python", F.lit("# note\n# more\n"))
+                    .otherwise(F.lit("// note\n// more\n")),
+                ),
+            ).otherwise(F.col("content")),
+        ).drop("_id")
+        return comment_stats(planted).select(
+            "repo", "path", "lang", "n_lines", "n_comment_lines", "comment_frac"
+        )
+
+    q["code_comments"] = code_comments
+
     def code_notebooks(spark, sf):
         """Notebook ingestion (operators/notebooks.py): deterministic
         2-cell ipynb JSON payloads (markdown head + closed-form code cell)
@@ -3706,6 +3775,48 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT repo, path, lang, 'slack_token', CAST(1 AS INT)
         FROM codec WHERE doc_id % 31 = 0
+    """
+
+    # code_licenses: arithmetic ground truth (spdx tag on %37 with the id
+    # rotating by id%4, MIT full text on %53; spdx wins overlaps).
+    sql["code_licenses"] = f"""
+        WITH {code_cte}
+        SELECT repo, path, lang,
+               CASE doc_id % 4 WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+                    WHEN 2 THEN 'GPL-3.0-only' ELSE 'BSD-3-Clause'
+               END AS license,
+               'spdx' AS via
+        FROM code WHERE doc_id % 37 = 0
+        UNION ALL
+        SELECT repo, path, lang, 'MIT', 'text'
+        FROM code WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0
+    """
+
+    # code_comments: comment counts arithmetic (1 head comment line per
+    # file, +2 planted on %19); n_lines replays the content line count
+    # over the identical synthesized string.
+    sql["code_comments"] = f"""
+        WITH {_code_content_cte},
+        planted AS (
+            SELECT doc_id, repo, path, lang,
+                   CASE WHEN doc_id % 19 = 0 THEN
+                       content || CASE WHEN lang = 'python'
+                                       THEN '# note' || chr(10)
+                                            || '# more' || chr(10)
+                                       ELSE '// note' || chr(10)
+                                            || '// more' || chr(10) END
+                   ELSE content END AS content
+            FROM codec
+        )
+        SELECT repo, path, lang,
+               CAST(len(string_split(content, chr(10))) AS INT) AS n_lines,
+               CAST(CASE WHEN doc_id % 19 = 0 THEN 3 ELSE 1 END AS INT)
+                   AS n_comment_lines,
+               round(CAST(CASE WHEN doc_id % 19 = 0 THEN 3 ELSE 1 END
+                          AS DOUBLE)
+                     / len(string_split(content, chr(10))), 4)
+                   AS comment_frac
+        FROM planted
     """
 
     # code_notebooks: closed-form cells — the oracle never parses JSON, so
