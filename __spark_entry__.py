@@ -1665,6 +1665,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_comments"] = code_comments
 
+    def code_clone_pairs(spark, sf):
+        """MOSS winnowing clone detection (operators/winnow.py): files
+        with id%47==0 get an identical one-line block appended, so those
+        files become cross-repo clones of each other. The oracle replays
+        the ENTIRE winnowing pipeline (normalize → k-gram sha256-prefix
+        hashes → window mins → hot-fingerprint guard → pair join → sim)
+        in DuckDB — independent engine, same algorithm, bit-equal."""
+        from graphrag_rs_spark.operators.winnow import clone_pairs
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        planted = base.withColumn(
+            "content",
+            F.when(
+                F.col("_id") % 47 == 0,
+                F.concat(
+                    F.col("content"),
+                    F.lit(
+                        "shared = [v * i for i in range(10)];"
+                        " acc = sum(shared); print(acc)\n"
+                    ),
+                ),
+            ).otherwise(F.col("content")),
+        ).drop("_id")
+        return clone_pairs(
+            planted, min_similarity=0.2, max_fp_bucket=50, id_col="path"
+        )
+
+    q["code_clone_pairs"] = code_clone_pairs
+
     def code_notebooks(spark, sf):
         """Notebook ingestion (operators/notebooks.py): deterministic
         2-cell ipynb JSON payloads (markdown head + closed-form code cell)
@@ -3817,6 +3849,60 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(content, chr(10))), 4)
                    AS comment_frac
         FROM planted
+    """
+
+    # code_clone_pairs: full winnowing replay (k=12, w=8) — normalize,
+    # k-gram sha256-prefix hashes, window mins, distinct, hot-fp guard
+    # (>50 files), pair join, containment sim ≥ 0.2. Same algorithm on an
+    # independent engine; the %47-planted block is the clone signal.
+    sql["code_clone_pairs"] = f"""
+        WITH {_code_content_cte},
+        planted AS (
+            SELECT path,
+                   CASE WHEN doc_id % 47 = 0 THEN
+                       content || 'shared = [v * i for i in range(10)];'
+                               || ' acc = sum(shared); print(acc)' || chr(10)
+                   ELSE content END AS content
+            FROM codec
+        ),
+        norm AS (
+            SELECT path, lower(regexp_replace(content, '\\s+', '', 'g')) AS s
+            FROM planted
+        ),
+        hashes AS (
+            SELECT path,
+                   list_transform(range(1, greatest(len(s) - 11, 0) + 1),
+                       i -> ('0x' || substr(sha256(s[i : i + 11]), 1, 15))::BIGINT
+                   ) AS hs
+            FROM norm
+        ),
+        fpsets AS (
+            SELECT path,
+                   CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                        WHEN len(hs) < 8 THEN [list_min(hs)]
+                        ELSE list_distinct(list_transform(
+                                 range(1, len(hs) - 7 + 1),
+                                 j -> list_min(hs[j : j + 7])))
+                   END AS fp
+            FROM hashes
+        ),
+        fps AS (SELECT path AS id, unnest(fp) AS fp FROM fpsets),
+        sizes AS (SELECT id, count(*) AS n_fp FROM fps GROUP BY id),
+        cold AS (
+            SELECT id, fp FROM fps
+            WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+        ),
+        shared AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+            FROM cold a JOIN cold b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, shared,
+               round(CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS sim
+        FROM shared
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.2
     """
 
     # code_notebooks: closed-form cells — the oracle never parses JSON, so
