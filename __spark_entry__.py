@@ -1697,6 +1697,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_clone_pairs"] = code_clone_pairs
 
+    def text_pack_sequences(spark, sf):
+        """Greedy sequence packing (operators/packing.py): whitespace
+        token counts, shard = doc_id % 8, 256-token budget. The oracle
+        replays the sequential greedy rule with a recursive CTE — an
+        independent engine agreeing on every per-document sequence
+        assignment."""
+        from graphrag_rs_spark.operators.packing import pack_sequences
+        from graphrag_rs_spark.operators.textstats import token_count_col
+
+        toks = _docs(spark, sf).select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            token_count_col(F.col("text"), "whitespace")
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        return pack_sequences(toks, max_tokens=256)
+
+    q["text_pack_sequences"] = text_pack_sequences
+
     def code_notebooks(spark, sf):
         """Notebook ingestion (operators/notebooks.py): deterministic
         2-cell ipynb JSON payloads (markdown head + closed-form code cell)
@@ -3903,6 +3923,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.2
+    """
+
+    # text_pack_sequences: the greedy running-sum-with-reset is inherently
+    # sequential — the recursive CTE steps row-by-row per shard exactly as
+    # the applyInPandas loop does (seed = rn 1 opens seq 0; step: overflow
+    # opens a new seq with fill = t, else fill += t).
+    sql["text_pack_sequences"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ord AS (
+            SELECT doc_id, shard, n_tokens,
+                   row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM toks
+        ),
+        packed AS (
+            SELECT doc_id, shard, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+                   CASE WHEN p.fill + o.n_tokens > 256
+                        THEN p.seq + 1 ELSE p.seq END,
+                   CASE WHEN p.fill + o.n_tokens > 256
+                        THEN o.n_tokens ELSE p.fill + o.n_tokens END
+            FROM packed p JOIN ord o
+              ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, shard, n_tokens, seq FROM packed
     """
 
     # code_notebooks: closed-form cells — the oracle never parses JSON, so
