@@ -1717,6 +1717,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pack_sequences"] = text_pack_sequences
 
+    def text_ngram_lm(spark, sf):
+        """CCNet-style perplexity filter (operators/ngram_lm.py): bigram
+        LM with add-1 smoothing trained on the even-id half of the
+        corpus, every document scored against it. The oracle re-derives
+        the identical model and scores in DuckDB."""
+        from graphrag_rs_spark.operators.ngram_lm import (
+            perplexity_scores,
+            train_ngram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        model = train_ngram_lm(docs.where(F.col("doc_id") % 2 == 0), n=2)
+        return perplexity_scores(docs, model, n=2, k=1.0)
+
+    q["text_ngram_lm"] = text_ngram_lm
+
     def code_notebooks(spark, sf):
         """Notebook ingestion (operators/notebooks.py): deterministic
         2-cell ipynb JSON payloads (markdown head + closed-form code cell)
@@ -3956,6 +3972,56 @@ def oracle_sql() -> dict[str, str]:
               ON o.shard = p.shard AND o.rn = p.rn + 1
         )
         SELECT doc_id, shard, n_tokens, seq FROM packed
+    """
+
+    # text_ngram_lm: the oracle re-trains the identical bigram model
+    # (counts over even-id docs, add-1 smoothing, train-vocab V) and
+    # re-scores every document — full independent replay, no shortcuts.
+    sql["text_ngram_lm"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-z0-9'']+'),
+                               t -> t != '') AS ws
+            FROM documents
+        ),
+        tg AS (
+            SELECT g, regexp_replace(g, ' [^ ]+$', '') AS h
+            FROM (SELECT unnest(list_transform(
+                             range(1, greatest(len(ws) - 1, 0) + 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM w WHERE doc_id % 2 = 0)
+        ),
+        mg AS (SELECT g AS gram, h AS hist, count(*) AS c_gram
+               FROM tg GROUP BY g, h),
+        mh AS (SELECT hist, sum(c_gram) AS c_hist FROM mg GROUP BY hist),
+        vocab AS (
+            SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v
+            FROM (SELECT unnest(ws) AS u FROM w WHERE doc_id % 2 = 0)
+        ),
+        dg AS (
+            SELECT doc_id, g AS gram,
+                   regexp_replace(g, ' [^ ]+$', '') AS hist
+            FROM (SELECT doc_id, unnest(list_transform(
+                             range(1, greatest(len(ws) - 1, 0) + 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM w)
+        ),
+        nll AS (
+            SELECT doc_id,
+                   -log2((coalesce(c_gram, 0) + 1.0)
+                         / (coalesce(c_hist, 0) + v)) AS nll
+            FROM dg
+            LEFT JOIN mg USING (gram, hist)
+            LEFT JOIN mh USING (hist)
+            CROSS JOIN vocab
+        ),
+        per AS (SELECT doc_id, count(*) AS n_grams, avg(nll) AS logppl
+                FROM nll GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+               round(per.logppl, 6) AS logppl
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
 
     # code_notebooks: closed-form cells — the oracle never parses JSON, so
