@@ -244,6 +244,18 @@ def main() -> None:
 
     bench("text_boilerplate", q_boilerplate)
 
+    # 5c. winnowing clone sweep over the code corpus (map-only sketch +
+    # ids-only pair join): fingerprint every file, count candidate clone
+    # pairs at sim ≥ 0.2 — the sketch cost is linear in content bytes
+    def q_code_clones():
+        from graphrag_rs_spark.operators.winnow import clone_pairs
+
+        return clone_pairs(
+            code_files, min_similarity=0.2, max_fp_bucket=50, id_col="path"
+        ).count()
+
+    bench("code_clone_pairs", q_code_clones)
+
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_pipeline_fixture"]
     triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0
