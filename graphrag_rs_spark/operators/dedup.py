@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from graphrag_rs_spark.operators.cc import connected_components
 
@@ -118,8 +119,15 @@ def minhash_lsh_duplicates(
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", _shingles(F.col(text_col), shingle_size).alias("sh")
     ).where(F.size("sh") > 0)
-    # consumed by the signature pass and twice by the verify join
-    base = base.persist()
+    # consumed by the signature pass and twice by the verify join.
+    # DISK_ONLY, not the in-heap default: the shingle arrays are ~2-3× the
+    # corpus text mass, and building a deserialized columnar cache of that
+    # OOMs a single-host heap well before the 100 TB design point
+    # (measured: 1.2M docs × 8× content ≈ 29 GB logical killed a 12 g heap
+    # at 8 cores). Spilling the intermediate to spark.local.dir (tmpfs on
+    # this sandbox, NVMe on a real cluster) keeps the heap for execution;
+    # same fix as the pipeline's scratch-parquet materializer.
+    base = base.persist(StorageLevel.DISK_ONLY)
 
     sig = minhash_signatures(base, num_hashes=num_hashes)
 
@@ -352,7 +360,9 @@ def ngram_jaccard_pairs(
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", _shingles(F.col(text_col), shingle_size).alias("sh")
     ).where(F.size("sh") > 0)
-    base = base.persist()  # read by the explode and twice by the verify join
+    # read by the explode and twice by the verify join; DISK_ONLY for the
+    # same heap-safety reason as the minhash base above
+    base = base.persist(StorageLevel.DISK_ONLY)
     exploded = base.select("id", F.explode("sh").alias("g"))
     hot = exploded.groupBy("g").count().where(F.col("count") > max_block_size).select("g")
     pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
