@@ -759,6 +759,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_exact"] = dedup_exact
 
+    def dedup_representatives(spark, sf):
+        """Duplicate-cluster resolution (dedup.py:select_representatives):
+        exact sha groups + char-length quality → deterministic keep/drop
+        per doc. The compaction step after any dedup family."""
+        from graphrag_rs_spark.operators.dedup import (
+            exact_duplicates,
+            select_representatives,
+        )
+
+        docs = _docs(spark, sf)
+        groups = exact_duplicates(docs, text_col="text", id_col="doc_id")
+        members = groups.join(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.length("text").cast("long").alias("quality"),
+            ),
+            "id",
+        )
+        return select_representatives(members, quality_col="quality")
+
+    q["dedup_representatives"] = dedup_representatives
+
     def dedup_ngram_jaccard(spark, sf):
         from graphrag_rs_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1264,6 +1286,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ppr"] = kg_ppr
 
+    def kg_hits(spark, sf):
+        """HITS hubs/authorities (operators/analytics.py:hits) over the
+        DIRECTED co-occurrence triple graph (subj→obj). Fixed 10
+        iterations, L2-normalized per half-step — the DuckDB oracle
+        unrolls the identical math (same protocol as kg_pagerank)."""
+        from graphrag_rs_spark.operators.analytics import hits
+
+        t = kg_cooccurrence_triples(spark, sf)
+        edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        out = hits(edges, max_iterations=10)
+        return out.select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    q["kg_hits"] = kg_hits
+
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
 
@@ -1553,6 +1593,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["code_quality"] = code_quality
+
+    def code_repo_curation(spark, sf):
+        """Repo-level curation gate (code_quality.py:repo_curation_rollup):
+        the per-file StarCoder gates rolled up to one keep/drop per repo.
+        Taint is arithmetic ground truth: org0/proj0 files (id%6==0) are
+        vendored at a 3/5 rate (id%5<3) so that one repo falls below the
+        0.5 keep floor and is dropped wholesale; %43 plants autogen
+        headers corpus-wide. The oracle replays the arithmetic, so the
+        regex gates AND the rollup are checked independently."""
+        from graphrag_rs_spark.operators.code_quality import repo_curation_rollup
+
+        files = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        vend = (F.col("_id") % 6 == 0) & (F.col("_id") % 5 < 3)
+        files = files.select(
+            "repo",
+            F.when(vend, F.concat(F.lit("vendor/"), F.col("path")))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            "lang",
+            F.when(
+                F.col("_id") % 43 == 0,
+                F.concat(F.lit("# @generated\n"), F.col("content")),
+            )
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return repo_curation_rollup(files, min_keep_frac=0.5, min_files=2)
+
+    q["code_repo_curation"] = code_repo_curation
 
     def code_secrets(spark, sf):
         """Credential scan (operators/code_quality.py:secret_findings) over
@@ -2382,6 +2454,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, round(rank, 6) AS rank FROM pr10
     """
 
+    # kg_hits: 10 unrolled HITS rounds over the DIRECTED triple graph —
+    # identical math to operators/analytics.py:hits (auth = Σ hub over
+    # in-edges then L2-normalize; hub = Σ auth over out-edges then
+    # L2-normalize; nodes missing a side score 0).
+    # every iteration CTE is MATERIALIZED: the L2-norm subquery references
+    # its CTE a second time, and DuckDB's default CTE inlining would make
+    # the 10-round chain exponential (4^10 re-evaluations of the base scan)
+    _hits_iters = ["hub0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS hub FROM verts)"]
+    for _k in range(1, 11):
+        _hits_iters.append(f"""
+        ar{_k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(h.hub) AS v
+            FROM tri e JOIN hub{_k - 1} h ON e.src = h.id
+            GROUP BY e.dst
+        ),
+        auth{_k} AS MATERIALIZED (
+            SELECT id, v / (SELECT sqrt(sum(v * v)) FROM ar{_k}) AS authority
+            FROM ar{_k}
+        ),
+        hr{_k} AS MATERIALIZED (
+            SELECT e.src AS id, sum(a.authority) AS v
+            FROM tri e JOIN auth{_k} a ON e.dst = a.id
+            GROUP BY e.src
+        ),
+        hub{_k} AS MATERIALIZED (
+            SELECT id, v / (SELECT sqrt(sum(v * v)) FROM hr{_k}) AS hub
+            FROM hr{_k}
+        )""")
+    sql["kg_hits"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS MATERIALIZED (
+            SELECT a.eid AS src, b.eid AS dst
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        verts AS (SELECT src AS id FROM tri UNION SELECT dst FROM tri),
+        {','.join(_hits_iters)}
+        SELECT v.id,
+               round(coalesce(h.hub, 0.0::DOUBLE), 6) AS hub,
+               round(coalesce(a.authority, 0.0::DOUBLE), 6) AS authority
+        FROM verts v
+        LEFT JOIN hub10 h ON v.id = h.id
+        LEFT JOIN auth10 a ON v.id = a.id
+    """
+
     # personalized variant: same unrolled iteration with the reference's
     # reset-vector quirk (seed overridden to prob/total=1.0, non-seeds KEEP
     # the uniform 1/n default — build_reset_vector, pagerank.rs)
@@ -2876,6 +2997,21 @@ def oracle_sql() -> dict[str, str]:
         WITH h AS (SELECT doc_id AS id, sha256(text) AS h FROM documents),
         g AS (SELECT h, min(id) AS dup_group_id, count(*) AS group_size FROM h GROUP BY h)
         SELECT h.id, g.dup_group_id, g.group_size FROM h JOIN g USING (h)
+    """
+
+    sql["dedup_representatives"] = """
+        WITH h AS (
+            SELECT doc_id AS id, sha256(text) AS hh,
+                   CAST(length(text) AS BIGINT) AS quality
+            FROM documents
+        ),
+        g AS (SELECT hh, min(id) AS dup_group_id FROM h GROUP BY hh),
+        m AS (SELECT h.id, g.dup_group_id, h.quality FROM h JOIN g USING (hh))
+        SELECT id, dup_group_id, quality,
+               row_number() OVER (
+                   PARTITION BY dup_group_id ORDER BY quality DESC, id ASC
+               ) = 1 AS is_representative
+        FROM m
     """
 
     sql["dedup_ngram_jaccard"] = """
@@ -3827,6 +3963,37 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 43 = 0 THEN 'autogenerated'
                END AS reject_reason
         FROM m
+    """
+
+    # code_repo_curation: arithmetic ground truth — vendored ⟺ id%6==0 AND
+    # id%5<3 (org0/proj0 only, 3/5 of its files), autogen ⟺ id%43==0;
+    # keep = neither (the synthesized files never trip the length gates,
+    # same invariant the code_quality oracle relies on).
+    sql["code_repo_curation"] = f"""
+        WITH {_code_content_cte},
+        cur AS (
+            SELECT doc_id, repo,
+                   doc_id % 6 = 0 AND doc_id % 5 < 3 AS vend,
+                   doc_id % 43 = 0 AS autog
+            FROM codec
+        ),
+        a AS (
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN NOT (vend OR autog) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep,
+                   CAST(sum(CASE WHEN vend THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_vendored,
+                   CAST(sum(CASE WHEN autog THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_autogen
+            FROM cur GROUP BY repo
+        )
+        SELECT repo, n_files, n_keep,
+               round(CAST(n_keep AS DOUBLE) / n_files, 6) AS keep_frac,
+               n_vendored, n_autogen,
+               n_files >= 2
+               AND CAST(n_keep AS DOUBLE) / n_files >= 0.5 AS repo_keep
+        FROM a
     """
 
     sql["code_secrets"] = f"""

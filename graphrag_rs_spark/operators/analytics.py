@@ -503,3 +503,77 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     return cur.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) over a DIRECTED edge list →
+    (id, hub, authority).
+
+    The reference ships degree/PageRank-family importance scores
+    (graph/pagerank.rs, graph/analytics.rs); HITS rounds out the same
+    importance toolbox for the KG with the mutually-recursive pair:
+
+        auth(v) ∝ Σ_{u→v} hub(u)      hub(u) ∝ Σ_{u→v} auth(v)
+
+    L2-normalized after every half-step, fixed ``max_iterations`` rounds
+    so a DuckDB oracle can unroll the identical math (same protocol as
+    the fixed-iteration PageRank oracle).
+
+    Scale shape: per iteration, two join+groupBy jobs over the edge list
+    (shuffled on dst then src — the same keys every round, so AQE reuses
+    exchange partitioning) and two 1-row L2-norm aggregates folded in as
+    broadcast crossJoins. State is (id, score) — never materializes
+    anything edge-sized beyond the input. Lineage cut per round.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+
+    hub = verts.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(max_iterations):
+        # auth half-step: sum hub over in-edges, then L2-normalize.
+        # Nodes with no in-edges hold score 0 and contribute 0 to the
+        # norm, so aggregating only over the non-zero rows is exact.
+        auth_raw = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        a_norm = auth_raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("v") * F.col("v"))), F.lit(1.0)).alias("_n")
+        )
+        auth = cut_lineage(
+            auth_raw.crossJoin(F.broadcast(a_norm)).select(
+                "id", (F.col("v") / F.col("_n")).alias("authority")
+            ),
+            tag="hits_auth",
+        )
+        # hub half-step: sum authority over out-edges, L2-normalize
+        hub_raw = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("v"))
+        )
+        h_norm = hub_raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("v") * F.col("v"))), F.lit(1.0)).alias("_n")
+        )
+        hub = cut_lineage(
+            hub_raw.crossJoin(F.broadcast(h_norm)).select(
+                "id", (F.col("v") / F.col("_n")).alias("hub")
+            ),
+            tag="hits_hub",
+        )
+    return (
+        verts.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

@@ -18,7 +18,7 @@ hot path. Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -392,3 +392,38 @@ def ngram_jaccard_pairs(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def select_representatives(
+    members: DataFrame,
+    *,
+    id_col: str = "id",
+    group_col: str = "dup_group_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Duplicate-cluster resolution: pick ONE representative per dup
+    group and mark the rest for dropping → (id, dup_group_id, quality,
+    is_representative).
+
+    ``members`` carries (id, dup_group_id, quality) — groups from any of
+    the dedup family (exact sha groups, minhash/simhash/ngram transitive
+    closures via :func:`dup_groups_from_pairs`), quality from any scorer
+    (textstats.quality_features, code_quality.quality_metrics, or plain
+    length). Highest quality wins, id ascending breaks ties, so the keep
+    list is deterministic.
+
+    This is the compaction step a training-data pipeline runs after
+    near-dup detection: dedup emits clusters, this emits the keep/drop
+    decision. One window shuffle on the group key; group sizes are dup-
+    cluster sizes (bounded by the dedup operators' own skew guards), so
+    no single partition inflates at scale.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return members.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("dup_group_id"),
+        F.col(quality_col).alias("quality"),
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

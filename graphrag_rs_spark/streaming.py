@@ -275,3 +275,59 @@ def consolidated_triples(spark: SparkSession, workspace: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("context_chunk_ids")))
         ).alias("context_chunk_ids"),
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    input_dir: str,
+    workspace: str,
+    *,
+    watermark_delay: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Streaming exact deduplication: drop re-deliveries of the same
+    ``event_id`` inside the watermark horizon and emit the first arrival
+    of each — the at-least-once → exactly-once repair every streaming
+    ingest front-end needs before events feed stateful operators.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and expires
+    entries once the watermark passes their event time, so state is
+    bounded by (arrival rate × watermark horizon) instead of growing
+    with the stream — the property that keeps this runnable forever on a
+    real cluster (a plain dropDuplicates on an unbounded stream leaks
+    state without bound). Output: append-mode parquet of unique events.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = src.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(workspace, "events_deduped"))
+        .option(
+            "checkpointLocation", os.path.join(workspace, "_dedup_checkpoint")
+        )
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -158,3 +158,44 @@ def test_sampled_centrality_partial_k_tracks_exact(spark):
         if exact[v]["closeness"] > 0 and est[v]["closeness"] > 0:
             rel = abs(est[v]["closeness"] - exact[v]["closeness"]) / exact[v]["closeness"]
             assert rel < 0.8, (v, rel)
+
+
+def test_hits_chain_and_norms(spark):
+    """On the directed chain a→b→c: b is the only authority reachable
+    from a and the only hub pointing at c's... — verify against the
+    hand-computed fixed point and the L2-norm invariant."""
+    from graphrag_rs_spark.operators.analytics import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(
+        edges, max_iterations=10
+    ).collect()}
+    # auth: in-edges of b from a(hub), of c from b(hub). hub0=1 ⇒
+    # auth ∝ (b:1, c:1)/√2; hub ∝ (a: auth(b), b: auth(c)) = equal ⇒
+    # stays the symmetric fixed point every round.
+    s = 2 ** -0.5
+    assert abs(out["a"][0] - s) < 1e-9 and abs(out["a"][1] - 0.0) < 1e-9
+    assert abs(out["b"][0] - s) < 1e-9 and abs(out["b"][1] - s) < 1e-9
+    assert abs(out["c"][0] - 0.0) < 1e-9 and abs(out["c"][1] - s) < 1e-9
+    # L2 norms are 1 by construction
+    hub_n = sum(h * h for h, _ in out.values()) ** 0.5
+    auth_n = sum(a * a for _, a in out.values()) ** 0.5
+    assert abs(hub_n - 1.0) < 1e-9 and abs(auth_n - 1.0) < 1e-9
+
+
+def test_hits_star_hub(spark):
+    """Star u→{v1,v2,v3}: u is the pure hub (score 1), spokes are pure
+    equal authorities (1/√3 each)."""
+    from graphrag_rs_spark.operators.analytics import hits
+
+    edges = spark.createDataFrame(
+        [("u", "v1"), ("u", "v2"), ("u", "v3")], ["src", "dst"]
+    )
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(
+        edges, max_iterations=5
+    ).collect()}
+    assert abs(out["u"][0] - 1.0) < 1e-9 and out["u"][1] == 0.0
+    for v in ("v1", "v2", "v3"):
+        assert abs(out[v][1] - 3 ** -0.5) < 1e-9 and out[v][0] == 0.0

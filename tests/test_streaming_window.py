@@ -194,3 +194,24 @@ def test_stream_sessionize_late_events_bridge_the_gap(spark, tmp_path):
         if r["closed_by"] == "gap"
     }
     assert gap_closed == {(1499, 1900, 4)}
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per event_id:
+    feed the event table unioned with itself (every row re-delivered) and
+    expect the batch-distinct result."""
+    from graphrag_rs_spark.streaming import stream_dedup_events
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dupd = events.union(events)
+    input_dir = str(tmp_path / "dd_in")
+    ws = str(tmp_path / "dd_ws")
+    dupd.write.parquet(input_dir)
+
+    q = stream_dedup_events(spark, input_dir, ws)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{ws}/events_deduped")
+    assert got.count() == events.select("event_id").distinct().count()
+    # each id exactly once
+    assert got.groupBy("event_id").count().where("count > 1").count() == 0

@@ -475,3 +475,49 @@ def test_ivf_recall_on_clustered_data(spark):
     # on separable clusters even a single probe recovers nearly all true
     # neighbors (they share the query's cluster by construction)
     assert recall >= 0.9, recall
+
+
+def test_select_representatives(spark):
+    """Highest quality wins per group, id ascending breaks ties,
+    singletons are their own representative."""
+    from graphrag_rs_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [
+            ("d1", "g1", 10),   # beaten by d2
+            ("d2", "g1", 99),   # winner
+            ("d3", "g1", 99),   # same quality, higher id → loses tie
+            ("d9", "g9", 1),    # singleton
+            ("dn", "g1", None), # null quality sorts last
+        ],
+        ["id", "dup_group_id", "quality"],
+    )
+    out = {r["id"]: r["is_representative"] for r in
+           select_representatives(members).collect()}
+    assert out == {"d1": False, "d2": True, "d3": False,
+                   "d9": True, "dn": False}
+
+
+def test_repo_curation_rollup(spark):
+    """A repo below the keep floor is dropped wholesale; healthy repos
+    and the min_files floor behave per the documented gates."""
+    from graphrag_rs_spark.operators.code_quality import repo_curation_rollup
+
+    rows = [
+        # bad repo: 2 of 3 files vendored → keep_frac 1/3 < 0.5
+        ("bad", "vendor/a.py", "x = 1\n"),
+        ("bad", "vendor/b.py", "x = 2\n"),
+        ("bad", "src/c.py", "x = 3\n"),
+        # good repo: all clean
+        ("good", "src/a.py", "x = 1\n"),
+        ("good", "src/b.py", "x = 2\n"),
+        # tiny repo: clean but below min_files
+        ("tiny", "src/solo.py", "x = 1\n"),
+    ]
+    files = spark.createDataFrame(rows, ["repo", "path", "content"])
+    out = {r["repo"]: r for r in repo_curation_rollup(
+        files, min_keep_frac=0.5, min_files=2
+    ).collect()}
+    assert not out["bad"]["repo_keep"] and out["bad"]["n_vendored"] == 2
+    assert out["good"]["repo_keep"] and out["good"]["keep_frac"] == 1.0
+    assert not out["tiny"]["repo_keep"]  # min_files floor
