@@ -1304,6 +1304,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_hits"] = kg_hits
 
+    def _doc_concept_membership(spark, sf):
+        """(doc_id, eid, name, text) for every gazetteer concept contained
+        in a document — the doc-level membership base the PMI/salience
+        queries share with the co-occurrence oracles."""
+        docs = _docs(spark, sf)
+        gaz = _gazetteer_df(spark)
+        return (
+            docs.crossJoin(F.broadcast(gaz))
+            .where(F.col("text").contains(F.col("name")))
+            .select(
+                "doc_id",
+                F.concat(F.lit("CONCEPT_"), F.col("name")).alias("eid"),
+                "name",
+                "text",
+            )
+        )
+
+    def kg_pmi_edges(spark, sf):
+        """(N)PMI re-weighted co-occurrence edges
+        (relationships.py:pmi_edges) over gazetteer concept membership."""
+        from graphrag_rs_spark.operators.relationships import pmi_edges
+
+        m = _doc_concept_membership(spark, sf)
+        return pmi_edges(
+            m, doc_col="doc_id", entity_col="eid", min_pair_count=2
+        )
+
+    q["kg_pmi_edges"] = kg_pmi_edges
+
+    def kg_entity_salience(spark, sf):
+        """tf·idf entity salience per document (keywords.py:
+        entity_salience); tf = substring occurrence count, computed with
+        the same replace() arithmetic the oracle uses."""
+        from graphrag_rs_spark.operators.keywords import entity_salience
+
+        m = _doc_concept_membership(spark, sf).select(
+            "doc_id",
+            F.col("eid").alias("entity_id"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.expr("replace(text, name, '')"))
+                )
+                / F.length("name")
+            )
+            .cast("long")
+            .alias("tf"),
+        )
+        return entity_salience(m, top_k=5)
+
+    q["kg_entity_salience"] = kg_entity_salience
+
+    def kg_negative_samples(spark, sf):
+        """Deterministic hash-routed negative sampling
+        (linkpred.py:negative_samples) on the clique+chain graph; the
+        oracle replays every sha256 draw."""
+        from graphrag_rs_spark.operators.linkpred import negative_samples
+
+        return negative_samples(
+            _clique_chain_edges(spark, sf), k=3, num_buckets=16, seed="ns"
+        )
+
+    q["kg_negative_samples"] = kg_negative_samples
+
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
 
@@ -2501,6 +2565,70 @@ def oracle_sql() -> dict[str, str]:
         FROM verts v
         LEFT JOIN hub10 h ON v.id = h.id
         LEFT JOIN auth10 a ON v.id = a.id
+    """
+
+    # kg_pmi_edges: same FP op order as relationships.py:pmi_edges —
+    # p_ab = pair/n, pmi = ln(p_ab·n·n/(df_a·df_b)), npmi = pmi/-ln(p_ab)
+    sql["kg_pmi_edges"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT DISTINCT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM m),
+        dfe AS (SELECT eid, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY eid),
+        p AS (
+            SELECT a.eid AS subj, b.eid AS obj, count(*) AS pair_count
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+            HAVING count(*) >= 2
+        )
+        SELECT p.subj, p.obj, p.pair_count,
+               round(ln(CAST(p.pair_count AS DOUBLE) / (SELECT n FROM nd)
+                        * (SELECT n FROM nd) * (SELECT n FROM nd)
+                        / (da.df * db.df)), 6) AS pmi,
+               CASE WHEN CAST(p.pair_count AS DOUBLE) / (SELECT n FROM nd) >= 1.0
+                    THEN 1.0
+                    ELSE round(
+                        ln(CAST(p.pair_count AS DOUBLE) / (SELECT n FROM nd)
+                           * (SELECT n FROM nd) * (SELECT n FROM nd)
+                           / (da.df * db.df))
+                        / -ln(CAST(p.pair_count AS DOUBLE) / (SELECT n FROM nd)),
+                        6)
+               END AS npmi
+        FROM p JOIN dfe da ON p.subj = da.eid
+               JOIN dfe db ON p.obj = db.eid
+    """
+
+    # kg_entity_salience: tf by exact substring-count arithmetic, idf =
+    # ln(N/df), rank over the ROUNDED salience (matching the operator's
+    # window, which orders by the already-rounded column)
+    sql["kg_entity_salience"] = f"""
+        WITH {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS entity_id,
+                   CAST((length(d.text) - length(replace(d.text, g.name, '')))
+                        // length(g.name) AS DOUBLE) AS tf
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM m),
+        dfe AS (SELECT entity_id, CAST(count(*) AS DOUBLE) AS df
+                FROM m GROUP BY entity_id),
+        s AS (
+            SELECT m.doc_id, m.entity_id, m.tf,
+                   round(ln((SELECT n FROM nd) / dfe.df), 6) AS idf,
+                   round(m.tf * ln((SELECT n FROM nd) / dfe.df), 6) AS salience
+            FROM m JOIN dfe USING (entity_id)
+        )
+        SELECT doc_id, entity_id, tf, idf, salience, rank
+        FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY salience DESC, entity_id ASC
+                   ) AS INT) AS rank
+            FROM s
+        )
+        WHERE rank <= 5
     """
 
     # personalized variant: same unrolled iteration with the reference's
@@ -4305,6 +4433,49 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + lpa_round_ctes(_cc_edges_cte, 3)
         + "\nSELECT id, label FROM lab3"
     )
+
+    # kg_negative_samples: replay every hash-routed draw — same 60-bit
+    # sha256 prefix family and chr(31) separators as linkpred._h60
+    sql["kg_negative_samples"] = f"""
+        WITH {_cc_edges_cte},
+        verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        vb AS (
+            SELECT id,
+                   ('0x' || substr(sha256(id), 1, 15))::BIGINT % 16 AS bucket
+            FROM verts
+        ),
+        draws AS (
+            SELECT v.id AS src, i.sample_idx,
+                   ('0x' || substr(sha256('ns' || chr(31) || v.id || chr(31)
+                        || CAST(i.sample_idx AS VARCHAR)), 1, 15))::BIGINT
+                   % 16 AS bucket
+            FROM verts v CROSS JOIN
+                 (SELECT CAST(unnest([1, 2, 3]) AS INT) AS sample_idx) i
+        ),
+        cand AS (
+            SELECT d.src, d.sample_idx, b.id AS neg_dst,
+                   ('0x' || substr(sha256(d.src || chr(31)
+                        || CAST(d.sample_idx AS VARCHAR) || chr(31) || b.id),
+                        1, 15))::BIGINT AS score
+            FROM draws d JOIN vb b USING (bucket)
+        ),
+        picked AS (
+            SELECT src, sample_idx, neg_dst
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY src, sample_idx ORDER BY score ASC, neg_dst ASC
+            ) = 1
+        ),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        SELECT p.src, p.neg_dst, p.sample_idx
+        FROM picked p
+        WHERE p.neg_dst <> p.src
+          AND NOT EXISTS (
+              SELECT 1 FROM sym s
+              WHERE s.src = p.src AND s.dst = p.neg_dst
+          )
+    """
+
 
     # kg_scc / kg_build_layers: replay the DIRECTED fixture (5-cycle on
     # idx 0-4, bridge 4→5, 2-cycle 5↔6, tail 6→7 per customer group),

@@ -51,3 +51,50 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select("doc_id", F.col("term").alias("keyword"), F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def entity_salience(
+    doc_entity_tf: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    tf_col: str = "tf",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document entity salience = tf·idf over entity mentions →
+    (doc_id, entity_id, tf, idf, salience, rank).
+
+    ``doc_entity_tf`` carries one row per (doc, entity) with the mention
+    count; idf = ln(N_docs / df_entity) with N as a 1-row broadcast
+    aggregate (no driver action). Rank orders salience desc then entity
+    asc inside each document — the deterministic "which entities is this
+    document ABOUT" signal that feeds retrieval boosts and community
+    labeling. One groupBy for df, one broadcast-augmented join, one
+    bounded per-document window.
+    """
+    m = doc_entity_tf.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(entity_col).alias("entity_id"),
+        F.col(tf_col).cast("double").alias("tf"),
+    )
+    nd = m.agg(F.count_distinct("doc_id").cast("double").alias("_n"))
+    df_e = m.groupBy("entity_id").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log(F.col("_n") / F.col("_df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("entity_id").asc()
+    )
+    out = (
+        m.join(df_e, "entity_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "entity_id",
+            "tf",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("salience"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if top_k is not None:
+        out = out.where(F.col("rank") <= top_k)
+    return out

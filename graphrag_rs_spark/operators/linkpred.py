@@ -29,7 +29,7 @@ neighbor is adjacent to both u and v, so deg(w) ≥ 2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,94 @@ def link_prediction_scores(
             F.round(F.col("_aa"), 4).alias("adamic_adar"),
         )
     )
+
+
+def _h60(col):
+    """Portable 60-bit hash (sha256 hex prefix) — same family as
+    walks._h60 / textstats.fingerprint_col so DuckDB oracles can replay
+    it with ('0x' || substr(sha256(s), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def negative_samples(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    num_buckets: int = 16,
+    seed: str = "ns",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training data:
+    for every node with at least one edge, propose up to ``k`` non-edges
+    → (src, neg_dst, sample_idx).
+
+    Draws are hash-routed, not RNG: draw i for node u targets bucket
+    H(seed␟u␟i) mod B of the hash-bucketed vertex table and takes the
+    bucket member minimizing H(u␟i␟v) — uniform-ish over vertices,
+    reproducible on any engine with sha256 (the DuckDB oracle replays
+    every draw). Self-loops and existing edges (either orientation) are
+    anti-joined away afterwards, so some draws yield fewer than ``k``
+    rows — standard for hash-based negative sampling; callers wanting
+    exactly k oversample and re-trim.
+
+    Scale shape: no global ordering anywhere (a row_number over the full
+    vertex set — the naive indexing — is a single-partition collapse at
+    web scale). The draw join is (nodes × k) against vertex buckets of
+    ~n/B rows each on an equi-key, and the per-draw argmin is a bounded
+    window inside one (node, i, bucket) group. B tunes the fan-in.
+    """
+    sep = F.lit("\x1f")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vb = verts.select(
+        "id", (_h60(F.col("id")) % num_buckets).alias("bucket")
+    )
+    draws = verts.select(F.col("id").alias("src")).crossJoin(
+        F.broadcast(
+            verts.sparkSession.range(1, k + 1).select(
+                F.col("id").cast("int").alias("sample_idx")
+            )
+        )
+    )
+    draws = draws.select(
+        "src",
+        "sample_idx",
+        (
+            _h60(
+                F.concat(
+                    F.lit(seed), sep, F.col("src"), sep,
+                    F.col("sample_idx").cast("string"),
+                )
+            )
+            % num_buckets
+        ).alias("bucket"),
+    )
+    cand = draws.join(vb, "bucket").select(
+        "src",
+        "sample_idx",
+        F.col("id").alias("neg_dst"),
+        _h60(
+            F.concat(
+                F.col("src"), sep, F.col("sample_idx").cast("string"),
+                sep, F.col("id"),
+            )
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("src", "sample_idx").orderBy(
+        F.col("_score").asc(), F.col("neg_dst").asc()
+    )
+    picked = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("neg_dst") != F.col("src"))
+        .select("src", "neg_dst", "sample_idx")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select("src", F.col("dst").alias("neg_dst"))
+    return picked.join(sym, ["src", "neg_dst"], "left_anti")

@@ -203,3 +203,54 @@ def _dedupe_triples(typed: DataFrame, config: PipelineConfig) -> DataFrame:
         )
         .select("subj", "pred", "obj", conf.alias("confidence"), "context_chunk_ids")
     )
+
+
+def pmi_edges(
+    doc_entity: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity_id",
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """(N)PMI-weighted co-occurrence edges: (doc, entity) membership →
+    (subj, obj, pair_count, pmi, npmi), subj < obj.
+
+        pmi  = ln( P(a,b) / (P(a)·P(b)) )  with P over documents
+        npmi = pmi / -ln P(a,b)            (∈ [-1, 1], 1 ⟺ always together)
+
+    PMI is the standard significance re-weighting for raw co-occurrence
+    edges (count alone promotes frequent-everywhere entities; PMI keeps
+    pairs that co-occur MORE than their popularity predicts). Same self-
+    join shape as the pipeline's triple generation, then two key-joins
+    against per-entity document frequencies; N rides along as a 1-row
+    broadcast aggregate, so there is no driver action.
+    """
+    m = doc_entity.select(
+        F.col(doc_col).alias("doc"), F.col(entity_col).alias("eid")
+    ).distinct()
+    nd = m.agg(F.count_distinct("doc").cast("double").alias("_n"))
+    df_e = m.groupBy("eid").agg(F.count("*").cast("double").alias("df"))
+    a = m.select("doc", F.col("eid").alias("subj"))
+    b = m.select("doc", F.col("eid").alias("obj"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("subj") < F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    joined = (
+        pairs.join(df_e.select(F.col("eid").alias("subj"), F.col("df").alias("_dfa")), "subj")
+        .join(df_e.select(F.col("eid").alias("obj"), F.col("df").alias("_dfb")), "obj")
+        .crossJoin(F.broadcast(nd))
+    )
+    p_ab = F.col("pair_count").cast("double") / F.col("_n")
+    pmi = F.log(p_ab * F.col("_n") * F.col("_n") / (F.col("_dfa") * F.col("_dfb")))
+    npmi = F.when(p_ab >= 1.0, F.lit(1.0)).otherwise(pmi / -F.log(p_ab))
+    return joined.select(
+        "subj",
+        "obj",
+        "pair_count",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(npmi, 6).alias("npmi"),
+    )

@@ -82,3 +82,57 @@ def test_triangle_plan_is_udf_free(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
     plan = triangle_counts(e)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_edges_hand_computed(spark):
+    """4 docs: x,y always together (npmi 1), x,z once each way."""
+    import math
+
+    from graphrag_rs_spark.operators.relationships import pmi_edges
+
+    m = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "w")],
+        ["doc_id", "entity_id"],
+    )
+    out = {(r["subj"], r["obj"]): r for r in pmi_edges(
+        m, min_pair_count=1
+    ).collect()}
+    # x,y: p_ab=2/4, p_x=3/4, p_y=2/4 → pmi=ln(0.5/(0.75*0.5))=ln(4/3)
+    assert abs(out[("x", "y")]["pmi"] - round(math.log(4 / 3), 6)) < 1e-9
+    assert out[("x", "y")]["pair_count"] == 2
+    # npmi = pmi / -ln(0.5)
+    assert abs(
+        out[("x", "y")]["npmi"] - round(math.log(4 / 3) / -math.log(0.5), 6)
+    ) < 1e-9
+    # x,z: p_ab=1/4, pmi=ln(0.25/(0.75*0.25)) = ln(4/3)... = ln(1/0.75)
+    assert abs(out[("x", "z")]["pmi"] - round(math.log(1 / 0.75), 6)) < 1e-9
+    assert ("w", "x") not in out  # never co-occurs
+
+
+def test_entity_salience_ranking(spark):
+    """Rarer entity with equal tf outranks the ubiquitous one; top_k
+    truncates; idf of an everywhere-entity is 0."""
+    import math
+
+    from graphrag_rs_spark.operators.keywords import entity_salience
+
+    rows = [
+        (1, "common", 5), (2, "common", 5), (3, "common", 5),
+        (1, "rare", 5), (1, "mid", 9),
+        (2, "mid", 1),
+    ]
+    m = spark.createDataFrame(rows, ["doc_id", "entity_id", "tf"])
+    out = {(r["doc_id"], r["entity_id"]): r for r in entity_salience(
+        m
+    ).collect()}
+    assert out[(1, "common")]["idf"] == 0.0  # ln(3/3)
+    assert out[(1, "common")]["salience"] == 0.0
+    # doc 1: rare (5·ln3) > mid (9·ln(3/2)) > common (0)
+    assert out[(1, "rare")]["rank"] == 1
+    assert abs(out[(1, "rare")]["salience"] - round(5 * math.log(3), 6)) < 1e-9
+    assert out[(1, "mid")]["rank"] == 2
+    assert out[(1, "common")]["rank"] == 3
+    top1 = entity_salience(m, top_k=1)
+    assert top1.count() == 3 and all(
+        r["rank"] == 1 for r in top1.collect()
+    )

@@ -65,3 +65,29 @@ def test_jaccard_uses_union_of_neighborhoods(spark):
     # a-{b,c}, d-{b}: pair (a,d) shares b; deg(a)=2, deg(d)=1 → 1/(2+1-1)
     got = _scores(spark, [("a", "b"), ("a", "c"), ("d", "b")])
     assert got[("a", "d")][1] == 0.5
+
+
+def test_negative_samples_are_nonedges(spark):
+    """Every emitted sample is a real vertex, not a self-loop, and not an
+    existing edge in either orientation; at most k per source; output is
+    deterministic across invocations."""
+    from graphrag_rs_spark.operators.linkpred import negative_samples
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")],
+        ["src", "dst"],
+    )
+    out = negative_samples(edges, k=3, num_buckets=4).collect()
+    pos = {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")}
+    pos |= {(b, a) for a, b in pos}
+    verts = {"a", "b", "c", "d", "e"}
+    assert out, "no samples emitted"
+    per_src = {}
+    for r in out:
+        assert r["neg_dst"] in verts
+        assert r["neg_dst"] != r["src"]
+        assert (r["src"], r["neg_dst"]) not in pos
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert all(v <= 3 for v in per_src.values())
+    again = negative_samples(edges, k=3, num_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
