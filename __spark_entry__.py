@@ -1368,6 +1368,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negative_samples"] = kg_negative_samples
 
+    def kg_katz(spark, sf):
+        """Katz centrality (analytics.py:katz_centrality), fixed 10
+        rounds on the directed SCC fixture; oracle unrolls the identical
+        recurrence."""
+        from graphrag_rs_spark.operators.analytics import katz_centrality
+
+        out = katz_centrality(
+            _directed_fixture_edges(spark, sf),
+            alpha=0.1, beta=1.0, max_iterations=10,
+        )
+        return out.select("id", F.round("katz", 6).alias("katz"))
+
+    q["kg_katz"] = kg_katz
+
+    def kg_degree_histogram(spark, sf):
+        """Degree distribution (analytics.py:degree_histogram) of the
+        clique+chain graph — the pre-flight skew profile."""
+        from graphrag_rs_spark.operators.analytics import degree_histogram
+
+        return degree_histogram(_clique_chain_edges(spark, sf))
+
+    q["kg_degree_histogram"] = kg_degree_histogram
+
+    def kg_contracted(spark, sf):
+        """Community contraction (analytics.py:contract_graph): collapse
+        the clique+chain graph by its 3-round LPA labels into the
+        supergraph with intra-community self-loops kept."""
+        from graphrag_rs_spark.operators.analytics import contract_graph
+        from graphrag_rs_spark.operators.lpa import label_propagation
+
+        edges = _clique_chain_edges(spark, sf)
+        labels = label_propagation(edges, n_rounds=3)
+        return contract_graph(edges, labels)
+
+    q["kg_contracted"] = kg_contracted
+
+    def kg_feature_prop(spark, sf):
+        """2-round mean-aggregation feature smoothing (featprop.py) over
+        the clique+chain graph with the embeddings table as node
+        features; exploded (id, pos, val) propagation, re-assembled and
+        rounded elementwise."""
+        from graphrag_rs_spark.operators.featprop import feature_propagation
+
+        edges = _clique_chain_edges(spark, sf)
+        feats = _t(spark, sf, "embeddings").where(F.col("vec_id") < 120).select(
+            F.concat(F.lit("C"), F.col("vec_id").cast("string")).alias("id"),
+            F.col("embedding").alias("features"),
+        )
+        out = feature_propagation(edges, feats, rounds=2)
+        return out.select(
+            "id",
+            F.transform("features", lambda v: F.round(v, 6)).alias("features"),
+        )
+
+    q["kg_feature_prop"] = kg_feature_prop
+
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
 
@@ -4476,6 +4532,76 @@ def oracle_sql() -> dict[str, str]:
           )
     """
 
+    # kg_degree_histogram: symmetric-distinct degrees, then a histogram
+    sql["kg_degree_histogram"] = f"""
+        WITH {_cc_edges_cte},
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            WHERE src <> dst
+        ),
+        deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """
+
+    # kg_contracted: 3 LPA rounds (shared CTE builder), then collapse
+    # endpoints to labels with least/greatest ordering, self-loops kept
+    sql["kg_contracted"] = (
+        "WITH " + lpa_round_ctes(_cc_edges_cte, 3)
+        + """,
+        tagged AS (
+            SELECT least(la.label, lb.label) AS label_a,
+                   greatest(la.label, lb.label) AS label_b,
+                   1.0::DOUBLE AS w
+            FROM e JOIN lab3 la ON la.id = e.src
+                   JOIN lab3 lb ON lb.id = e.dst
+        )
+        SELECT label_a, label_b, count(*) AS n_edges,
+               round(sum(w), 6) AS weight
+        FROM tagged GROUP BY label_a, label_b"""
+    )
+
+    # kg_feature_prop: 2 unrolled mean-smoothing rounds in exploded
+    # (id, pos, val) form — identical recurrence to featprop.py; every
+    # round CTE MATERIALIZED (referenced twice: self term + neighbor sum)
+    _fp_rounds = []
+    for _k in range(1, 3):
+        _fp_rounds.append(f"""
+        h{_k} AS MATERIALIZED (
+            SELECT h.id, h.pos,
+                   (h.val + coalesce(nb.s, 0.0::DOUBLE))
+                   / (1.0::DOUBLE + coalesce(dg.d, 0.0::DOUBLE)) AS val
+            FROM h{_k - 1} h
+            LEFT JOIN (
+                SELECT sym.dst AS id, hh.pos, sum(hh.val) AS s
+                FROM sym JOIN h{_k - 1} hh ON hh.id = sym.src
+                GROUP BY sym.dst, hh.pos
+            ) nb ON nb.id = h.id AND nb.pos = h.pos
+            LEFT JOIN deg dg ON dg.id = h.id
+        )""")
+    sql["kg_feature_prop"] = f"""
+        WITH {_cc_edges_cte},
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            WHERE src <> dst
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS id, CAST(count(*) AS DOUBLE) AS d
+            FROM sym GROUP BY src
+        ),
+        h0 AS MATERIALIZED (
+            SELECT 'C' || vec_id AS id,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+            WHERE vec_id < 120
+        ),
+        {','.join(_fp_rounds)}
+        SELECT id, array_agg(round(val, 6) ORDER BY pos) AS features
+        FROM h2 GROUP BY id
+    """
+
 
     # kg_scc / kg_build_layers: replay the DIRECTED fixture (5-cycle on
     # idx 0-4, bridge 4→5, 2-cycle 5↔6, tail 6→7 per customer group),
@@ -4513,6 +4639,45 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_scc"] = (
         "WITH RECURSIVE " + _scc_base + "\nSELECT id, scc_id FROM scc"
     )
+
+    # kg_katz: 10 unrolled Katz rounds x_{k+1} = β + α·Σ_{u→v} x_k(u)
+    # over the directed SCC fixture (α=0.1, β=1.0) — identical recurrence
+    # to analytics.py:katz_centrality
+    _katz_e = """e AS (
+            SELECT DISTINCT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM (SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                         c_custkey % 8 AS idx
+                  FROM customer WHERE c_custkey < 120) a
+                 JOIN (SELECT c_custkey AS ck,
+                              c_custkey - (c_custkey % 8) AS g,
+                              c_custkey % 8 AS idx
+                       FROM customer WHERE c_custkey < 120) b
+                   ON a.g = b.g
+            WHERE (a.idx < 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 4 AND b.idx IN (0, 5))
+               OR (a.idx = 5 AND b.idx = 6)
+               OR (a.idx = 6 AND b.idx IN (5, 7))
+        )"""
+    _katz_iters = []
+    for _k in range(1, 11):
+        _katz_iters.append(f"""
+        x{_k} AS (
+            SELECT v.id,
+                   1.0::DOUBLE + 0.1::DOUBLE
+                   * coalesce(c.s, 0.0::DOUBLE) AS katz
+            FROM verts v LEFT JOIN (
+                SELECT e.dst AS id, sum(x.katz) AS s
+                FROM e JOIN x{_k - 1} x ON x.id = e.src
+                GROUP BY e.dst
+            ) c ON c.id = v.id
+        )""")
+    sql["kg_katz"] = f"""
+        WITH {_katz_e},
+        verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        x0 AS (SELECT id, 1.0::DOUBLE AS katz FROM verts),
+        {','.join(_katz_iters)}
+        SELECT id, round(katz, 6) AS katz FROM x10
+    """
 
     # kg_link_predict: replay the clique+chain edges, then the wedge
     # self-join + the three neighborhood formulas; NOT EXISTS keeps

@@ -577,3 +577,98 @@ def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    *,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Katz centrality over DIRECTED edges → (id, katz):
+
+        x_{k+1}(v) = β + α · Σ_{u→v} x_k(u),   x_0 = β
+
+    counting walks of every length discounted by α per hop — the
+    importance measure that, unlike PageRank, rewards being reachable
+    by MANY short walks rather than splitting mass across out-edges
+    (α must stay below 1/λ_max for convergence; the default 0.1 is safe
+    for the bounded-degree graphs KG construction emits). Fixed
+    ``max_iterations`` so a DuckDB oracle can unroll the identical math.
+
+    Same scale shape as pagerank: one join+groupBy per round over the
+    edge list, state is (id, score), lineage cut per round.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    x = verts.select("id", F.lit(float(beta)).alias("katz"))
+    for _ in range(max_iterations):
+        incoming = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("_in"))
+        )
+        x = cut_lineage(
+            verts.join(incoming, "id", "left").select(
+                "id",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce("_in", F.lit(0.0))
+                ).alias("katz"),
+            ),
+            tag="katz",
+        )
+    return x
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Undirected degree distribution → (degree, n_nodes) — the graph-
+    profiling query run before choosing skew strategies (a heavy tail
+    here is what motivates the hub caps and salting elsewhere). Two
+    map-side-combinable aggregations, no joins."""
+    deg = _sym_unweighted(edges).groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Community contraction: collapse nodes into their community label →
+    supergraph (label_a, label_b, n_edges, weight), label_a <= label_b,
+    self-loops kept (intra-community mass — the quantity Leiden-style
+    refinement tracks between levels).
+
+    ``labels`` carries (id, label). Two broadcast-or-shuffle key joins to
+    tag endpoints plus one aggregation; the supergraph is community-
+    cardinality, typically orders of magnitude smaller than the input —
+    the standard multi-level trick that makes hierarchical community
+    detection tractable at web scale.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select("src", "dst", w.alias("_w"))
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_lb"))
+    tagged = e.join(la, "src").join(lb, "dst").select(
+        F.least("_la", "_lb").alias("label_a"),
+        F.greatest("_la", "_lb").alias("label_b"),
+        "_w",
+    )
+    return tagged.groupBy("label_a", "label_b").agg(
+        F.count("*").alias("n_edges"),
+        F.round(F.sum("_w"), 6).alias("weight"),
+    )

@@ -136,3 +136,66 @@ def test_entity_salience_ranking(spark):
     assert top1.count() == 3 and all(
         r["rank"] == 1 for r in top1.collect()
     )
+
+
+def test_katz_hand_computed(spark):
+    """Chain a→b→c with small alpha: closed form after convergence-many
+    rounds — katz(a)=β, katz(b)=β+αβ, katz(c)=β+α(β+αβ)."""
+    from graphrag_rs_spark.operators.analytics import katz_centrality
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    out = {r["id"]: r["katz"] for r in katz_centrality(
+        edges, alpha=0.1, beta=1.0, max_iterations=10
+    ).collect()}
+    assert abs(out["a"] - 1.0) < 1e-12
+    assert abs(out["b"] - 1.1) < 1e-12
+    assert abs(out["c"] - 1.11) < 1e-12
+
+
+def test_degree_histogram(spark):
+    from graphrag_rs_spark.operators.analytics import degree_histogram
+
+    # triangle + pendant: degrees 2,2,3,1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r["degree"]: r["n_nodes"] for r in degree_histogram(edges).collect()}
+    assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_contract_graph(spark):
+    """Two 2-cliques joined by one bridge, labels = clique id: two
+    self-loops carrying intra mass + one cross edge."""
+    from graphrag_rs_spark.operators.analytics import contract_graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("b", "c")], ["src", "dst"]
+    )
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "R"), ("d", "R")], ["id", "label"]
+    )
+    out = {(r["label_a"], r["label_b"]): (r["n_edges"], r["weight"])
+           for r in contract_graph(edges, labels).collect()}
+    assert out == {("L", "L"): (1, 1.0), ("R", "R"): (1, 1.0),
+                   ("L", "R"): (1, 1.0)}
+
+
+def test_feature_propagation_mean_smoothing(spark):
+    """1 round on a→b with 1-dim features: both become the pair mean;
+    isolated node keeps its value."""
+    from graphrag_rs_spark.operators.featprop import feature_propagation
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    feats = spark.createDataFrame(
+        [("a", [0.0]), ("b", [2.0]), ("z", [7.0])], ["id", "features"]
+    )
+    out = {r["id"]: r["features"] for r in feature_propagation(
+        edges, feats, rounds=1
+    ).collect()}
+    assert out["a"] == [1.0] and out["b"] == [1.0]
+    assert out["z"] == [7.0]  # isolated: h/1
+    # two rounds: already at the fixed point for the pair
+    out2 = {r["id"]: r["features"] for r in feature_propagation(
+        edges, feats, rounds=2
+    ).collect()}
+    assert out2["a"] == [1.0] and out2["b"] == [1.0]
