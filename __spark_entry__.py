@@ -781,6 +781,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_representatives"] = dedup_representatives
 
+    def text_contrastive_pairs(spark, sf):
+        """Contrastive training triplets (dedup.py:contrastive_triplets):
+        near-dup pairs (n-gram jaccard ≥ 0.5) as (anchor, positive), a
+        hash-routed corpus draw as the negative — dedup output turned
+        into embedding-model training data."""
+        from graphrag_rs_spark.operators.dedup import (
+            contrastive_triplets,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _docs(spark, sf)
+        pairs = ngram_jaccard_pairs(
+            docs, text_col="text", id_col="doc_id",
+            shingle_size=3, threshold=0.5,
+        ).select("id_a", "id_b")
+        return contrastive_triplets(
+            pairs, docs.select(F.col("doc_id").alias("id"))
+        )
+
+    q["text_contrastive_pairs"] = text_contrastive_pairs
+
     def dedup_ngram_jaccard(spark, sf):
         from graphrag_rs_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1423,6 +1444,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_feature_prop"] = kg_feature_prop
+
+    def kg_multilevel_communities(spark, sf):
+        """Two-level community detection: LPA level 1 → contract_graph
+        supergraph → LPA level 2 → map node → supercommunity. The
+        multi-level composition contraction exists for; supernodes with
+        no cross edges keep their level-1 label (left join + coalesce)."""
+        from graphrag_rs_spark.operators.analytics import contract_graph
+        from graphrag_rs_spark.operators.lpa import label_propagation
+
+        edges = _clique_chain_edges(spark, sf)
+        l1 = label_propagation(edges, n_rounds=2)
+        super_e = (
+            contract_graph(edges, l1)
+            .where(F.col("label_a") != F.col("label_b"))
+            .select(F.col("label_a").alias("src"), F.col("label_b").alias("dst"))
+        )
+        l2 = label_propagation(super_e, n_rounds=2)
+        return l1.join(
+            l2.select(
+                F.col("id").alias("label"), F.col("label").alias("community")
+            ),
+            "label",
+            "left",
+        ).select(
+            "id", F.coalesce("community", F.col("label")).alias("community")
+        )
+
+    q["kg_multilevel_communities"] = kg_multilevel_communities
 
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
@@ -3198,6 +3247,61 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # text_contrastive_pairs: the ngram near-dup pairs as positives, then
+    # every sha256 bucket draw replayed (same hash family and exclusion
+    # order as dedup.py:contrastive_triplets)
+    sql["text_contrastive_pairs"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t != '') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        pos AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM base a, base b
+            WHERE a.id < b.id
+              AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        ),
+        vb AS (
+            SELECT doc_id AS negative,
+                   ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 16 AS bucket
+            FROM documents
+        ),
+        draws AS (
+            SELECT id_a AS anchor, id_b AS positive,
+                   ('0x' || substr(sha256('cp' || chr(31)
+                        || CAST(id_a AS VARCHAR) || chr(31)
+                        || CAST(id_b AS VARCHAR)), 1, 15))::BIGINT
+                   % 16 AS bucket
+            FROM pos
+        ),
+        cand AS (
+            SELECT d.anchor, d.positive, v.negative,
+                   ('0x' || substr(sha256(CAST(d.anchor AS VARCHAR) || chr(31)
+                        || CAST(d.positive AS VARCHAR) || chr(31)
+                        || CAST(v.negative AS VARCHAR)), 1, 15))::BIGINT AS score
+            FROM draws d JOIN vb v USING (bucket)
+            WHERE v.negative <> d.anchor AND v.negative <> d.positive
+        ),
+        posx AS (SELECT id_a AS anchor, id_b AS negative FROM pos
+                 UNION ALL SELECT id_b, id_a FROM pos)
+        SELECT anchor, positive, negative
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM posx x
+            WHERE x.anchor = c.anchor AND x.negative = c.negative)
+        QUALIFY row_number() OVER (
+            PARTITION BY anchor, positive ORDER BY score ASC, negative ASC
+        ) = 1
+    """
+
     sql["dedup_ngram_jaccard"] = """
         WITH base AS (
             SELECT doc_id AS id,
@@ -4531,6 +4635,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.src = p.src AND s.dst = p.neg_dst
           )
     """
+
+    # kg_multilevel_communities: LPA level 1 (shared CTE builder), exact
+    # contraction to cross-label superedges, LPA level 2 via the same
+    # builder under an m_ prefix, then node → supercommunity with the
+    # isolated-supernode coalesce
+    sql["kg_multilevel_communities"] = (
+        "WITH "
+        + lpa_round_ctes(_cc_edges_cte, 2)
+        + """,
+        ce AS (
+            SELECT least(la.label, lb.label) AS src,
+                   greatest(la.label, lb.label) AS dst
+            FROM e JOIN lab2 la ON la.id = e.src
+                   JOIN lab2 lb ON lb.id = e.dst
+            WHERE la.label <> lb.label
+            GROUP BY 1, 2
+        ),
+        """
+        + lpa_round_ctes(None, 2, prefix="m_", edges_name="ce")
+        + """
+        SELECT n.id, coalesce(m.label, n.label) AS community
+        FROM lab2 n LEFT JOIN m_lab2 m ON m.id = n.label"""
+    )
 
     # kg_degree_histogram: symmetric-distinct degrees, then a histogram
     sql["kg_degree_histogram"] = f"""

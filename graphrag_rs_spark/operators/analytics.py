@@ -505,7 +505,9 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     )
 
 
-def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
+def hits(
+    edges: DataFrame, *, max_iterations: int = 10, cut_every: int = 2
+) -> DataFrame:
     """HITS hubs/authorities (Kleinberg) over a DIRECTED edge list →
     (id, hub, authority).
 
@@ -535,7 +537,14 @@ def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
 
     hub = verts.select("id", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
+        # one lineage cut per ``cut_every`` rounds, always on the LAST
+        # round (auth must be cut too so the final join reads both sides
+        # from a scan): the per-round plan adds 2 joins + 2 aggs, so a
+        # 2-round stride keeps planning linear while halving the
+        # materialization count — the cuts are the dominant fixed cost on
+        # small graphs (each is a parquet write+read job)
+        cut = (i + 1) % max(1, cut_every) == 0 or i == max_iterations - 1
         # auth half-step: sum hub over in-edges, then L2-normalize.
         # Nodes with no in-edges hold score 0 and contribute 0 to the
         # norm, so aggregating only over the non-zero rows is exact.
@@ -547,12 +556,11 @@ def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
         a_norm = auth_raw.agg(
             F.coalesce(F.sqrt(F.sum(F.col("v") * F.col("v"))), F.lit(1.0)).alias("_n")
         )
-        auth = cut_lineage(
-            auth_raw.crossJoin(F.broadcast(a_norm)).select(
-                "id", (F.col("v") / F.col("_n")).alias("authority")
-            ),
-            tag="hits_auth",
+        auth = auth_raw.crossJoin(F.broadcast(a_norm)).select(
+            "id", (F.col("v") / F.col("_n")).alias("authority")
         )
+        if cut:
+            auth = cut_lineage(auth, tag="hits_auth")
         # hub half-step: sum authority over out-edges, L2-normalize
         hub_raw = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
@@ -562,12 +570,11 @@ def hits(edges: DataFrame, *, max_iterations: int = 10) -> DataFrame:
         h_norm = hub_raw.agg(
             F.coalesce(F.sqrt(F.sum(F.col("v") * F.col("v"))), F.lit(1.0)).alias("_n")
         )
-        hub = cut_lineage(
-            hub_raw.crossJoin(F.broadcast(h_norm)).select(
-                "id", (F.col("v") / F.col("_n")).alias("hub")
-            ),
-            tag="hits_hub",
+        hub = hub_raw.crossJoin(F.broadcast(h_norm)).select(
+            "id", (F.col("v") / F.col("_n")).alias("hub")
         )
+        if cut:
+            hub = cut_lineage(hub, tag="hits_hub")
     return (
         verts.join(hub, "id", "left")
         .join(auth, "id", "left")

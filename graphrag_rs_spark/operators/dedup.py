@@ -427,3 +427,81 @@ def select_representatives(
         F.col(quality_col).alias("quality"),
         (F.row_number().over(w) == 1).alias("is_representative"),
     )
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    ids: DataFrame,
+    *,
+    num_buckets: int = 16,
+    seed: str = "cp",
+) -> DataFrame:
+    """Contrastive training triplets from near-duplicate pairs:
+    pairs(id_a, id_b) positives + ids(id) universe →
+    (anchor, positive, negative).
+
+    The mining step that turns dedup output into embedding-model
+    training data: every near-dup pair is an (anchor, positive), and the
+    negative is a hash-routed draw over the corpus (same bucket-argmin
+    construction as linkpred.negative_samples — deterministic, engine-
+    portable sha256, no RNG, no global ordering). Candidates equal to
+    either pair member, or that are themselves a positive partner of the
+    anchor (either orientation), are excluded BEFORE the argmin so every
+    non-degenerate bucket yields a negative.
+
+    Scale shape: one equi-join of (pairs × 1 draw) against ~n/B-row
+    vertex buckets, one anti-join against the (small relative to corpus)
+    positive-pair set, one bounded per-draw window.
+    """
+    from graphrag_rs_spark.operators.linkpred import _h60
+
+    sep = F.lit("\x1f")
+    p = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+    )
+    vb = ids.select(
+        F.col("id").alias("negative"),
+        (_h60(F.col("id").cast("string")) % num_buckets).alias("bucket"),
+    )
+    draws = p.select(
+        "anchor",
+        "positive",
+        (
+            _h60(
+                F.concat(
+                    F.lit(seed), sep, F.col("anchor").cast("string"),
+                    sep, F.col("positive").cast("string"),
+                )
+            )
+            % num_buckets
+        ).alias("bucket"),
+    )
+    cand = (
+        draws.join(vb, "bucket")
+        .where(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .drop("bucket")
+    )
+    pos_sym = p.select("anchor", F.col("positive").alias("negative")).union(
+        p.select(
+            F.col("positive").alias("anchor"), F.col("anchor").alias("negative")
+        )
+    )
+    cand = cand.join(pos_sym, ["anchor", "negative"], "left_anti")
+    w = Window.partitionBy("anchor", "positive").orderBy(
+        _h60(
+            F.concat(
+                F.col("anchor").cast("string"), sep,
+                F.col("positive").cast("string"), sep,
+                F.col("negative").cast("string"),
+            )
+        ).asc(),
+        F.col("negative").asc(),
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("anchor", "positive", "negative")
+    )

@@ -54,26 +54,40 @@ def label_propagation(edges: DataFrame, n_rounds: int = 5) -> DataFrame:
     return labels
 
 
-def lpa_round_ctes(edges_cte: str, n_rounds: int) -> str:
-    """SQL replay: unrolled round CTEs over an ``e(src,dst)`` edge CTE
-    (directed input; symmetrization + distinct happens here). Returns text
-    defining ``sym`` and ``lab0..lab{n}``; select from ``lab{n_rounds}``."""
-    parts = [
-        edges_cte,
-        """sym AS (
+def lpa_round_ctes(
+    edges_cte: str | None,
+    n_rounds: int,
+    *,
+    prefix: str = "",
+    edges_name: str = "e",
+) -> str:
+    """SQL replay: unrolled round CTEs over an ``{edges_name}(src,dst)``
+    edge CTE (directed input; symmetrization + distinct happens here).
+    Returns text defining ``{prefix}sym`` and ``{prefix}lab0..lab{n}``;
+    select from ``{prefix}lab{n_rounds}``.
+
+    ``prefix``/``edges_name`` let a query chain LPA levels (e.g. a second
+    LPA pass over a contracted supergraph) without CTE-name collisions;
+    pass ``edges_cte=None`` when the edge CTE is already defined upstream.
+    """
+    parts = [] if edges_cte is None else [edges_cte]
+    parts += [
+        f"""{prefix}sym AS (
             SELECT DISTINCT src, dst FROM (
-                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+                SELECT src, dst FROM {edges_name}
+                UNION ALL SELECT dst, src FROM {edges_name})
         )""",
-        "lab0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)",
+        f"{prefix}lab0 AS (SELECT DISTINCT src AS id, src AS label"
+        f" FROM {prefix}sym)",
     ]
     for r in range(1, n_rounds + 1):
-        parts.append(f"""lab{r} AS (
+        parts.append(f"""{prefix}lab{r} AS (
             SELECT id, label FROM (
                 SELECT g.src AS id, l.label, count(*) AS c,
                        row_number() OVER (
                            PARTITION BY g.src
                            ORDER BY count(*) DESC, l.label) AS rn
-                FROM sym g JOIN lab{r - 1} l ON l.id = g.dst
+                FROM {prefix}sym g JOIN {prefix}lab{r - 1} l ON l.id = g.dst
                 GROUP BY g.src, l.label
             ) WHERE rn = 1
         )""")

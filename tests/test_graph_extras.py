@@ -199,3 +199,34 @@ def test_feature_propagation_mean_smoothing(spark):
         edges, feats, rounds=2
     ).collect()}
     assert out2["a"] == [1.0] and out2["b"] == [1.0]
+
+
+def test_multilevel_lpa_contract_roundtrip(spark):
+    """Two triangles joined by a bridge: level-1 LPA labels each
+    triangle; contraction + level-2 LPA merges them into one
+    supercommunity via the bridge edge."""
+    from graphrag_rs_spark.operators.analytics import contract_graph
+    from graphrag_rs_spark.operators.lpa import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"),
+         ("c", "x")],
+        ["src", "dst"],
+    )
+    l1 = label_propagation(edges, n_rounds=2)
+    super_e = (
+        contract_graph(edges, l1)
+        .where("label_a != label_b")
+        .selectExpr("label_a as src", "label_b as dst")
+    )
+    # the bridge produces at least one cross-label superedge unless LPA
+    # already merged everything
+    labels = {r["id"]: r["label"] for r in l1.collect()}
+    if len(set(labels.values())) > 1:
+        assert super_e.count() >= 1
+        l2 = label_propagation(super_e, n_rounds=2)
+        sup = {r["id"]: r["label"] for r in l2.collect()}
+        # supergraph of 2 connected supernodes collapses to one community
+        if len(set(labels.values())) == 2:
+            assert len(set(sup.values())) == 1

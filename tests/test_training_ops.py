@@ -521,3 +521,24 @@ def test_repo_curation_rollup(spark):
     assert not out["bad"]["repo_keep"] and out["bad"]["n_vendored"] == 2
     assert out["good"]["repo_keep"] and out["good"]["keep_frac"] == 1.0
     assert not out["tiny"]["repo_keep"]  # min_files floor
+
+
+def test_contrastive_triplets(spark):
+    """Every (anchor, positive) input pair yields at most one triplet;
+    the negative is never a pair member nor a positive partner of the
+    anchor; deterministic across calls."""
+    from graphrag_rs_spark.operators.dedup import contrastive_triplets
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 20)], ["id"])
+    out = contrastive_triplets(pairs, ids).collect()
+    assert 1 <= len(out) <= 3
+    banned = {1: {1, 2, 3}, 5: {5, 6}}
+    for r in out:
+        assert r["negative"] not in banned.get(r["anchor"], set()) | {
+            r["positive"]
+        }
+    again = contrastive_triplets(pairs, ids).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
