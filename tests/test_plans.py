@@ -296,3 +296,56 @@ def test_mixture_rate_gate_is_map_only_prefilter(spark, parquet_docs):
     assert "Filter" in scan_side
     # Spark 4 bonus pinned: the domain cap's top-k runs map-side too
     assert "WindowGroupLimit" in scan_side
+
+
+def test_negative_samples_no_cartesian(spark):
+    """The draw join must be an equi-join on bucket — a cartesian/BNLJ
+    against the vertex table would explode at scale. The only nested-loop
+    allowed is the intentional k-row broadcast of sample indices."""
+    from graphrag_rs_spark.operators.linkpred import negative_samples
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(30)], ["src", "dst"]
+    )
+    plan = _plan(negative_samples(edges, k=3, num_buckets=8))
+    assert "CartesianProduct" not in plan
+    # bucket must appear as a join key (sort-merge or shuffled hash)
+    assert "bucket" in plan
+
+
+def test_contrastive_triplets_no_cartesian(spark):
+    from graphrag_rs_spark.operators.dedup import contrastive_triplets
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(50)], ["id"])
+    plan = _plan(contrastive_triplets(pairs, ids))
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_featprop_partial_aggregation(spark):
+    """The neighbor-sum per (id, pos) must partially aggregate map-side
+    (two HashAggregate levels) — this is what keeps the exploded
+    propagation one shuffle of (id, pos, partial) per round."""
+    from graphrag_rs_spark.operators.featprop import feature_propagation
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    feats = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [0.0, 1.0]), ("c", [3.0, 0.0])],
+        ["id", "features"],
+    )
+    plan = _plan(feature_propagation(edges, feats, rounds=1))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_select_representatives_single_window(spark):
+    """One window over the group key — no joins, no extra shuffles."""
+    from graphrag_rs_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [("a", "g", 1)], ["id", "dup_group_id", "quality"]
+    )
+    plan = _plan(select_representatives(members))
+    assert "Window" in plan
+    assert "Join" not in plan
