@@ -1473,6 +1473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_multilevel_communities"] = kg_multilevel_communities
 
+    def kg_ktruss(spark, sf):
+        """4-truss of the clique+chain graph (analytics.py:k_truss):
+        cliques survive with their in-truss support, chain/bridge edges
+        peel off. The oracle unrolls the peeling to its fixpoint."""
+        from graphrag_rs_spark.operators.analytics import k_truss
+
+        return k_truss(_clique_chain_edges(spark, sf), k=4)
+
+    q["kg_ktruss"] = kg_ktruss
+
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
 
@@ -4657,6 +4667,49 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT n.id, coalesce(m.label, n.label) AS community
         FROM lab2 n LEFT JOIN m_lab2 m ON m.id = n.label"""
+    )
+
+    # kg_ktruss: unrolled peeling rounds — per round, id-ordered triangle
+    # enumeration (canonical a<b edges ⇒ each triangle once; support
+    # counts are orientation-independent, so this equals the operator's
+    # degree-ordered enumeration), per-edge support by exploding each
+    # triangle into its 3 edges, drop under k−2. The fixture converges in
+    # 2 rounds; 3 are unrolled so the final round provably measures
+    # support WITHIN the stable truss (matching the operator's return).
+    _kt_rounds = []
+    for _r in range(1, 4):
+        _kt_rounds.append(f"""
+        w{_r} AS (
+            SELECT x.a AS u, x.b AS v, y.b AS w
+            FROM ke{_r - 1} x JOIN ke{_r - 1} y
+              ON x.a = y.a AND x.b < y.b
+        ),
+        t{_r} AS MATERIALIZED (
+            SELECT wd.u, wd.v, wd.w
+            FROM w{_r} wd JOIN ke{_r - 1} z ON z.a = wd.v AND z.b = wd.w
+        ),
+        s{_r} AS (
+            SELECT a, b, count(*) AS support FROM (
+                SELECT u AS a, v AS b FROM t{_r}
+                UNION ALL SELECT u, w FROM t{_r}
+                UNION ALL SELECT v, w FROM t{_r}
+            ) GROUP BY a, b
+        ),
+        ke{_r} AS MATERIALIZED (
+            SELECT e.a, e.b, coalesce(s.support, 0) AS support
+            FROM ke{_r - 1} e LEFT JOIN s{_r} s USING (a, b)
+            WHERE coalesce(s.support, 0) >= 2
+        )""")
+    sql["kg_ktruss"] = (
+        "WITH "
+        + _cc_edges_cte
+        + """,
+        ke0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),"""
+        + ",".join(_kt_rounds)
+        + "\nSELECT a, b, support FROM ke3"
     )
 
     # kg_degree_histogram: symmetric-distinct degrees, then a histogram

@@ -679,3 +679,74 @@ def contract_graph(
         F.count("*").alias("n_edges"),
         F.round(F.sum("_w"), 6).alias("weight"),
     )
+
+
+def _triangles_once(canon: DataFrame) -> DataFrame:
+    """canon(a, b) with a < b, distinct, no self-loops → one row (u, v, w)
+    per triangle, via the same degree-ordered orientation as
+    triangle_counts (out-degree bounded by O(√m), no hub knob needed)."""
+    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
+    with_keys = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("_deg").alias("_ks")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("_deg").alias("_kd")), "dst")
+    )
+    oriented = with_keys.where(
+        F.struct(F.col("_ks"), F.col("src")) < F.struct(F.col("_kd"), F.col("dst"))
+    ).select("src", "dst", F.struct(F.col("_kd"), F.col("dst")).alias("_key"))
+    a = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("_key").alias("_kv"))
+    b = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("_key").alias("_kw"))
+    wedges = a.join(b, "u").where(F.col("_kv") < F.col("_kw")).select("u", "v", "w")
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every edge
+    participates in ≥ k−2 triangles → (a, b, support), a < b.
+
+    Completes the dense-subgraph family (triangle_counts, k_core): truss
+    is the edge-level cohesion filter — cliques of size k survive the
+    k-truss, chains/bridges never do — the standard "keep only the
+    load-bearing relationships" pass over a noisy co-occurrence KG.
+
+    Peeling loop: enumerate triangles (degree-oriented, each exactly
+    once), count per-edge support by exploding each triangle into its 3
+    canonical edges, drop edges under k−2, repeat until stable. Rounds =
+    peel depth; each round is a constant number of shuffles over a
+    strictly shrinking edge set, lineage-cut per round. The stability
+    probe reuses the kept-edge count the round already computes.
+    """
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = cur.count()
+    if prev_n == 0:
+        return cur.withColumn("support", F.lit(0).cast("long"))
+    for _ in range(max_iter):
+        tris = _triangles_once(cur)
+        tri_edges = (
+            tris.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .union(tris.select(F.col("u").alias("x"), F.col("w").alias("y")))
+            .union(tris.select(F.col("v").alias("x"), F.col("w").alias("y")))
+        ).select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        support = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+        scored = cur.join(support, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        kept = scored.where(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        n = kept.count()
+        if n == 0:
+            return kept
+        if n == prev_n:
+            return kept
+        prev_n = n
+        cur = kept.select("a", "b")
+    return kept

@@ -230,3 +230,33 @@ def test_multilevel_lpa_contract_roundtrip(spark):
         # supergraph of 2 connected supernodes collapses to one community
         if len(set(labels.values())) == 2:
             assert len(set(sup.values())) == 1
+
+
+def test_k_truss_clique_survives_bridge_peels(spark):
+    """K4 + pendant chain: the 4-truss keeps exactly the K4 edges, each
+    with support 2; every chain edge peels. 5-truss of K4 is empty."""
+    from graphrag_rs_spark.operators.analytics import k_truss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(k4 + chain, ["src", "dst"])
+    out = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4).collect()}
+    assert set(out) == {tuple(sorted(e)) for e in k4}
+    assert all(s == 2 for s in out.values())
+    assert k_truss(edges, k=5).count() == 0
+
+
+def test_k_truss_cascading_peel(spark):
+    """Peeling must cascade: a triangle hanging off a K4 survives the
+    3-truss but the 4-truss must also remove K4 edges' lost support
+    transitively — here the pendant triangle peels in round 1 and the
+    K4 stays intact."""
+    from graphrag_rs_spark.operators.analytics import k_truss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant_tri = [("d", "x"), ("d", "y"), ("x", "y")]
+    edges = spark.createDataFrame(k4 + pendant_tri, ["src", "dst"])
+    t4 = {(r["a"], r["b"]) for r in k_truss(edges, k=4).collect()}
+    assert t4 == {tuple(sorted(e)) for e in k4}
+    t3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
+    assert t3 == {tuple(sorted(e)) for e in k4 + pendant_tri}
