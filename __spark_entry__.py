@@ -1483,6 +1483,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ktruss"] = kg_ktruss
 
+    def kg_node2vec_walks(spark, sf):
+        """2nd-order biased walks (walks.py:node2vec_walks) on the
+        clique+chain graph — integer (1,1,2) return/near/far weights,
+        cumulative-range draws from the portable sha256 family; the
+        oracle unrolls all 4 steps."""
+        from graphrag_rs_spark.operators.walks import node2vec_walks
+
+        return node2vec_walks(
+            _clique_chain_edges(spark, sf),
+            walk_length=4, walks_per_node=2, seed=42,
+            w_return=1, w_near=1, w_far=2,
+        )
+
+    q["kg_node2vec_walks"] = kg_node2vec_walks
+
     def kg_semantic_edges(spark, sf):
         from graphrag_rs_spark.operators.semantic_edges import semantic_edges
 
@@ -4710,6 +4725,70 @@ def oracle_sql() -> dict[str, str]:
         ),"""
         + ",".join(_kt_rounds)
         + "\nSELECT a, b, support FROM ke3"
+    )
+
+    # kg_node2vec_walks: unrolled 2nd-order biased steps — per step, the
+    # candidate weight CASE (return=1 / near=1 / far=2, first hop
+    # uniform), a cumulative range ordered by dst, and the sha256 draw
+    # H(cur␟w␟t␟seed) mod Σweights; sinks drop out of s{t} and the
+    # longest surviving row per walk is terminal (same protocol as
+    # kg_random_walks, unrolled because the recursive form can't hold
+    # window functions)
+    _n2v_steps = []
+    for _t in range(1, 5):
+        _n2v_steps.append(f"""
+        c{_t} AS (
+            SELECT s.walk_id, s.start, s.w, s.cur, s.prev, s.path,
+                   a.dst AS nxt,
+                   CASE WHEN s.prev IS NULL THEN 1
+                        WHEN a.dst = s.prev THEN 1
+                        WHEN EXISTS (SELECT 1 FROM adj p
+                                     WHERE p.src = s.prev AND p.dst = a.dst)
+                             THEN 1
+                        ELSE 2 END AS wt
+            FROM s{_t - 1} s JOIN adj a ON a.src = s.cur
+        ),
+        p{_t} AS MATERIALIZED (
+            SELECT *,
+                   sum(wt) OVER (PARTITION BY walk_id ORDER BY nxt
+                                 ROWS UNBOUNDED PRECEDING) AS hi,
+                   sum(wt) OVER (PARTITION BY walk_id) AS tot
+            FROM c{_t}
+        ),
+        s{_t} AS MATERIALIZED (
+            SELECT walk_id, start, w, nxt AS cur, cur AS prev,
+                   path || '>' || nxt AS path
+            FROM p{_t}
+            WHERE ('0x' || substr(sha256(cur || chr(31)
+                        || CAST(w AS VARCHAR) || chr(31) || '{_t}'
+                        || chr(31) || '42'), 1, 15))::BIGINT % tot
+                  BETWEEN hi - wt AND hi - 1
+        )""")
+    sql["kg_node2vec_walks"] = (
+        "WITH "
+        + _cc_edges_cte
+        + """,
+        adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        s0 AS MATERIALIZED (
+            SELECT s.src || '#' || CAST(ws.w AS VARCHAR) AS walk_id,
+                   s.src AS start, ws.w, s.src AS cur,
+                   CAST(NULL AS VARCHAR) AS prev, s.src AS path
+            FROM (SELECT DISTINCT src FROM adj) s
+                 CROSS JOIN (SELECT unnest([0, 1]) AS w) ws
+        ),"""
+        + ",".join(_n2v_steps)
+        + """,
+        allrows AS (
+            SELECT walk_id, start, 0 AS t, path FROM s0
+            UNION ALL SELECT walk_id, start, 1, path FROM s1
+            UNION ALL SELECT walk_id, start, 2, path FROM s2
+            UNION ALL SELECT walk_id, start, 3, path FROM s3
+            UNION ALL SELECT walk_id, start, 4, path FROM s4
+        )
+        SELECT walk_id, start, CAST(t AS INT) AS steps, path AS path_str
+        FROM allrows
+        QUALIFY row_number() OVER (
+            PARTITION BY walk_id ORDER BY t DESC) = 1"""
     )
 
     # kg_degree_histogram: symmetric-distinct degrees, then a histogram

@@ -121,3 +121,123 @@ def random_walks(
         F.col("steps").cast("int").alias("steps"),
         F.array_join("path", ">").alias("path_str"),
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    *,
+    walk_length: int = 5,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    w_return: int = 1,
+    w_near: int = 1,
+    w_far: int = 2,
+) -> DataFrame:
+    """node2vec-style 2nd-order biased walks → (walk_id, start, steps,
+    path_str).
+
+    Standing at ``cur`` having arrived from ``prev``, each out-neighbor
+    d is weighted w_return (d == prev — the 1/p "go back" term),
+    w_near (d adjacent to prev — the distance-1 term) or w_far
+    (otherwise — the 1/q exploration term); the first hop is uniform.
+    Weights are INTEGERS (node2vec's 1/p, 1, 1/q scaled to a common
+    denominator) so the draw — H(cur␟w␟t␟seed) mod Σweights landing in a
+    candidate's cumulative range, candidates ordered by dst — is
+    integer-exact and replayable on any engine with sha256 (the DuckDB
+    oracle unrolls the steps).
+
+    Scale shape vs the uniform walker: one extra LEFT equi-join per step
+    (candidate (prev, dst) against the adjacency list for the nearness
+    test) and a cumulative-sum window bounded by out-degree(cur) per
+    walk. Still zero per-walk Python; lineage cut per step.
+    """
+    e = edges.select("src", "dst").distinct()
+    adj = e.localCheckpoint(eager=True)
+
+    state = (
+        adj.select("src").distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+        )
+        .select(
+            F.concat_ws("#", "start", F.col("w").cast("string")).alias("walk_id"),
+            "start",
+            "w",
+            F.col("start").alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+            F.array("start").alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    finished = []
+
+    for t in range(1, walk_length + 1):
+        cand = state.join(
+            adj.select(F.col("src").alias("cur"), F.col("dst").alias("nxt")),
+            "cur",
+            "left",
+        )
+        finished.append(
+            cand.where(F.col("nxt").isNull()).select(
+                "walk_id", "start", F.lit(t - 1).alias("steps"), "path"
+            ).distinct()
+        )
+        cand = cand.where(F.col("nxt").isNotNull())
+        near = adj.select(
+            F.col("src").alias("prev"), F.col("dst").alias("nxt"),
+            F.lit(True).alias("_adj"),
+        )
+        cand = cand.join(near, ["prev", "nxt"], "left").withColumn(
+            "_wt",
+            F.when(F.col("prev").isNull(), F.lit(1))
+            .when(F.col("nxt") == F.col("prev"), F.lit(int(w_return)))
+            .when(F.col("_adj"), F.lit(int(w_near)))
+            .otherwise(F.lit(int(w_far)))
+            .cast("long"),
+        )
+        win = Window.partitionBy("walk_id").orderBy("nxt")
+        cum = cand.select(
+            "walk_id", "start", "w", "cur", "nxt", "path",
+            F.sum("_wt").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("_hi"),
+            F.col("_wt"),
+            F.sum("_wt").over(
+                win.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_tot"),
+        )
+        key = F.concat_ws(
+            SEP,
+            F.col("cur"),
+            F.col("w").cast("string"),
+            F.lit(str(t)),
+            F.lit(str(seed)),
+        )
+        pick = _h60(key) % F.col("_tot")
+        stepped = cum.where(
+            (pick >= F.col("_hi") - F.col("_wt")) & (pick < F.col("_hi"))
+        ).select(
+            "walk_id",
+            "start",
+            "w",
+            F.col("nxt").alias("cur"),
+            F.col("cur").alias("prev"),
+            F.concat("path", F.array("nxt")).alias("path"),
+        )
+        state = stepped.localCheckpoint(eager=True)
+
+    finished.append(
+        state.select("walk_id", "start", F.lit(walk_length).alias("steps"), "path")
+    )
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "walk_id",
+        "start",
+        F.col("steps").cast("int").alias("steps"),
+        F.array_join("path", ">").alias("path_str"),
+    )
