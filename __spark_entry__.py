@@ -4553,7 +4553,7 @@ def oracle_sql() -> dict[str, str]:
 
     # kg_random_walks: recursive-CTE replay of the deterministic walks —
     # same adjacency indexing (row_number over dst), same 60-bit sha256
-    # choice hash H(cur␟w␟t␟seed) mod degree, same early stop at sinks
+    # choice hash H(walk_id␟cur␟t␟seed) mod degree, same early stop at sinks
     # (the inner join stops extending; the max-t row per walk is terminal).
     sql["kg_random_walks"] = """
         WITH RECURSIVE
@@ -4586,7 +4586,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk JOIN adj a
               ON a.src = walk.cur
              AND a.idx = ('0x' || substr(sha256(
-                     walk.cur || chr(31) || CAST(walk.w AS VARCHAR)
+                     walk.walk_id || chr(31) || walk.cur
                      || chr(31) || CAST(walk.t + 1 AS VARCHAR)
                      || chr(31) || '42'), 1, 15))::BIGINT % a.d
             WHERE walk.t < 4
@@ -4730,7 +4730,7 @@ def oracle_sql() -> dict[str, str]:
     # kg_node2vec_walks: unrolled 2nd-order biased steps — per step, the
     # candidate weight CASE (return=1 / near=1 / far=2, first hop
     # uniform), a cumulative range ordered by dst, and the sha256 draw
-    # H(cur␟w␟t␟seed) mod Σweights; sinks drop out of s{t} and the
+    # H(walk_id␟cur␟t␟seed) mod Σweights; sinks drop out of s{t} and the
     # longest surviving row per walk is terminal (same protocol as
     # kg_random_walks, unrolled because the recursive form can't hold
     # window functions)
@@ -4759,8 +4759,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT walk_id, start, w, nxt AS cur, cur AS prev,
                    path || '>' || nxt AS path
             FROM p{_t}
-            WHERE ('0x' || substr(sha256(cur || chr(31)
-                        || CAST(w AS VARCHAR) || chr(31) || '{_t}'
+            WHERE ('0x' || substr(sha256(walk_id || chr(31)
+                        || cur || chr(31) || '{_t}'
                         || chr(31) || '42'), 1, 15))::BIGINT % tot
                   BETWEEN hi - wt AND hi - 1
         )""")

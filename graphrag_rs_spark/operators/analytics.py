@@ -500,8 +500,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         keep.unpersist()
-    return cur.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").alias("core_degree")
+    # same contract as scc/topological_layers: never hand back a
+    # possibly-unconverged result as if it were the fixpoint
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} rounds; "
+        "raise max_iter (rounds needed = the graph's peel depth)"
     )
 
 
@@ -749,4 +752,9 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             return kept
         prev_n = n
         cur = kept.select("a", "b")
-    return kept
+    # non-fixpoint 'kept' must not leak out (and max_iter=0 would have
+    # raised UnboundLocalError here) — match the SCC operators' contract
+    raise RuntimeError(
+        f"k_truss did not converge within max_iter={max_iter} rounds; "
+        "raise max_iter (rounds needed = the graph's peel depth)"
+    )

@@ -41,9 +41,11 @@ def asof_join(
     tolerance=None,
     suffix: str = "_r",
 ) -> DataFrame:
-    """→ all left columns + right payload columns (right's key/time
-    columns excluded; names colliding with left's get ``suffix``).
-    Left rows with no match keep NULL payload (left-outer semantics)."""
+    """→ all left columns + right payload columns. Right's key columns
+    are excluded; the right TIME column is deliberately carried through
+    as payload (suffixed on name collision) — the tolerance check and
+    downstream staleness math need the matched timestamp. Left rows with
+    no match keep NULL payload (left-outer semantics)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     key = list(on)

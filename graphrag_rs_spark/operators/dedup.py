@@ -417,10 +417,19 @@ def select_representatives(
     decision. One window shuffle on the group key; group sizes are dup-
     cluster sizes (bounded by the dedup operators' own skew guards), so
     no single partition inflates at scale.
+
+    Callers may pass the FULL corpus where non-duplicate rows carry a
+    NULL group id: NULL groups are treated as singletons (each such row
+    is its own representative), not lumped into one window partition —
+    which would both mark all-but-one unique row as droppable and funnel
+    the whole non-dup corpus through a single task at scale.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
-    )
+    w = Window.partitionBy(
+        F.coalesce(
+            F.col(group_col).cast("string"),
+            F.concat(F.lit("\x1fsingleton\x1f"), F.col(id_col).cast("string")),
+        )
+    ).orderBy(F.col(quality_col).desc_nulls_last(), F.col(id_col).asc())
     return members.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("dup_group_id"),

@@ -13,16 +13,20 @@ Scale shapes:
 - **GraphML** is a whole-document XML format (one root element), so a
   100 TB graph cannot be ONE file. The exporter shards the graph into
   ``shards`` self-contained GraphML documents — nodes hash-assigned by
-  id, each edge stored with its source's shard — and each shard group
-  writes its own ``part-NNNNN.graphml`` from the executor
-  (applyInPandas), returning a manifest DataFrame. import_graphml reads
-  the directory back (one row per file, wholetext) and unions — the
-  same contract its docstring already promises for multi-file input.
+  id, each edge stored with its source's shard — renders each shard's
+  document in one applyInPandas pass, and lands the documents through
+  Spark's own writer (``write.partitionBy("shard").text``): one row per
+  shard ⇒ exactly one part file per ``shard=N/`` directory, written by
+  executors through the cluster filesystem, no driver-side ``open()``
+  (round-4 ADVICE: plain local-file writes inside a UDF only work on a
+  single host / shared mount). import_graphml reads the directory back
+  (one row per file, wholetext; partition discovery descends into the
+  shard dirs) and unions — the same contract its docstring already
+  promises for multi-file input.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -91,14 +95,20 @@ def export_graphml(
     path: str,
     shards: int = 8,
 ) -> DataFrame:
-    """Write ``shards`` self-contained GraphML documents under ``path``;
-    → manifest (shard, file, n_nodes, n_edges), one row per written file.
+    """Write ``shards`` self-contained GraphML documents under ``path``
+    (one ``shard=N/part-*.txt`` per shard, via Spark's writer so it works
+    on any cluster filesystem); → manifest (shard, file, n_nodes,
+    n_edges), one row per shard — ``file`` is the shard's directory.
 
     Node attributes use the importer's keys (name, type); edges carry
     their relation as a ``type`` data element. Edges are assigned to their
     SOURCE node's shard, so any node-local analysis of one shard file sees
     every outgoing edge; cross-shard targets appear as bare ids (exactly
     the dangling-edge tolerance the checkpoint loader already has).
+
+    Each shard document materializes as one string in executor memory —
+    size ``shards`` so a shard's nodes+edges render within a task's heap
+    (the same bound the previous per-shard file writer had).
     """
     import pandas as pd
 
@@ -118,9 +128,8 @@ def export_graphml(
         F.col("pred").alias("c"),
     )
     both = nodes.unionByName(edges)
-    os.makedirs(path, exist_ok=True)
 
-    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def render_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from xml.sax.saxutils import escape, quoteattr
 
         shard = int(pdf["shard"].iloc[0])
@@ -148,18 +157,28 @@ def export_graphml(
                     "</edge>"
                 )
         out.append("</graph></graphml>")
-        fname = os.path.join(path, f"part-{shard:05d}.graphml")
-        tmp = fname + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(out) + "\n")
-        os.replace(tmp, fname)  # atomic: readers never see a half doc
         return pd.DataFrame(
-            {"shard": [shard], "file": [fname],
+            {"shard": [shard], "xml": ["\n".join(out)],
              "n_nodes": [n_nodes], "n_edges": [n_edges]}
         )
 
-    manifest = both.groupBy("shard").applyInPandas(
-        write_shard, schema="shard long, file string, n_nodes long, n_edges long"
-    )
-    # applyInPandas is lazy — materialize so the files exist on return
-    return manifest.localCheckpoint(eager=True)
+    rendered = both.groupBy("shard").applyInPandas(
+        render_shard, schema="shard long, xml string, n_nodes long, n_edges long"
+    ).persist()
+    # one row per shard + partitionBy("shard") ⇒ exactly one part file per
+    # shard=N/ directory, each a complete GraphML doc; the write goes
+    # through Spark's committer (works on HDFS/S3/any cluster FS, atomic
+    # via the _temporary → rename protocol — no executor-local open()).
+    rendered.select("shard", F.col("xml").alias("value")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").text(path)
+    manifest = rendered.select(
+        "shard",
+        F.concat(
+            F.lit(path.rstrip("/") + "/shard="), F.col("shard").cast("string")
+        ).alias("file"),
+        "n_nodes",
+        "n_edges",
+    ).localCheckpoint(eager=True)
+    rendered.unpersist()
+    return manifest

@@ -8,10 +8,10 @@ data-parallel: every step is ONE equi-join of the walk frontier against
 the indexed adjacency list — no per-walk Python loop, no collect.
 
 Determinism: "randomness" is the engine-portable 60-bit sha256 prefix
-family (same as simhash/minhash, operators/dedup.py:246): step t of walk w
-standing at node v picks neighbor index
+family (same as simhash/minhash, operators/dedup.py:246): step t of the
+walk identified by walk_id (= start#w) standing at node v picks index
 
-    H(v \\x1f w \\x1f t \\x1f seed) mod out_degree(v)
+    H(walk_id \\x1f v \\x1f t \\x1f seed) mod out_degree(v)
 
 over the adjacency list sorted by dst. Identical walks on any engine with
 sha256 — the DuckDB oracle replays them with a recursive CTE. Walks stop
@@ -81,10 +81,14 @@ def random_walks(
                 "walk_id", "start", F.lit(t - 1).alias("steps"), "path"
             )
         )
+        # walk_id (start#w) is in the key so two walks that meet at the
+        # same node at the same step diverge independently (round-4
+        # ADVICE: omitting walk identity coalesced same-w walks forever
+        # after a collision, shrinking corpus diversity on hub graphs).
         key = F.concat_ws(
             SEP,
+            F.col("walk_id"),
             F.col("cur"),
-            F.col("w").cast("string"),
             F.lit(str(t)),
             F.lit(str(seed)),
         )
@@ -141,7 +145,7 @@ def node2vec_walks(
     w_near (d adjacent to prev — the distance-1 term) or w_far
     (otherwise — the 1/q exploration term); the first hop is uniform.
     Weights are INTEGERS (node2vec's 1/p, 1, 1/q scaled to a common
-    denominator) so the draw — H(cur␟w␟t␟seed) mod Σweights landing in a
+    denominator) so the draw — H(walk_id␟cur␟t␟seed) mod Σweights landing in a
     candidate's cumulative range, candidates ordered by dst — is
     integer-exact and replayable on any engine with sha256 (the DuckDB
     oracle unrolls the steps).
@@ -209,10 +213,11 @@ def node2vec_walks(
                 )
             ).alias("_tot"),
         )
+        # walk identity in the key — see random_walks; same ADVICE fix.
         key = F.concat_ws(
             SEP,
+            F.col("walk_id"),
             F.col("cur"),
-            F.col("w").cast("string"),
             F.lit(str(t)),
             F.lit(str(seed)),
         )

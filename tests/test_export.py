@@ -79,8 +79,15 @@ def test_graphml_edges_follow_source_shard(spark, graph, tmp_path_factory):
     # node is in the same file
     import xml.etree.ElementTree as ET
 
-    for fname in sorted(os.listdir(path)):
-        root = ET.parse(os.path.join(path, fname)).getroot()
+    files = [
+        os.path.join(dirpath, f)
+        for dirpath, _, fnames in os.walk(path)
+        for f in fnames
+        if not f.startswith(("_", "."))
+    ]
+    assert files
+    for fname in sorted(files):
+        root = ET.parse(fname).getroot()
         ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
         node_ids = {n.get("id") for n in root.iter("{%s}node" % ns["g"])}
         for e in root.iter("{%s}edge" % ns["g"]):

@@ -260,3 +260,21 @@ def test_k_truss_cascading_peel(spark):
     assert t4 == {tuple(sorted(e)) for e in k4}
     t3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
     assert t3 == {tuple(sorted(e)) for e in k4 + pendant_tri}
+
+
+def test_peeling_raises_on_max_iter_exhaustion(spark):
+    """k_core/k_truss must raise rather than return a non-fixpoint (and
+    max_iter=0 used to raise UnboundLocalError in k_truss) — matching
+    the scc/topological_layers convergence contract (round-4 ADVICE)."""
+    import pytest
+
+    from graphrag_rs_spark.operators.analytics import k_truss
+
+    # chain a-b-c-d-e peels one layer per round under k=2
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    with pytest.raises(RuntimeError, match="k_core did not converge"):
+        k_core(_edges(spark, chain), 2, max_iter=1)
+    # triangle fan needs >0 rounds to stabilize under k=4
+    tri = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    with pytest.raises(RuntimeError, match="k_truss did not converge"):
+        k_truss(_edges(spark, tri), k=3, max_iter=0)

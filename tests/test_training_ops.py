@@ -498,6 +498,30 @@ def test_select_representatives(spark):
                    "d9": True, "dn": False}
 
 
+def test_select_representatives_null_groups_are_singletons(spark):
+    """Full-corpus input where non-dup rows carry a NULL group id: every
+    NULL-group row must be its own representative, not funneled into one
+    window partition where only one survives (round-4 ADVICE)."""
+    from graphrag_rs_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [
+            ("u1", None, 5),
+            ("u2", None, 3),
+            ("u3", None, None),
+            ("d1", "g1", 1),
+            ("d2", "g1", 2),
+        ],
+        "id string, dup_group_id string, quality long",
+    )
+    rows = select_representatives(members).collect()
+    out = {r["id"]: r["is_representative"] for r in rows}
+    assert out == {"u1": True, "u2": True, "u3": True,
+                   "d1": False, "d2": True}
+    # group ids pass through untouched (NULL stays NULL)
+    assert {r["id"]: r["dup_group_id"] for r in rows}["u1"] is None
+
+
 def test_repo_curation_rollup(spark):
     """A repo below the keep floor is dropped wholesale; healthy repos
     and the min_files floor behave per the documented gates."""

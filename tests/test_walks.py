@@ -26,7 +26,10 @@ def _replay(walk_length: int, walks_per_node: int, seed: int):
                 if cur not in adj:
                     break
                 nbrs = adj[cur]
-                i = _h60(SEP.join([cur, str(w), str(t), str(seed)])) % len(nbrs)
+                # walk identity (walk_id = start#w) is part of the key so
+                # colliding walks diverge (round-4 ADVICE fix)
+                wid = f"{start}#{w}"
+                i = _h60(SEP.join([wid, cur, str(t), str(seed)])) % len(nbrs)
                 cur = nbrs[i]
                 path.append(cur)
                 steps = t
@@ -105,3 +108,22 @@ def test_node2vec_walks_bias_and_determinism(spark):
         path = r["path_str"].split(">")
         for u, v in zip(path, path[1:]):
             assert v in adj[u]
+
+
+def test_colliding_walks_diverge(spark):
+    """Two walks that meet at the same hub at the same step must draw
+    independently (round-4 ADVICE: a key without walk identity coalesced
+    them permanently). x and y both reach hub h at step 2; h has 4
+    out-neighbors and seed 7 sends them to different ones."""
+    edges = spark.createDataFrame(
+        [("x", "h"), ("y", "h"), ("h", "n0"), ("h", "n1"),
+         ("h", "n2"), ("h", "n3")],
+        ["src", "dst"],
+    )
+    rows = {
+        r["walk_id"]: r["path_str"]
+        for r in random_walks(
+            edges, walk_length=2, walks_per_node=1, seed=7
+        ).collect()
+    }
+    assert rows["x#0"].split(">")[-1] != rows["y#0"].split(">")[-1]
