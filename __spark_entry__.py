@@ -2572,17 +2572,26 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # argmax stopword-hit-ratio language ID; tie-break = lexicographically
-    # LARGEST language code (Spark's array_max over (score, lang) structs)
-    _langs = {
-        "en": "the a of and to in is it you that was for on are with as at be this",
-        "es": "el la de que y a en un ser se no haber por con su para es al lo como",
-        "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein",
-        "fr": "le la de et les des en un du une que est pour qui dans par sur au",
-    }
+    # LARGEST language code (Spark's array_max over (score, lang) structs).
+    # The language/word inventory is imported from the operator module so
+    # the oracle can never drift from the engine; the CASE is generated in
+    # descending lex order of code = exactly array_max's struct tie-break.
+    from graphrag_rs_spark.operators.textstats import STOPWORDS as _sw
+
+    _langs = {lang: " ".join(words) for lang, words in _sw.items()}
     _score_exprs = ",\n               ".join(
         f"CAST(len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words.split())}], t))) AS DOUBLE)"
         f" / greatest(len(toks), 1) AS s_{lang}"
         for lang, words in _langs.items()
+    )
+    _codes_desc = sorted(_langs, reverse=True)
+    _greatest = "greatest(" + ", ".join(f"s_{c}" for c in sorted(_langs)) + ")"
+    _lang_case = (
+        f"CASE WHEN {_greatest} < 0.02 THEN 'und'\n                    "
+        + "\n                    ".join(
+            f"WHEN s_{c} = {_greatest} THEN '{c}'" for c in _codes_desc[:-1]
+        )
+        + f"\n                    ELSE '{_codes_desc[-1]}' END"
     )
     sql["text_langid"] = f"""
         WITH toks AS (
@@ -2597,11 +2606,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         )
         SELECT doc_id,
-               CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.02 THEN 'und'
-                    WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
-                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-                    ELSE 'de' END AS lang_pred
+               {_lang_case} AS lang_pred
         FROM scores
     """
 
@@ -3807,11 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         lang AS (
             SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.02 THEN 'und'
-                        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
-                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-                        ELSE 'de' END AS lang_pred
+                   {_lang_case} AS lang_pred
             FROM (SELECT doc_id,
                {_score_exprs}
                   FROM tk)

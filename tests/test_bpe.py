@@ -122,3 +122,62 @@ def test_encode_applies_merge_ranks(spark, docs):
         _rank, i = min(cands)
         syms[i : i + 2] = [syms[i] + syms[i + 1]]
     assert enc["lowest"] == syms
+
+
+# ---- round-5 verdict #6: batched disjoint merges ------------------------
+
+BATCH_DOCS = [
+    # three disjoint alphabets with strictly separated pair counts: the
+    # doubled intra-word pair (x,y) counts 2x the word count, so it beats
+    # its own end-of-word pair and every cross-family candidate
+    (0, " ".join(["xyxy"] * 100)),
+    (1, " ".join(["pqpq"] * 90)),
+    (2, " ".join(["stst"] * 80)),
+]
+
+
+def test_batched_train_equals_sequential_on_disjoint_tops(spark):
+    docs = spark.createDataFrame(BATCH_DOCS, ["doc_id", "text"])
+    seq = bpe_train(docs, 8, batch_size=1)
+    assert [m[:2] for m in seq[:3]] == [("x", "y"), ("p", "q"), ("s", "t")]
+    for m in (2, 3, 4):
+        assert bpe_train(docs, 8, batch_size=m) == seq
+
+
+def test_batched_train_uses_fewer_rounds(spark, monkeypatch):
+    import graphrag_rs_spark.operators.bpe as bpe_mod
+
+    docs = spark.createDataFrame(BATCH_DOCS, ["doc_id", "text"])
+    calls = {"n": 0}
+    real = bpe_mod.pair_counts
+
+    def counting(vocab):
+        calls["n"] += 1
+        return real(vocab)
+
+    monkeypatch.setattr(bpe_mod, "pair_counts", counting)
+    calls["n"] = 0
+    bpe_mod.bpe_train(docs, 6, batch_size=1)
+    seq_rounds = calls["n"]
+    calls["n"] = 0
+    bpe_mod.bpe_train(docs, 6, batch_size=3)
+    batch_rounds = calls["n"]
+    assert seq_rounds == 6  # one pair-count job per merge, no dry round
+    # round 1 takes all 3 disjoint tops at once; later rounds hit
+    # merged-symbol conflicts and shrink, but the total stays below 1/merge
+    assert batch_rounds < seq_rounds
+
+
+def test_disjoint_batch_stops_at_first_conflict():
+    from graphrag_rs_spark.operators.bpe import _disjoint_batch
+
+    ranked = [("a", "b", 100), ("b", "c", 90), ("d", "e", 80)]
+    # (b,c) conflicts with accepted (a,b) -> batch STOPS (no skipping:
+    # (b,c)'s count changes under the a+b merge, it must re-rank)
+    assert _disjoint_batch(ranked, 3) == [("a", "b", 100)]
+    # merged symbol is also reserved: (c, ab) conflicts with a+b
+    ranked2 = [("a", "b", 100), ("c", "ab", 90)]
+    assert _disjoint_batch(ranked2, 2) == [("a", "b", 100)]
+    # fully disjoint prefix is taken whole
+    ranked3 = [("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]
+    assert _disjoint_batch(ranked3, 2) == ranked3[:2]
