@@ -22,7 +22,11 @@ deterministic mock.
 Scale shape: each round shuffles only (active chunks ⋈ accumulated
 entities for those chunks) — the active set shrinks monotonically, and
 rounds are bounded by ``max_rounds`` (4), so total work is ≤ 4 passes
-over the corpus with map-side-only provider calls.
+over the corpus with map-side-only provider calls. The source corpus is
+scanned exactly once (base is cached; later rounds semi-join the cache),
+each round's provider pass runs exactly once per active chunk (the mixed
+output is lineage-cut before the entity/relationship split), and the
+per-round state merge is lineage-cut so plans stay flat across rounds.
 """
 
 from __future__ import annotations
@@ -32,6 +36,8 @@ from typing import Iterable, NamedTuple, Protocol
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..iterutil import cut_lineage
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -135,8 +141,13 @@ def _round_pass(
                 }
             )
 
-    # one UDF pass emitting both row kinds, split after — the provider
-    # runs once per chunk per round
+    # one UDF pass emitting both row kinds, split after. The pass is
+    # MATERIALIZED (cut_lineage) before splitting: the ents/rels filters
+    # below are two separate frames, and without the cut each would
+    # re-execute the mapInPandas on evaluation — the provider would run
+    # twice per chunk per round (tests/test_gleaning.py pins the call
+    # count). The cut also keeps every later round's plan a flat parquet
+    # scan instead of a growing mapInPandas chain.
     mixed_schema = StructType(
         [
             StructField("chunk_id", StringType(), False),
@@ -148,7 +159,9 @@ def _round_pass(
             StructField("is_rel", BooleanType(), False),
         ]
     )
-    out = active.mapInPandas(run, schema=mixed_schema)
+    out = cut_lineage(
+        active.mapInPandas(run, schema=mixed_schema), f"glean-r{round_idx}"
+    )
     ents = (
         out.where(~F.col("is_rel"))
         .select(
@@ -201,17 +214,18 @@ def gleaning_extract(
     → (entities, relationships, rounds_run); entities carry the
     length-based merge result, relationships the cross-round append.
     """
+    # the corpus is scanned ONCE: base is cached here and every round's
+    # active frame is a (cached base ⋈ tiny emitted set) semi-join — no
+    # round re-reads the source (tests/test_gleaning.py pins the plan)
     base = chunks.select(
         F.col(id_col).cast("string").alias("chunk_id"),
         F.col(content_col).alias("content"),
-    )
+    ).persist()
     if not use_completion_check:
         provider = _NoCompletionCheck(provider)
 
     ents, rels = _round_pass(base, provider, 1)
-    # rounds materialize tiny state; persist so the next round's join and
-    # the emptiness probe don't recompute the provider pass
-    state = ents.persist()
+    state = ents
     all_rels = rels
     active = base
     rounds_run = 1
@@ -227,21 +241,24 @@ def gleaning_extract(
         )
         staged = active.join(known, "chunk_id", "left")
         new_ents, new_rels = _round_pass(staged, provider, round_idx)
-        new_ents = new_ents.persist()
-        new_rels = new_rels.persist()
         # stop when the whole round found nothing (reference :199-207 per
-        # chunk; globally: no active chunk produced anything)
+        # chunk; globally: no active chunk produced anything). new_ents /
+        # new_rels are parquet scans (the round pass is lineage-cut), so
+        # this probe does not re-run the provider.
         emitted = (
             new_ents.select("chunk_id").union(new_rels.select("chunk_id")).distinct()
         )
         rounds_run = round_idx
         if emitted.isEmpty():
             break
-        state = _merge_entities(state, new_ents).persist()
+        # cut per round: the merge window references the prior state, and
+        # an uncut chain grows the plan linearly with rounds
+        state = cut_lineage(_merge_entities(state, new_ents), "glean-state")
         all_rels = all_rels.unionByName(new_rels)
         # per-chunk early exit: only chunks that still yield rows stay hot
         active = base.join(emitted, "chunk_id", "left_semi")
 
+    base.unpersist()
     return GleaningResult(
         entities=state.select(
             "chunk_id", "name", "entity_type", "description", "confidence"

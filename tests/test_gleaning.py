@@ -125,6 +125,72 @@ def test_gleaning_completion_check_gates_chunks(spark, chunks):
     assert ("c2", "alpha") in names and ("c2", "Gamma") in names
 
 
+def test_gleaning_loop_hygiene_one_scan_one_provider_pass(spark, tmp_path):
+    """Round-5 verdict #7: the loop must (a) scan the source corpus once,
+    not once per round, and (b) run the provider exactly once per active
+    chunk per round — even after BOTH result frames are fully evaluated
+    (an uncut mixed frame would re-run the provider for each split).
+
+    Local-mode workers share the filesystem, so the probes append marker
+    lines to tmp files (O_APPEND writes of short lines are atomic)."""
+    scan_log = str(tmp_path / "scans.log")
+    call_log = str(tmp_path / "calls.log")
+
+    class CountingProvider(MockProvider):
+        def __init__(self, path):
+            self._path = path
+
+        def _mark(self, kind):
+            with open(self._path, "a") as f:
+                f.write(kind + "\n")
+
+        def extract(self, content):
+            self._mark("extract")
+            return super().extract(content)
+
+        def check_complete(self, content, known):
+            self._mark("check")
+            return super().check_complete(content, known)
+
+        def extract_additional(self, content, known):
+            self._mark("additional")
+            return super().extract_additional(content, known)
+
+    rows = [
+        ("c1", "plain beta text"),
+        ("c2", "beta and more to glean"),
+        ("c3", "done already"),
+    ]
+    seed = spark.createDataFrame(rows, ["chunk_id", "content"]).repartition(1)
+
+    def scan_probe(batches):
+        with open(scan_log, "a") as f:
+            f.write("scan\n")
+        yield from batches
+
+    src = seed.mapInPandas(scan_probe, schema="chunk_id string, content string")
+
+    res = gleaning_extract(src, CountingProvider(call_log), max_rounds=4)
+    # evaluate both result frames, twice — must not re-run anything
+    for _ in range(2):
+        res.entities.collect()
+        res.relationships.collect()
+    assert res.rounds_run == 3
+
+    with open(scan_log) as f:
+        n_scans = sum(1 for _line in f)
+    assert n_scans == 1, f"source corpus scanned {n_scans} times, want 1"
+
+    with open(call_log) as f:
+        calls = [line.strip() for line in f]
+    # round 1: extract once per chunk; round 2: completion check on all 3
+    # actives, c3 gates out, c1+c2 continue; round 3: only c2 (the sole
+    # round-2 emitter) stays active and comes back empty -> stop
+    assert calls.count("extract") == 3
+    assert calls.count("check") == 3 + 1
+    assert calls.count("additional") == 2 + 1
+
+
 def test_gleaning_shorter_description_does_not_replace(spark):
     class ShortProvider(MockProvider):
         def extract(self, content):
