@@ -27,6 +27,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 FIXTURE_DOCS = int(os.environ.get("SPARK_GRAFT_FIXTURE_DOCS", "4000"))
 
 
+def _scaling_record() -> dict | None:
+    """SCALING.json (written by the scaling/host-ceiling protocol runs),
+    embedded verbatim — None when no record exists."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def env_fingerprint() -> dict:
     """~0.5 s machine fingerprint so cross-round bench comparisons are
     like-for-like (BENCH.md: a mid-round-3 reboot changed identical-commit
@@ -294,6 +304,12 @@ def main() -> None:
                 "cpus": CPUS,
                 "fixture_docs": FIXTURE_DOCS,
                 "env": env_fingerprint(),
+                # engine-share scaling gate (BASELINE.md round-5 protocol):
+                # SCALING.json is written by the bench/scaling.py +
+                # bench/host_ceiling.py same-day runs and embedded verbatim
+                # so BENCH_rN.json carries pipeline_eff, host_ceiling and
+                # engine_share alongside the walls
+                "scaling": _scaling_record(),
             }
         )
     )

@@ -1,0 +1,103 @@
+"""Run the BASELINE.md engine-share scaling protocol and write SCALING.json.
+
+Same-day measurement of both sides of the criterion
+``engine_share = pipeline_eff / host_ceiling >= 0.85``:
+
+1. ``bench/host_ceiling.py`` — pure-Python 8->32-process per-core
+   retention (the machine's own ceiling, zero engine involvement);
+2. ``bench/scaling.py --mode local`` x ``--samples`` back-to-back runs of
+   the identical 1.2M-doc KG job at local[8] vs local[32] (every sample
+   disclosed, no best-of selection across samples).
+
+The record lands in SCALING.json at the repo root; bench.py embeds it
+verbatim in its output JSON so BENCH_rN.json carries the gate metrics.
+
+Usage:
+    python bench/scaling_record.py [--samples 2] [--docs 1200000]
+        [--skip-host]   # reuse the host_ceiling leg already in SCALING.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "SCALING.json")
+
+
+def _run(cmd: list[str]) -> list[dict]:
+    print("+", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    rows = []
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            rows.append(json.loads(line))
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--docs", type=int, default=1200000)
+    ap.add_argument("--skip-host", action="store_true")
+    args = ap.parse_args()
+
+    py = sys.executable
+    record: dict = {
+        "date": datetime.date.today().isoformat(),
+        "protocol": "BASELINE.md engine-share (round 5)",
+        "criterion": "pipeline_eff / host_ceiling >= 0.85",
+    }
+
+    if args.skip_host and os.path.exists(OUT):
+        with open(OUT) as f:
+            record["host"] = json.load(f)["host"]
+    else:
+        host = _run([py, os.path.join(REPO, "bench", "host_ceiling.py")])[-1]
+        record["host"] = host
+    host_ceiling = record["host"]["per_core_retention"]
+
+    samples = []
+    for i in range(args.samples):
+        rows = _run(
+            [
+                py, os.path.join(REPO, "bench", "scaling.py"),
+                "--n", "8", "--docs", str(args.docs),
+                "--doc-scale", "8", "--density", "0.1",
+                "--mode", "local", "--repeats", "2",
+            ]
+        )
+        summary = rows[-1]
+        print(json.dumps(summary), flush=True)
+        samples.append(summary)
+
+    effs = [s["efficiency"] for s in samples]
+    record["samples"] = samples
+    record["pipeline_eff_samples"] = effs
+    record["pipeline_eff_median"] = sorted(effs)[len(effs) // 2]
+    record["host_ceiling"] = host_ceiling
+    record["engine_share_per_sample"] = [
+        round(e / host_ceiling, 3) for e in effs
+    ]
+    record["engine_share_median"] = round(
+        record["pipeline_eff_median"] / host_ceiling, 3
+    )
+    record["gate"] = {"engine_share_min": 0.85,
+                      "passed": record["engine_share_median"] >= 0.85}
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps({"wrote": OUT, **record["gate"],
+                      "engine_share_median": record["engine_share_median"]}))
+
+
+if __name__ == "__main__":
+    main()

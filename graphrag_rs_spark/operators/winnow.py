@@ -13,8 +13,12 @@ duplication) and complements dedup.py's token-shingle MinHash, which
 targets prose.
 
 Scale shape (the 100 TB corpus is the design point):
-- fingerprinting is map-only column algebra — one pass over ``content``,
-  no shuffle; the per-file sketch is ~|content|/((w+1)/2) longs.
+- fingerprinting is one pass over ``content``; the per-file sketch is
+  ~|content|/((w+1)/2) longs. Two plans with identical output: the
+  default explodes grams to rows for whole-stage-codegen hashing (one
+  per-byte shuffle, ~22× faster on Spark's interpreted HOF evaluator),
+  and ``strategy="array"`` keeps everything map-only inside per-row
+  arrays for very large documents (see ``winnow_fingerprints``).
 - the clone join ships (fingerprint, id) pairs ONLY — never content —
   and mirrors dedup.py's band-join discipline: fingerprints shared by
   more than ``max_fp_bucket`` files (license headers, codegen preambles)
@@ -33,7 +37,7 @@ substring granularity for the source-code corpus of the north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,25 +59,35 @@ def winnow_fingerprints(
     window: int = 8,
     content_col: str = "content",
     id_col: str = "path",
+    strategy: str = "explode",
 ) -> DataFrame:
     """→ one row per (file, fingerprint): ``(<id_col>, fp)``.
-
-    Map-only (fingerprint + explode ride the scan); downstream joins
-    never see ``content``.
 
     Strings shorter than k yield no rows; strings with fewer than
     ``window`` k-grams yield the single global min (one window covering
     everything) — both engines agree on these edges by construction.
 
-    Each array (normalized string → k-gram hashes → window mins) is
-    STAGED in its own projection: higher-order-function lambdas are
-    evaluated interpreted, per element, with no hoisting of
-    element-independent subexpressions — inlining ``hashes`` into the
-    window-min lambda re-hashes the whole gram array once per window,
-    turning the linear sketch into O(n²) sha256 calls (measured 64 s →
-    1.6 s at sf0.01 for this refactor). CollapseProject keeps the stages
-    separate because each alias is referenced more than once and is
-    non-cheap.
+    Two physically different plans, bit-identical output
+    (tests/test_winnow.py pins equality):
+
+    - ``strategy="explode"`` (default): one row per k-gram position, so
+      the sha256+conv element expression runs inside whole-stage codegen
+      instead of the interpreted higher-order-function evaluator (HOF
+      lambdas are evaluated per element with no codegen: measured 7.8 s
+      interpreted vs 0.34 s exploded for the identical 699k hashes at
+      sf0.1). Window mins ride a ``rowsBetween(0, w-1)`` window over
+      (file, position). Costs one shuffle of (id, pos, hash) rows —
+      one row per CONTENT BYTE — so this is the right plan when files
+      are small-to-medium (source code: the north-star corpus).
+    - ``strategy="array"``: the gram hashes and window mins stay inside
+      per-row arrays — map-only, zero shuffle, nothing leaves the scan
+      task. Slower on Spark's interpreted HOF evaluator, but the per-row
+      work is bounded only by the row, not the shuffle — the right plan
+      for very large documents where a per-byte shuffle row is the
+      bottleneck. Kept staged in separate projections: inlining the hash
+      array into the window-min lambda re-hashes the gram array once per
+      window, turning the linear sketch into O(n²) sha256 calls
+      (measured 64 s → 1.6 s at sf0.01 for the staging fix).
     """
     staged = files.select(
         F.col(id_col),
@@ -82,6 +96,29 @@ def winnow_fingerprints(
     n_grams = F.greatest(
         F.coalesce(F.length("_s"), F.lit(0)) - (k - 1), F.lit(0)
     )
+
+    if strategy == "explode":
+        grams = staged.where(n_grams >= 1).select(
+            id_col,
+            F.greatest(n_grams - (window - 1), F.lit(1)).alias("_nw"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("_i"),
+            "_s",
+        ).select(
+            id_col,
+            "_nw",
+            "_i",
+            _hash60(F.col("_s").substr(F.col("_i"), F.lit(k))).alias("_h"),
+        )
+        win = (
+            Window.partitionBy(id_col)
+            .orderBy("_i")
+            .rowsBetween(Window.currentRow, window - 1)
+        )
+        mins = grams.select(
+            id_col, "_i", "_nw", F.min("_h").over(win).alias("fp")
+        ).where(F.col("_i") <= F.col("_nw"))
+        return mins.select(id_col, "fp").distinct()
+
     # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1
     # when start > stop), so the no-grams case needs an explicit empty
     # branch — it cannot fall out of the sequence bounds
@@ -117,6 +154,7 @@ def clone_pairs(
     max_fp_bucket: int = 50,
     content_col: str = "content",
     id_col: str = "path",
+    strategy: str = "explode",
 ) -> DataFrame:
     """→ (id_a, id_b, shared, sim) cross-file clone candidates with
     ``sim`` = |shared fingerprints| / min(|fp_a|, |fp_b|) ≥ min_similarity
@@ -129,8 +167,16 @@ def clone_pairs(
     is exactly the hot-bucket failure dedup.py guards against).
     """
     fps = winnow_fingerprints(
-        files, k=k, window=window, content_col=content_col, id_col=id_col
+        files, k=k, window=window, content_col=content_col, id_col=id_col,
+        strategy=strategy,
     ).select(F.col(id_col).alias("id"), "fp").persist()
+    # eager fill: persist alone is lazy, and FOUR independent subtrees
+    # below (sizes, hot, and both join sides) otherwise race to compute
+    # the sketch before the cache is populated — the sha256 k-gram pass,
+    # the expensive stage, would run up to 4×. One count() materializes
+    # it exactly once; everything downstream reads ids-only cached rows
+    # (same fix class as dedup.py's band-frame persist, round 4).
+    fps.count()
 
     sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
 

@@ -135,3 +135,33 @@ def test_parametrized_k_window(spark, k, w):
         ).collect()
     }
     assert got == _ref_fps(text, k=k, w=w)
+
+
+@pytest.mark.parametrize("k,w", [(5, 4), (12, 8)])
+def test_strategies_bit_identical(spark, k, w):
+    # the codegen explode plan and the map-only array plan are two
+    # physical strategies for the SAME sketch — (id, fp) sets must match
+    # exactly, including the short-string edges (< k chars: no rows;
+    # < w grams: single global min)
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog repeatedly"),
+        ("b", "def add(a, b):\n    return a + b\n" * 3),
+        ("tiny", "xy"),                      # shorter than k -> no rows
+        ("short", "abcdefff"),               # few grams -> one window
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = _files(spark, rows)
+    got_explode = {
+        (r["path"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, window=w,
+                                     strategy="explode").collect()
+    }
+    got_array = {
+        (r["path"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, window=w,
+                                     strategy="array").collect()
+    }
+    assert got_explode == got_array
+    assert any(p == "a" for p, _ in got_explode)
+    assert not any(p in ("tiny", "empty", "null") for p, _ in got_explode)
