@@ -52,6 +52,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument("--skip", default="", help="comma-separated query names to leave out")
+    ap.add_argument(
+        "--spark-only", action="store_true",
+        help="run only the Spark side (wall + row count, no DuckDB compare) "
+        "— for big-SF budget checks where an oracle's own SQL replay is "
+        "the slow side (e.g. lambda-heavy list ops at sf0.1)",
+    )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
 
@@ -76,6 +83,8 @@ def main() -> int:
     names = sorted(queries)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
+    if args.skip:
+        names = [n for n in names if n not in set(args.skip.split(","))]
 
     board: dict[str, dict] = {}
     n_exact = n_rows_only = n_fail = 0
@@ -90,7 +99,10 @@ def main() -> int:
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
             row["spark_rows"] = len(spark_rows)
-            if name not in oracles:
+            if args.spark_only:
+                row["err"] = "spark_only"
+                n_rows_only += 1
+            elif name not in oracles:
                 row["err"] = "no_oracle"
                 n_rows_only += 1
             else:
@@ -116,7 +128,10 @@ def main() -> int:
         board[name] = row
         status = (
             "PASS" if row["err"] is None and row["hash_match"]
-            else ("rows-only" if row["err"] == "no_oracle" else "FAIL")
+            else (
+                "rows-only" if row["err"] in ("no_oracle", "spark_only")
+                else "FAIL"
+            )
         )
         print(json.dumps({name: row}), flush=True)
         if status == "FAIL":

