@@ -48,6 +48,16 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--docs", type=int, default=1200000)
     ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument(
+        "--append", action="store_true",
+        help="keep the samples already in SCALING.json and add new ones "
+        "(same-day accumulation; all samples stay disclosed)",
+    )
+    ap.add_argument(
+        "--host-docs", type=int, default=3000,
+        help="docs per process for the host-ceiling legs (bigger = "
+        "longer, steadier measurement)",
+    )
     args = ap.parse_args()
 
     py = sys.executable
@@ -57,15 +67,22 @@ def main() -> None:
         "criterion": "pipeline_eff / host_ceiling >= 0.85",
     }
 
-    if args.skip_host and os.path.exists(OUT):
+    prior: dict = {}
+    if os.path.exists(OUT):
         with open(OUT) as f:
-            record["host"] = json.load(f)["host"]
+            prior = json.load(f)
+
+    if args.skip_host and prior:
+        record["host"] = prior["host"]
     else:
-        host = _run([py, os.path.join(REPO, "bench", "host_ceiling.py")])[-1]
+        host = _run(
+            [py, os.path.join(REPO, "bench", "host_ceiling.py"),
+             "--docs-per-proc", str(args.host_docs)]
+        )[-1]
         record["host"] = host
     host_ceiling = record["host"]["per_core_retention"]
 
-    samples = []
+    samples = list(prior.get("samples", [])) if args.append else []
     for i in range(args.samples):
         rows = _run(
             [
@@ -82,7 +99,17 @@ def main() -> None:
     effs = [s["efficiency"] for s in samples]
     record["samples"] = samples
     record["pipeline_eff_samples"] = effs
-    record["pipeline_eff_median"] = sorted(effs)[len(effs) // 2]
+
+    def median(xs: list[float]) -> float:
+        # true median: averages the middle pair on even counts — the
+        # upper-middle shortcut silently becomes max() at n=2
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        if len(xs) % 2:
+            return xs[mid]
+        return round((xs[mid - 1] + xs[mid]) / 2, 4)
+
+    record["pipeline_eff_median"] = median(effs)
     record["host_ceiling"] = host_ceiling
     record["engine_share_per_sample"] = [
         round(e / host_ceiling, 3) for e in effs
