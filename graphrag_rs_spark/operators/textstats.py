@@ -9,6 +9,7 @@ text/mod.rs:476-511); the rest are standard corpus-curation operators.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,9 +132,69 @@ def language_scores(text_col) -> dict[str, Column]:
     return out
 
 
-def language_id_col(text_col) -> Column:
+#: language codes in sorted order — bit i of a word's mask = membership
+#: in _LANGS[i]'s stopword list (≤ 64 languages fit a Python int mask)
+_LANGS = sorted(STOPWORDS)
+_WORD2MASK: dict[str, int] = {}
+for _li, _lang in enumerate(_LANGS):
+    for _w in STOPWORDS[_lang]:
+        _WORD2MASK[_w] = _WORD2MASK.get(_w, 0) | (1 << _li)
+#: Python mirror of the Spark ``translate`` call in ``_tokens``
+_PY_DELIM_TBL = str.maketrans({c: " " for c in TOKEN_DELIMS})
+
+
+def _langid_udf():
+    """One-pass Arrow-batched language ID: per token, ONE dict probe
+    yielding the word's language-membership bitmask, counts accumulated
+    per language. Replaces |languages| regexp scans of the full token
+    stream — the column formulation's cost is linear in the language
+    inventory (21 scans after the round-5 broadening; measured 9.8 s →
+    0.9 s warm at sf0.1 for the swap, outputs identical on the full
+    corpus and pinned by tests/test_textstats_langs.py). Tokenization
+    mirrors ``_tokens`` exactly: lower, translate ASCII delimiters to
+    space, split on the ASCII space ONLY (a bare ``str.split()`` would
+    also split non-ASCII whitespace, which Spark's ``split(' +')`` does
+    not), drop empties."""
+    langs = _LANGS
+    n_langs = len(langs)
+    get_mask = _WORD2MASK.get
+    tbl = _PY_DELIM_TBL
+
+    @F.pandas_udf("string")
+    def langid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [
+                x for x in (t or "").lower().translate(tbl).split(" ") if x
+            ]
+            n = max(len(toks), 1)
+            counts = [0] * n_langs
+            for tok in toks:
+                m = get_mask(tok)
+                if m:
+                    while m:
+                        b = m & -m
+                        counts[b.bit_length() - 1] += 1
+                        m ^= b
+            # argmax by (ratio, code): ties break to the lexicographically
+            # LARGEST code — same as array_max over (score, lang) structs
+            best = max((c / n, langs[i]) for i, c in enumerate(counts))
+            out.append("und" if best[0] < 0.02 else best[1])
+        return pd.Series(out)
+
+    return langid
+
+
+def language_id_col(text_col, strategy: str = "udf") -> Column:
     """argmax language by stopword ratio; 'und' (undetermined) when no
-    language scores above 2% of tokens."""
+    language scores above 2% of tokens.
+
+    ``strategy="udf"`` (default): one Arrow-batched pass, cost independent
+    of the language-inventory size. ``strategy="column"``: the pure
+    column-expression formulation (one regexp_count per language) — kept
+    as the no-Python path and as the parity reference for tests."""
+    if strategy == "udf":
+        return _langid_udf()(text_col)
     scores = language_scores(text_col)
     pairs = F.array(
         *[

@@ -80,3 +80,37 @@ def test_oracle_lang_family_mirrors_engine():
     for code in STOPWORDS:
         assert f"s_{code}" in sql
     assert "'und'" in sql
+
+
+def test_udf_and_column_strategies_identical(spark):
+    # the one-pass dict UDF must reproduce the 21-regex column
+    # formulation bit-for-bit, including tokenizer edges: empty,
+    # punctuation-only, ASCII-space-only splitting (U+00A0 stays inside
+    # a token in BOTH paths), Cyrillic, mixed case, apostrophes
+    from graphrag_rs_spark.operators.textstats import language_id_col
+
+    texts = [
+        "",
+        "?!... --- ###",
+        "the cat and the dog are in the house with a friend",
+        "LE CHAT ET LES CHIENS SONT DANS LA MAISON POUR UN AMI",
+        "я не знаю что он сказал но она была у них в доме",
+        "don't it's the cat's toy and that was for you",
+        "the cat and",                # NBSP is NOT a delimiter
+        "the cat\tand\nthe dog is here",      # ASCII tab/newline are
+        "zzz qqq xxw",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    udf_side = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", language_id_col(F.col("text"), "udf").alias("l")
+        ).collect()
+    }
+    col_side = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", language_id_col(F.col("text"), "column").alias("l")
+        ).collect()
+    }
+    assert udf_side == col_side
