@@ -60,6 +60,13 @@ def main() -> int:
         "the slow side (e.g. lambda-heavy list ops at sf0.1)",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--oracle-timeout", type=float, default=0.0,
+        help="seconds before a DuckDB oracle replay is interrupted and the "
+        "row recorded as oracle_timeout (0 = no limit). The Spark side is "
+        "never interrupted — this bounds only the single-threaded SQL "
+        "replay, whose exact gate at big SFs is the sf0.01 sweep + board.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -106,9 +113,26 @@ def main() -> int:
                 row["err"] = "no_oracle"
                 n_rows_only += 1
             else:
-                res = duck.execute(oracles[name])
-                duck_cols = [d[0].lower() for d in res.description]
-                duck_rows = res.fetchall()
+                timer = None
+                if args.oracle_timeout > 0:
+                    import threading
+
+                    timer = threading.Timer(args.oracle_timeout, duck.interrupt)
+                    timer.start()
+                try:
+                    res = duck.execute(oracles[name])
+                    duck_cols = [d[0].lower() for d in res.description]
+                    duck_rows = res.fetchall()
+                except duckdb.InterruptException:
+                    row["err"] = f"oracle_timeout>{args.oracle_timeout}s"
+                    n_rows_only += 1
+                    row["sec"] = round(time.time() - t0, 2)
+                    board[name] = row
+                    print(json.dumps({name: row}), flush=True)
+                    continue
+                finally:
+                    if timer is not None:
+                        timer.cancel()
                 row["oracle_rows"] = len(duck_rows)
                 row["rows_match"] = len(spark_rows) == len(duck_rows)
                 row["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
