@@ -3291,12 +3291,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE len(toks) >= 3
         ),
+        sizes AS (SELECT id, len(sh) AS n FROM base),
+        ex AS (SELECT id, unnest(sh) AS g FROM base),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
         pos AS (
-            SELECT a.id AS id_a, b.id AS id_b
-            FROM base a, base b
-            WHERE a.id < b.id
-              AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            SELECT id_a, id_b
+            FROM inter JOIN sizes sa ON sa.id = inter.id_a
+                       JOIN sizes sb ON sb.id = inter.id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         ),
         vb AS (
             SELECT doc_id AS negative,
@@ -3332,6 +3338,11 @@ def oracle_sql() -> dict[str, str]:
         ) = 1
     """
 
+    # Postings-join form: |A∩B| via an explode + equi-join + count, union by
+    # inclusion-exclusion (|A|+|B|-|A∩B|). Same exact jaccard as the old
+    # all-pairs cross join (pairs with zero intersection drop out, but those
+    # sit at jaccard 0 < 0.5), and it replays in ~2 s at sf0.1 where the
+    # list-lambda cross join needed >240 s single-threaded.
     sql["dedup_ngram_jaccard"] = """
         WITH base AS (
             SELECT doc_id AS id,
@@ -3343,11 +3354,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE len(toks) >= 3
         ),
+        sizes AS (SELECT id, len(sh) AS n FROM base),
+        ex AS (SELECT id, unnest(sh) AS g FROM base),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
         pairs AS (
-            SELECT a.id AS id_a, b.id AS id_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-            FROM base a, base b WHERE a.id < b.id
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = inter.id_a
+                       JOIN sizes sb ON sb.id = inter.id_b
         )
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM pairs WHERE jaccard >= 0.5
