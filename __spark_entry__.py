@@ -570,7 +570,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("sem_rank") <= 100
         )
 
-        t = kg_cooccurrence_triples(spark, sf)
+        # one extraction pass feeds both the triples->PPR leg and the
+        # entity->doc mapping (the two used to re-extract independently)
+        from graphrag_rs_spark.config import PipelineConfig
+        from graphrag_rs_spark.operators.relationships import extract_triples
+
+        mentions = _gaz_mentions(spark, sf).persist()
+        chunks = _doc_chunks(spark, sf)
+        cfg = PipelineConfig(max_context_chunks=1_000_000)
+        t = extract_triples(
+            mentions.withColumn("n_mentions", F.lit(1).cast("long")), chunks, cfg
+        ).select(
+            "subj", "pred", "obj",
+            F.round("confidence", 4).alias("confidence"),
+            F.size("context_chunk_ids").alias("n_context"),
+        )
         seeds = spark.createDataFrame([("CONCEPT_spark", 1.0)], ["id", "prob"])
         ppr = personalized_pagerank_from_triples(
             t.withColumn("context_chunk_ids", F.array().cast("array<string>")),
@@ -579,7 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tol=0.0,
         ).select("id", F.round("rank", 6).alias("g"))
         doc_g = (
-            _gaz_mentions(spark, sf)
+            mentions
             .join(ppr, F.col("entity_id") == F.col("id"))
             .groupBy(F.col("doc_id").cast("long").alias("doc_id"))
             .agg(F.max("g").alias("gscore"))
