@@ -1977,6 +1977,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_clone_pairs"] = code_clone_pairs
 
+    def code_dup_files(spark, sf):
+        """Cross-repo exact-duplicate detection (code_quality.py:
+        duplicate_file_groups) — The Stack's first preprocessing step.
+        Files with id%5==3 have their content replaced by one of 7
+        shared blobs (keyed on id%7), so the duplicate classes are
+        arithmetic ground truth: the oracle groups by the replayed
+        content STRING (equality on content ≡ equality on sha) and
+        derives group sizes/repo spreads independently of Spark's
+        sha256 path."""
+        from graphrag_rs_spark.operators.code_quality import (
+            duplicate_file_groups,
+        )
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        dup = base.select(
+            "repo",
+            "path",
+            F.when(
+                did % 5 == 3,
+                F.concat(
+                    F.lit("# shared vendored helper rev "),
+                    (did % 7).cast("string"),
+                    F.lit("\n"),
+                ),
+            )
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return duplicate_file_groups(dup, min_copies=2)
+
+    q["code_dup_files"] = code_dup_files
+
+    def code_symbol_rank(spark, sf):
+        """File importance over the resolved call graph: directed
+        PageRank (operators/pagerank.py, damping 0.85, dangling mass
+        redistributed uniformly — reference semantics graph/pagerank.rs)
+        over code_graph.py:call_edges' file→file CALLS edges, node id =
+        repo/path. Fixed 10 iterations, tol=0 — the oracle derives the
+        edges ARITHMETICALLY (k1=(id+6)%1000 same-repo join, never runs
+        the call regex) and unrolls the identical power iteration
+        including the dangling term."""
+        from graphrag_rs_spark.operators.code_graph import call_edges
+        from graphrag_rs_spark.operators.pagerank import pagerank
+
+        edges = call_edges(_code_corpus(spark, sf)).select(
+            F.concat("repo", F.lit("/"), "src_path").alias("src"),
+            F.concat("repo", F.lit("/"), "dst_path").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        pr = pagerank(edges, max_iterations=10, tol=0.0)
+        return pr.select("id", F.round("rank", 6).alias("rank"))
+
+    q["code_symbol_rank"] = code_symbol_rank
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4228,6 +4286,57 @@ def oracle_sql() -> dict[str, str]:
           ON c2.doc_id = (c1.doc_id + 6) % 1000 AND c2.repo = c1.repo
     """
 
+    # code_symbol_rank: directed PageRank over the SAME arithmetically
+    # derived call edges, 10 unrolled power-iteration rounds replicating
+    # operators/pagerank.py exactly: rank' = 0.15/n + 0.85·(Σ incoming
+    # + dangling_mass/n), verts = src ∪ dst of resolved edges only.
+    # MATERIALIZED for the same reason as kg_pagerank's unroll (each
+    # round is referenced by the next AND by the dangling-mass subquery).
+    _cpr_iters = [
+        "cpr0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn)"
+        " AS rank FROM cverts)"
+    ]
+    for _k in range(1, 11):
+        _cpr_iters.append(f"""
+        cpr{_k} AS MATERIALIZED (
+            SELECT v.id,
+                   0.15 * (1.0 / (SELECT n FROM nn))
+                   + 0.85 * (
+                       coalesce(c.incoming, 0)
+                       + (SELECT coalesce(sum(p.rank), 0) FROM cpr{_k - 1} p
+                          WHERE p.id IN (SELECT id FROM cdang))
+                         / (SELECT n FROM nn)
+                   ) AS rank
+            FROM cverts v LEFT JOIN (
+                SELECT e.dst AS id, sum(p.rank * e.p) AS incoming
+                FROM cnedges e JOIN cpr{_k - 1} p ON e.src = p.id
+                GROUP BY e.dst
+            ) c ON v.id = c.id
+        )""")
+    sql["code_symbol_rank"] = f"""
+        WITH {code_cte},
+        cedges AS MATERIALIZED (
+            SELECT c1.repo || '/' || c1.path AS src,
+                   c1.repo || '/' || c2.path AS dst
+            FROM code c1 JOIN code c2
+              ON c2.doc_id = (c1.doc_id + 6) % 1000 AND c2.repo = c1.repo
+        ),
+        cverts AS MATERIALIZED (
+            SELECT src AS id FROM cedges UNION SELECT dst FROM cedges
+        ),
+        nn AS (SELECT count(*) AS n FROM cverts),
+        coutd AS (SELECT src, count(*) AS od FROM cedges GROUP BY src),
+        cnedges AS MATERIALIZED (
+            SELECT e.src, e.dst, 1.0 / o.od AS p
+            FROM cedges e JOIN coutd o ON e.src = o.src
+        ),
+        cdang AS MATERIALIZED (
+            SELECT id FROM cverts WHERE id NOT IN (SELECT src FROM cedges)
+        ),
+        {','.join(_cpr_iters)}
+        SELECT id, round(rank, 6) AS rank FROM cpr10
+    """
+
     # code_quality / code_secrets: replay the content synthesis char-for-
     # char (the metrics are formula replays over identical strings), but
     # derive the FLAGS and findings arithmetically — vendored ⇔ id%41=0,
@@ -4452,6 +4561,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.2
+    """
+
+    # code_dup_files: duplicate classes are arithmetic ground truth
+    # (id%5==3 rows share one of 7 blobs keyed on id%7; every other row's
+    # content embeds its doc_id and is unique). The oracle groups by the
+    # replayed content STRING — equality on content ≡ equality on sha256
+    # — so Spark's hash-groupBy path is checked independently; sha256()
+    # is applied only at output time over identical ASCII bytes.
+    sql["code_dup_files"] = f"""
+        WITH {_code_content_cte},
+        dup AS (
+            SELECT repo, path,
+                   CASE WHEN doc_id % 5 = 3
+                        THEN '# shared vendored helper rev '
+                             || (doc_id % 7) || chr(10)
+                        ELSE content END AS content
+            FROM codec
+        ),
+        grp AS (
+            SELECT content, count(*) AS n_files,
+                   count(DISTINCT repo) AS n_repos
+            FROM dup GROUP BY content HAVING count(*) >= 2
+        ),
+        rep AS (
+            SELECT content, repo, path,
+                   row_number() OVER (
+                       PARTITION BY content ORDER BY repo, path
+                   ) AS rn
+            FROM dup
+        )
+        SELECT sha256(g.content) AS sha, r.repo AS rep_repo,
+               r.path AS rep_path, g.n_files, g.n_repos
+        FROM grp g JOIN rep r ON r.content = g.content AND r.rn = 1
     """
 
     # text_pack_sequences: the greedy running-sum-with-reset is inherently
