@@ -2035,6 +2035,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_symbol_rank"] = code_symbol_rank
 
+    def code_api_usage(spark, sf):
+        """Third-party dependency census (code_graph.py:
+        external_api_usage): imports that resolve to NO corpus file,
+        grouped by (lang, module). The Spark side runs the real import
+        regexes + stem anti-join; the oracle derives both the import set
+        (m1/m2 arithmetic) and the resolution universe (stem ⇔ doc_id)
+        arithmetically — at sf0.01 ids stop at 499 while imports reach
+        mod_999, so roughly half the census is genuinely external."""
+        from graphrag_rs_spark.operators.code_graph import external_api_usage
+
+        return external_api_usage(_code_corpus(spark, sf))
+
+    q["code_api_usage"] = code_api_usage
+
+    def code_test_edges(spark, sf):
+        """Test→source TESTS edges (code_graph.py:test_link_edges):
+        files with id%11==4 are remapped to pytest-convention paths
+        'tests/test_mod_<(id+6)%1000>.py'; the operator links each test
+        to the same-repo file whose stem matches via one repo-scoped
+        join. The oracle replays the remap arithmetically and joins
+        doc_ids directly — target exists iff file (id+6)%1000 is present,
+        unremapped, and in the same repo (same id mod 6, no wrap)."""
+        from graphrag_rs_spark.operators.code_graph import test_link_edges
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        files = base.select(
+            "repo",
+            F.when(
+                did % 11 == 4,
+                F.concat(
+                    F.lit("tests/test_mod_"),
+                    ((did + 6) % 1000).cast("string"),
+                    F.lit(".py"),
+                ),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            "lang",
+            "content",
+        )
+        return test_link_edges(files)
+
+    q["code_test_edges"] = code_test_edges
+
+    def code_complexity(spark, sf):
+        """Structural-complexity signals (code_quality.py:
+        complexity_metrics): branch-keyword count (McCabe proxy), max
+        leading-space run, nesting depth. Content gets id%5 appended
+        nested-if blocks so the signals vary; the oracle replays the
+        identical byte stream and re-measures with DuckDB's own regex +
+        list ops — an independent engine agreeing on every count
+        (branch matches in the free-text comment head included)."""
+        from graphrag_rs_spark.operators.code_quality import complexity_metrics
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        files = base.select(
+            "repo",
+            "path",
+            "lang",
+            F.concat(
+                F.col("content"),
+                F.repeat(
+                    F.lit("    if cond:\n            deep = 1\n"),
+                    (F.col("_id") % 5).cast("int"),
+                ),
+            ).alias("content"),
+        )
+        return complexity_metrics(files).select(
+            "repo", "path", "n_branches", "max_indent", "nesting_depth"
+        )
+
+    q["code_complexity"] = code_complexity
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4594,6 +4674,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT sha256(g.content) AS sha, r.repo AS rep_repo,
                r.path AS rep_path, g.n_files, g.n_repos
         FROM grp g JOIN rep r ON r.content = g.content AND r.rn = 1
+    """
+
+    # code_api_usage: the import set (m1/m2) and the resolution universe
+    # (stem 'mod_<doc_id>') are both arithmetic, so the external census —
+    # imports whose module matches NO corpus stem — is derived without
+    # running any regex. Spark's regex-extraction + anti-join + partial
+    # agg path is checked end-to-end against closed-form ground truth.
+    sql["code_api_usage"] = f"""
+        WITH {code_cte},
+        imp AS (
+            SELECT repo, lang, 'mod_' || m1 AS module FROM code
+            UNION ALL
+            SELECT repo, lang, 'mod_' || m2 AS module FROM code
+        )
+        SELECT lang, module, count(*) AS n_files,
+               count(DISTINCT repo) AS n_repos
+        FROM imp
+        WHERE module NOT IN (SELECT 'mod_' || doc_id FROM code)
+        GROUP BY lang, module
+    """
+
+    # code_test_edges: the remap (id%11==4 → pytest path testing module
+    # (id+6)%1000) is replayed arithmetically and the link is a direct
+    # doc_id join — target resolves iff that file exists, is itself
+    # unremapped, and lands in the same repo. Spark's path-regex stem
+    # extraction + repo-scoped join is checked against pure arithmetic.
+    sql["code_test_edges"] = """
+        WITH t AS (
+            SELECT (doc_id + 6) % 1000 AS tgt,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo
+            FROM documents WHERE doc_id % 11 = 4
+        ),
+        s AS (
+            SELECT doc_id AS j,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   'src/mod_' || doc_id
+                       || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs' END
+                       AS path
+            FROM documents WHERE doc_id % 11 <> 4
+        )
+        SELECT t.repo, 'tests/test_mod_' || t.tgt || '.py' AS test_path,
+               'TESTS' AS pred, s.path AS src_path,
+               'mod_' || t.tgt AS module
+        FROM t JOIN s ON s.j = t.tgt AND s.repo = t.repo
+    """
+
+    # code_complexity: replay the identical byte stream (codec content +
+    # id%5 appended nested-if blocks), then re-measure with DuckDB's own
+    # regex engine and list ops — branch counts (comment-head free text
+    # included) and indent maxima must agree match-for-match across two
+    # independent regex engines (RE2-dialect pattern, no ^ mid-scan in
+    # either).
+    sql["code_complexity"] = f"""
+        WITH {_code_content_cte},
+        var AS (
+            SELECT repo, path,
+                   content || repeat(
+                       '    if cond:' || chr(10)
+                       || '            deep = 1' || chr(10),
+                       (doc_id % 5)::INT
+                   ) AS content
+            FROM codec
+        ),
+        m AS (
+            SELECT repo, path,
+                   CAST(len(regexp_extract_all(content,
+                       '(?:^|[^A-Za-z0-9_])(if|elif|for|while|case|when|catch|except)(?:[^A-Za-z0-9_]|$)',
+                       1)) AS INT) AS n_branches,
+                   CAST(coalesce(list_max(list_transform(
+                       string_split(content, chr(10)),
+                       x -> length(regexp_extract(x, '^( *)', 1)))), 0) AS INT)
+                       AS max_indent
+            FROM var
+        )
+        SELECT repo, path, n_branches, max_indent,
+               CAST(floor(max_indent / 4) AS INT) AS nesting_depth
+        FROM m
     """
 
     # text_pack_sequences: the greedy running-sum-with-reset is inherently

@@ -345,3 +345,87 @@ def code_triples(files: DataFrame) -> DataFrame:
         fid("repo", "dst_path").alias("obj"),
     )
     return imp.unionByName(dfs).unionByName(dep).unionByName(cal)
+
+
+def external_api_usage(files: DataFrame, imports: DataFrame | None = None) -> DataFrame:
+    """Third-party dependency census: imported modules that resolve to NO
+    file in the corpus, ranked by usage → (lang, module, n_files, n_repos).
+
+    This is the table every corpus-curation run wants first: which
+    external libraries the code actually depends on (requests, serde,
+    lodash, ...), how widely, and in which language — the package-level
+    complement of ``dependency_edges`` (which keeps only *resolved*
+    imports; this keeps exactly the ones that dangle).
+
+    Scale shape: the stem side is projected to the bare module-stem
+    column and de-dup'd BEFORE the join, so the anti-join ships ids-only
+    rows; both sides shuffle on the module name (same bounded-width key
+    and skew profile as ``dependency_edges`` — AQE skew-split covers hot
+    names).  The final groupBy is a partial-aggregated count on
+    (lang, module).  Nothing in the plan touches ``content`` after the
+    map-only import extraction.
+    """
+    if imports is None:
+        imports = extract_imports(files)
+    stems = (
+        files.select(module_stem(F.col("path")).alias("_module"))
+        .where(F.col("_module") != "")
+        .distinct()
+    )
+    ext = imports.withColumnRenamed("imported", "_module").join(
+        stems, "_module", "left_anti"
+    )
+    return ext.groupBy("lang", F.col("_module").alias("module")).agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct("repo").alias("n_repos"),
+    )
+
+
+# test-file naming conventions: pytest/unittest "test_X.py", go/rust
+# "X_test.go" — group 1 of whichever matches is the tested module stem.
+TEST_PREFIX_PATTERN = r"(?:^|/)test_([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z0-9]+$"
+TEST_SUFFIX_PATTERN = r"(?:^|/)([A-Za-z_][A-Za-z0-9_]*)_test\.[A-Za-z0-9]+$"
+
+
+def test_link_edges(files: DataFrame) -> DataFrame:
+    """Test→source TESTS edges by filename convention, repo-scoped:
+    ``tests/test_parser.py`` → the repo's file whose stem is ``parser``
+    (or ``parser_test.go`` style) → (repo, test_path, pred, src_path,
+    module).
+
+    Linking tests to the code they exercise is a first-class KG edge for
+    a source corpus — it is how curation keeps test/impl pairs together
+    (training on impl without its test loses the supervision signal) and
+    how per-file quality scores can inherit "has a test" as a feature.
+
+    Resolution is repo-scoped like ``call_edges`` (the join key is
+    (repo, stem), never the bare skew-prone stem).  Test files
+    themselves are excluded from the provider side, so test_x.py never
+    links to x_test.go style siblings.  One shuffle join; both sides are
+    map-only projections of ``path`` (content is never read — the plan
+    prunes it at the scan).
+    """
+    tested = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("path"), TEST_PREFIX_PATTERN, 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col("path"), TEST_SUFFIX_PATTERN, 1), F.lit("")),
+    )
+    with_stem = files.select("repo", "path", tested.alias("_tested"))
+    tests = with_stem.where(F.col("_tested").isNotNull()).select(
+        "repo", F.col("path").alias("test_path"), F.col("_tested").alias("_module")
+    )
+    providers = (
+        with_stem.where(F.col("_tested").isNull())
+        .select(
+            "repo",
+            F.col("path").alias("src_path"),
+            module_stem(F.col("path")).alias("_module"),
+        )
+        .where(F.col("_module") != "")
+    )
+    return tests.join(providers, ["repo", "_module"]).select(
+        "repo",
+        "test_path",
+        F.lit("TESTS").alias("pred"),
+        "src_path",
+        F.col("_module").alias("module"),
+    )

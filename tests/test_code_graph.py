@@ -380,3 +380,48 @@ def test_extract_calls_is_udf_free(spark, call_corpus):
 
     plan = extract_calls(call_corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_external_api_usage(spark):
+    from graphrag_rs_spark.operators.code_graph import external_api_usage
+
+    files = _files(
+        spark,
+        [
+            ("r1", "src/app.py", "python", "import requests\nimport util\n"),
+            ("r2", "src/cli.py", "python", "import requests\nimport numpy\n"),
+            ("r1", "src/util.py", "python", "import os\n"),
+        ],
+    )
+    got = {
+        r["module"]: (r["n_files"], r["n_repos"])
+        for r in external_api_usage(files).collect()
+    }
+    # util resolves in-corpus and is absent; requests counted across repos
+    assert got == {"requests": (2, 2), "numpy": (1, 1), "os": (1, 1)}
+
+
+def test_test_link_edges(spark):
+    from graphrag_rs_spark.operators.code_graph import test_link_edges
+
+    files = _files(
+        spark,
+        [
+            ("r1", "src/parser.py", "python", ""),
+            ("r1", "tests/test_parser.py", "python", ""),
+            ("r1", "lexer_test.go", "go", ""),          # suffix convention
+            ("r1", "src/lexer.go", "go", ""),
+            ("r2", "tests/test_parser.py", "python", ""),  # no parser in r2 → dangles
+            ("r1", "tests/test_missing.py", "python", ""),
+        ],
+    )
+    got = {
+        (r["test_path"], r["src_path"]) for r in test_link_edges(files).collect()
+    }
+    assert got == {
+        ("tests/test_parser.py", "src/parser.py"),
+        ("lexer_test.go", "src/lexer.go"),
+    }
+    assert test_link_edges(files).columns == [
+        "repo", "test_path", "pred", "src_path", "module"
+    ]
