@@ -2115,6 +2115,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_complexity"] = code_complexity
 
+    def code_file_communities(spark, sf):
+        """Architecture clustering: synchronous LPA (operators/lpa.py,
+        3 rounds, count-desc/label-asc tie-break) over the file→file
+        dependency graph — the 'which files form a module' view every
+        monorepo decomposition starts from. Composes dependency_edges
+        (one stem join) with the same deterministic LPA the kg_lpa row
+        pins; the oracle chains the arithmetic edge derivation into
+        lpa_round_ctes' unrolled rounds."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.lpa import label_propagation
+
+        edges = dependency_edges(_code_corpus(spark, sf)).select(
+            F.concat_ws("/", "src_repo", "src_path").alias("src"),
+            F.concat_ws("/", "dst_repo", "dst_path").alias("dst"),
+        )
+        return label_propagation(edges, n_rounds=3)
+
+    q["code_file_communities"] = code_file_communities
+
+    def code_import_cycles(spark, sf):
+        """Import-cycle detection: SCCs of size ≥ 2 over the file→file
+        dependency graph (operators/scc.py) — the architecture-health
+        check every build system wants (cyclic imports block incremental
+        builds and layering). Labels are min member ids, so the oracle's
+        recursive-CTE mutual-reachability closure over the SAME
+        arithmetically derived edges is independent ground truth."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        edges = dependency_edges(_code_corpus(spark, sf)).select(
+            F.concat_ws("/", "src_repo", "src_path").alias("src"),
+            F.concat_ws("/", "dst_repo", "dst_path").alias("dst"),
+        )
+        comp = strongly_connected_components(edges)
+        sizes = comp.groupBy("scc_id").agg(F.count("*").alias("cycle_size"))
+        return comp.join(sizes, "scc_id").where(F.col("cycle_size") >= 2).select(
+            "id", "scc_id", "cycle_size"
+        )
+
+    q["code_import_cycles"] = code_import_cycles
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4364,6 +4407,69 @@ def oracle_sql() -> dict[str, str]:
                    || c2.doc_id AS symbol
         FROM code c1 JOIN code c2
           ON c2.doc_id = (c1.doc_id + 6) % 1000 AND c2.repo = c1.repo
+    """
+
+    # code_file_communities: the arithmetic dependency edges feed the
+    # shared lpa_round_ctes builder (same unrolled synchronous rounds the
+    # kg_lpa oracle uses) — edge derivation and label dynamics are both
+    # independent of the Spark path.
+    from graphrag_rs_spark.operators.lpa import lpa_round_ctes as _lpa_ctes
+
+    sql["code_file_communities"] = (
+        _code_edges_sql
+        + ",\n"
+        + _lpa_ctes(
+            """e AS (
+                SELECT src_repo || '/' || src_path AS src,
+                       dst_repo || '/' || dst_path AS dst
+                FROM edges
+            )""",
+            3,
+        )
+        + "\nSELECT id, label FROM lab3"
+    )
+
+    # code_import_cycles: recursive-CTE transitive closure + mutual
+    # reachability over the arithmetic dependency edges (same independent
+    # SCC ground truth as kg_scc — never sees Tarjan/FW-BW-Trim), then
+    # size-≥2 groups. min(v) labels = min member-id strings, matching the
+    # operator's set-minimum contract.
+    sql["code_import_cycles"] = f"""
+        WITH RECURSIVE {code_cte},
+        imp AS (
+            SELECT repo AS src_repo, path AS src_path, m1 AS m FROM code
+            UNION ALL
+            SELECT repo, path, m2 FROM code
+        ),
+        edges AS (
+            SELECT i.src_repo, i.src_path,
+                   c.repo AS dst_repo, c.path AS dst_path
+            FROM imp i JOIN code c ON c.doc_id = i.m
+            WHERE NOT (i.src_repo = c.repo AND i.src_path = c.path)
+        ),
+        e AS (
+            SELECT src_repo || '/' || src_path AS src,
+                   dst_repo || '/' || dst_path AS dst
+            FROM edges
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        reach(a, b) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+        ),
+        mutual AS (
+            SELECT id AS u, id AS v FROM nodes
+            UNION
+            SELECT r1.a, r1.b
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        scc AS (SELECT u AS id, min(v) AS scc_id FROM mutual GROUP BY u),
+        sizes AS (SELECT scc_id, count(*) AS cycle_size FROM scc GROUP BY scc_id)
+        SELECT s.id, s.scc_id, z.cycle_size
+        FROM scc s JOIN sizes z USING (scc_id)
+        WHERE z.cycle_size >= 2
     """
 
     # code_symbol_rank: directed PageRank over the SAME arithmetically
