@@ -2158,6 +2158,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_import_cycles"] = code_import_cycles
 
+    def code_comment_entities(spark, sf):
+        """Prose↔code KG bridge: comment_text (code_quality.py) pulls
+        each file's comment lines — its natural-language channel — and
+        the SAME broadcast gazetteer extractor that indexes prose docs
+        (operators/extraction.py:gazetteer_mentions) runs over them, so
+        a comment mentioning 'spark' links the file to the identical
+        canonical entity a design doc gets. The oracle rebuilds the
+        comment string (marker + paren-stripped 40-char head) and
+        replays the contains-join — Spark's line filter + join path
+        checked end-to-end."""
+        from graphrag_rs_spark.operators.code_quality import comment_text
+        from graphrag_rs_spark.operators.extraction import gazetteer_mentions
+
+        files = comment_text(_code_corpus(spark, sf))
+        chunks = files.select(
+            F.concat_ws("/", "repo", "path").alias("chunk_id"),
+            F.concat_ws("/", "repo", "path").alias("doc_id"),
+            F.col("comment_text").alias("content"),
+        )
+        return gazetteer_mentions(chunks, _gazetteer_df(spark)).select(
+            "doc_id", "entity_id", "name", "entity_type"
+        )
+
+    q["code_comment_entities"] = code_comment_entities
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4428,6 +4453,27 @@ def oracle_sql() -> dict[str, str]:
         )
         + "\nSELECT id, label FROM lab3"
     )
+
+    # code_comment_entities: the comment channel is exactly one line —
+    # marker + ' ' + the paren-stripped 40-char head — rebuilt here
+    # byte-for-byte, then the gazetteer contains-join is replayed over
+    # it, mirroring kg_gazetteer_mentions' oracle shape.
+    sql["code_comment_entities"] = f"""
+        WITH {gaz_cte},
+        heads AS (
+            SELECT 'org' || (doc_id % 3) || '/proj' || (doc_id % 2)
+                       || '/src/mod_' || doc_id
+                       || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs' END
+                       AS doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN '# ' ELSE '// ' END
+                       || regexp_replace(substring(text, 1, 40), '[()]', '', 'g')
+                       AS comment
+            FROM documents
+        )
+        SELECT h.doc_id, 'CONCEPT_' || g.name AS entity_id,
+               g.name AS name, 'CONCEPT' AS entity_type
+        FROM heads h JOIN gaz g ON contains(h.comment, g.name)
+    """
 
     # code_import_cycles: recursive-CTE transitive closure + mutual
     # reachability over the arithmetic dependency edges (same independent
