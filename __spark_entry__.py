@@ -2183,6 +2183,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_comment_entities"] = code_comment_entities
 
+    def code_commit_churn(spark, sf):
+        """Commit-to-commit line churn (operators/diff.py:line_churn):
+        commit B modifies files with id%7==1 (one appended line) and
+        deletes files with id%13==2; the multiset line diff must report
+        exactly those — +1/-0 for edits, 0/all-lines for deletions, and
+        NO row for untouched files. The oracle replays the same two
+        snapshots and recomputes the churn with DuckDB's own
+        split/unnest/full-join — independent engine, same multiset
+        semantics."""
+        from graphrag_rs_spark.operators.diff import line_churn
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        old = base.select("repo", "path", "content")
+        new = base.where(did % 13 != 2).select(
+            "repo",
+            "path",
+            F.when(
+                did % 7 == 1,
+                F.concat(
+                    F.col("content"),
+                    F.lit("refactored_"),
+                    did.cast("string"),
+                    F.lit(" = True\n"),
+                ),
+            )
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return line_churn(old, new)
+
+    q["code_commit_churn"] = code_commit_churn
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4793,6 +4829,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.2
+    """
+
+    # code_commit_churn: replay both snapshots byte-exact, then recompute
+    # the multiset line diff with DuckDB's own split/unnest/full-join —
+    # same semantics (trailing empty line counts; duplicates are
+    # multiset members), independent engine.
+    sql["code_commit_churn"] = f"""
+        WITH {_code_content_cte},
+        newc AS (
+            SELECT repo, path,
+                   CASE WHEN doc_id % 7 = 1
+                        THEN content || 'refactored_' || doc_id
+                             || ' = True' || chr(10)
+                        ELSE content END AS content
+            FROM codec WHERE doc_id % 13 <> 2
+        ),
+        ol AS (
+            SELECT repo, path, line, count(*) AS n_old
+            FROM (SELECT repo, path,
+                         unnest(string_split(content, chr(10))) AS line
+                  FROM codec)
+            GROUP BY repo, path, line
+        ),
+        nl AS (
+            SELECT repo, path, line, count(*) AS n_new
+            FROM (SELECT repo, path,
+                         unnest(string_split(content, chr(10))) AS line
+                  FROM newc)
+            GROUP BY repo, path, line
+        ),
+        j AS (
+            SELECT coalesce(ol.repo, nl.repo) AS repo,
+                   coalesce(ol.path, nl.path) AS path,
+                   coalesce(n_old, 0) AS n_old,
+                   coalesce(n_new, 0) AS n_new
+            FROM ol FULL OUTER JOIN nl
+              ON ol.repo = nl.repo AND ol.path = nl.path
+                 AND ol.line = nl.line
+        )
+        SELECT repo, path,
+               CAST(sum(greatest(n_new - n_old, 0)) AS BIGINT) AS lines_added,
+               CAST(sum(greatest(n_old - n_new, 0)) AS BIGINT) AS lines_removed
+        FROM j GROUP BY repo, path
+        HAVING sum(greatest(n_new - n_old, 0)) > 0
+            OR sum(greatest(n_old - n_new, 0)) > 0
     """
 
     # code_dup_files: duplicate classes are arithmetic ground truth

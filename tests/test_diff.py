@@ -89,3 +89,40 @@ def test_one_shuffle_full_outer_plan(spark, snaps):
     )
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_line_churn_basic(spark):
+    from graphrag_rs_spark.operators.diff import line_churn
+
+    old = spark.createDataFrame(
+        [
+            ("r", "a.py", "x = 1\ny = 2\n"),
+            ("r", "gone.py", "a\nb\n"),
+            ("r", "same.py", "k\n"),
+        ],
+        ["repo", "path", "content"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("r", "a.py", "x = 1\nz = 3\n"),       # y removed, z added
+            ("r", "same.py", "k\n"),                # untouched -> absent
+            ("r", "born.py", "c\n"),                # new file
+        ],
+        ["repo", "path", "content"],
+    )
+    got = {
+        r["path"]: (r["lines_added"], r["lines_removed"])
+        for r in line_churn(old, new).collect()
+    }
+    # gone.py: 2 content lines + trailing '' removed; born.py symmetric
+    assert got == {"a.py": (1, 1), "gone.py": (0, 3), "born.py": (2, 0)}
+
+
+def test_line_churn_multiset(spark):
+    from graphrag_rs_spark.operators.diff import line_churn
+
+    old = spark.createDataFrame([("r", "d.py", "dup\ndup\n")], ["repo", "path", "content"])
+    new = spark.createDataFrame([("r", "d.py", "dup\n")], ["repo", "path", "content"])
+    row = line_churn(old, new).collect()[0]
+    # duplicate lines count as a multiset: one of the two 'dup's removed
+    assert (row["lines_added"], row["lines_removed"]) == (0, 1)
