@@ -2219,6 +2219,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_commit_churn"] = code_commit_churn
 
+    def code_identifier_vocab(spark, sf):
+        """Identifier-subtoken vocabulary (code_graph.py:
+        identifier_subtokens) over the corpus' defined symbols — the
+        tokenizer-training input table. The Spark side runs the real
+        def-extraction regexes + camel/snake splitting; the oracle
+        derives every subtoken arithmetically (py files define
+        fn_<id>/Cls_<id>, rs files process_<id>/Record_<id> → subtokens
+        fn/cls/process/record + the id digits twice per file)."""
+        from graphrag_rs_spark.operators.code_graph import (
+            extract_defs,
+            identifier_subtokens,
+        )
+
+        return identifier_subtokens(extract_defs(_code_corpus(spark, sf)))
+
+    q["code_identifier_vocab"] = code_identifier_vocab
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4509,6 +4526,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, 'CONCEPT_' || g.name AS entity_id,
                g.name AS name, 'CONCEPT' AS entity_type
         FROM heads h JOIN gaz g ON contains(h.comment, g.name)
+    """
+
+    # code_identifier_vocab: arithmetic ground truth — each py file
+    # defines fn_<id> + Cls_<id>, each rs file process_<id> + Record_<id>,
+    # so the split vocabulary is exactly {fn, cls} | {process, record}
+    # per parity plus the file's own id digits twice; the regex def
+    # extraction AND the camel/snake splitter are both checked against
+    # closed-form counts.
+    sql["code_identifier_vocab"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'fn' ELSE 'process' END AS a,
+                   CASE WHEN doc_id % 2 = 0 THEN 'cls' ELSE 'record' END AS b
+            FROM documents
+        ),
+        subs AS (
+            SELECT doc_id, a AS subtoken FROM base
+            UNION ALL SELECT doc_id, b FROM base
+            UNION ALL SELECT doc_id, CAST(doc_id AS VARCHAR) FROM base
+            UNION ALL SELECT doc_id, CAST(doc_id AS VARCHAR) FROM base
+        )
+        SELECT subtoken, count(*) AS n_defs,
+               count(DISTINCT doc_id) AS n_files
+        FROM subs GROUP BY subtoken
     """
 
     # code_import_cycles: recursive-CTE transitive closure + mutual

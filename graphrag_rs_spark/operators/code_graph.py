@@ -429,3 +429,39 @@ def test_link_edges(files: DataFrame) -> DataFrame:
         "src_path",
         F.col("_module").alias("module"),
     )
+
+
+def identifier_subtokens(defs: DataFrame, *, symbol_col: str = "symbol") -> DataFrame:
+    """Corpus-level identifier-subtoken vocabulary → one row per subtoken:
+    (subtoken, n_defs, n_files).
+
+    Splits every defined symbol on snake_case AND camelCase boundaries
+    (``getHTTPServer`` → get/http/server, ``parse_json`` → parse/json),
+    lowercases, and aggregates corpus frequency.  This is the input
+    table for code-tokenizer/BPE training and identifier-based code
+    search — subtoken frequency over 10^12 files is how a vocab gets
+    chosen.
+
+    Map-only split/explode (two codegen ``regexp_replace`` passes insert
+    the camel boundaries, then one split — no UDF) into ONE
+    partial-aggregated groupBy on the subtoken; the count and
+    distinct-file count combine map-side, and the key space is
+    vocabulary-sized (Zipf head keys are exactly what map-side combine
+    flattens).
+    """
+    parts = F.split(
+        F.regexp_replace(
+            F.regexp_replace(F.col(symbol_col), "([a-z0-9])([A-Z])", "$1_$2"),
+            "([A-Z]+)([A-Z][a-z])",
+            "$1_$2",
+        ),
+        "_+",
+    )
+    ex = (
+        defs.select("repo", "path", F.explode(parts).alias("_t"))
+        .where(F.col("_t") != "")
+    )
+    return ex.groupBy(F.lower(F.col("_t")).alias("subtoken")).agg(
+        F.count("*").alias("n_defs"),
+        F.countDistinct("repo", "path").alias("n_files"),
+    )

@@ -425,3 +425,28 @@ def test_test_link_edges(spark):
     assert test_link_edges(files).columns == [
         "repo", "test_path", "pred", "src_path", "module"
     ]
+
+
+def test_identifier_subtokens(spark):
+    from graphrag_rs_spark.operators.code_graph import identifier_subtokens
+
+    defs = spark.createDataFrame(
+        [
+            ("r", "a.py", "python", "function", "getHTTPServer"),
+            ("r", "a.py", "python", "function", "parse_json"),
+            ("r", "b.py", "python", "class", "_PrivateThing"),
+            ("r", "b.py", "python", "function", "parse_json2"),
+        ],
+        ["repo", "path", "lang", "kind", "symbol"],
+    )
+    got = {
+        r["subtoken"]: (r["n_defs"], r["n_files"])
+        for r in identifier_subtokens(defs).collect()
+    }
+    # camel + abbreviation boundaries: getHTTPServer -> get/http/server;
+    # leading underscore yields no empty token; digits stay attached
+    assert got == {
+        "get": (1, 1), "http": (1, 1), "server": (1, 1),
+        "parse": (2, 2), "json": (1, 1), "json2": (1, 1),
+        "private": (1, 1), "thing": (1, 1),
+    }
