@@ -443,11 +443,12 @@ def identifier_subtokens(defs: DataFrame, *, symbol_col: str = "symbol") -> Data
     chosen.
 
     Map-only split/explode (two codegen ``regexp_replace`` passes insert
-    the camel boundaries, then one split — no UDF) into ONE
-    partial-aggregated groupBy on the subtoken; the count and
-    distinct-file count combine map-side, and the key space is
-    vocabulary-sized (Zipf head keys are exactly what map-side combine
-    flattens).
+    the camel boundaries, then one split — no UDF) into a two-phase
+    aggregation: the map side combines on (subtoken, file) before the
+    first exchange, and the distinct-file rollup reshuffles only
+    group-cardinality rows on the subtoken alone.  The key space is
+    vocabulary-sized — Zipf head keys are exactly what map-side combine
+    flattens.
     """
     parts = F.split(
         F.regexp_replace(

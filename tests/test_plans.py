@@ -349,3 +349,100 @@ def test_select_representatives_single_window(spark):
     plan = _plan(select_representatives(members))
     assert "Window" in plan
     assert "Join" not in plan
+
+
+@pytest.fixture(scope="module")
+def parquet_code(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans_code") / "files")
+    spark.createDataFrame(
+        [
+            (
+                f"r{i % 3}",
+                (f"tests/test_f{i}.py" if i % 4 == 0 else f"src/f{i}.py"),
+                "python",
+                f"import m{i % 5}\nx = {i}\n",
+            )
+            for i in range(30)
+        ],
+        "repo string, path string, lang string, content string",
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return [s.split("\n")[0] for s in plan.split("ReadSchema: ")[1:]]
+
+
+def _node_no(plan: str, predicate) -> int:
+    """Smallest detail-node number whose block satisfies predicate.
+    Nodes are numbered bottom-up (children first), so 'runs earlier'
+    == 'smaller number'."""
+    import re
+
+    best = None
+    for m in re.finditer(r"\n\((\d+)\) (\w+)", plan):
+        end = plan.find("\n(", m.end())
+        block = plan[m.start(): end if end != -1 else len(plan)]
+        if predicate(int(m.group(1)), m.group(2), block):
+            n = int(m.group(1))
+            best = n if best is None else min(best, n)
+    assert best is not None, "no matching plan node"
+    return best
+
+
+def _partial_before_exchange(plan: str) -> bool:
+    agg = _node_no(plan, lambda n, op, b: "partial_count" in b)
+    exch = _node_no(plan, lambda n, op, b: op == "Exchange")
+    return agg < exch
+
+
+def test_duplicate_file_groups_combines_map_side(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_quality import duplicate_file_groups
+
+    plan = _plan(duplicate_file_groups(parquet_code))
+    # two-phase distinct-repo agg: the partial combine must run BEFORE the
+    # first exchange so only (sha, repo, partial counts) rows ship
+    assert "partial_count" in plan
+    assert _partial_before_exchange(plan)
+
+
+def test_external_api_usage_prunes_stem_side(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_graph import external_api_usage
+
+    plan = _plan(external_api_usage(parquet_code))
+    schemas = _read_schemas(plan)
+    # the stem (provider) scan must not read the wide content column —
+    # only the import-extraction side touches it
+    assert sum("content" in s for s in schemas) == 1, schemas
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_test_link_edges_never_reads_content(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_graph import test_link_edges
+
+    plan = _plan(test_link_edges(parquet_code))
+    # linking is purely path-based: content pruned from EVERY scan
+    assert all("content" not in s for s in _read_schemas(plan))
+    assert "CartesianProduct" not in plan
+
+
+def test_line_churn_partial_aggregation(spark, parquet_code):
+    from graphrag_rs_spark.operators.diff import line_churn
+
+    new = parquet_code.withColumn("content", F.concat("content", F.lit("z\n")))
+    plan = _plan(line_churn(parquet_code, new))
+    # per-(keys, line) counts combine map-side before each exchange
+    assert "partial_count" in plan
+    assert _partial_before_exchange(plan)
+
+
+def test_identifier_subtokens_partial_aggregation(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_graph import (
+        extract_defs,
+        identifier_subtokens,
+    )
+
+    plan = _plan(identifier_subtokens(extract_defs(parquet_code)))
+    assert "partial_count" in plan
+    assert _partial_before_exchange(plan)
