@@ -2236,6 +2236,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_identifier_vocab"] = code_identifier_vocab
 
+    def code_chunking(spark, sf):
+        """Code-aware chunking (C4, operators/code_chunking.py): per-lang
+        item-boundary splitting with forward/backward min-size merging,
+        one mapInPandas pass over the mixed-language corpus. On the
+        closed-form corpus every file has exactly 3 raw item spans
+        (header, fn item, trailing struct/class item) whose sizes the
+        oracle derives: the middle is always ≥ min_chunk_size, the tail
+        always below it (merges back), and the header branches on the
+        first-boundary offset d — so the expected chunking is
+        [(0,d),(d,n)] if d ≥ 50 else [(0,n)], computed WITHOUT running
+        the splitter. Heads are single-line (no newline in the first 40
+        chars of any testdata doc), so no free-text line can fake a
+        boundary."""
+        from graphrag_rs_spark.operators.code_chunking import (
+            chunk_code_documents,
+        )
+
+        docs = _code_corpus(spark, sf).select(
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).alias("doc_id"),
+            "lang",
+            "content",
+        )
+        return chunk_code_documents(docs)
+
+    q["code_chunking"] = code_chunking
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4915,6 +4941,37 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY repo, path
         HAVING sum(greatest(n_new - n_old, 0)) > 0
             OR sum(greatest(n_old - n_new, 0)) > 0
+    """
+
+    # code_chunking: the only boundary lines on the closed-form corpus
+    # are the template's own (def/class for py, pub fn/pub struct for rs)
+    # — heads are single-line so free text can't fake one. d = 0-based
+    # offset of the first boundary (strpos of newline + boundary prefix);
+    # middle span is provably ≥ 50, trailing item provably < 50 (merges
+    # back), header branches on d — chunks = [(0,d),(d,n)] iff d ≥ 50
+    # else [(0,n)], no splitter replay anywhere.
+    sql["code_chunking"] = f"""
+        WITH {_code_content_cte},
+        p AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, content,
+                   length(content) AS n,
+                   strpos(content,
+                          chr(10) || CASE WHEN doc_id % 2 = 0
+                                          THEN 'def fn_'
+                                          ELSE 'pub fn process_' END) AS d
+            FROM codec
+        )
+        SELECT doc_id || '_0' AS chunk_id, doc_id,
+               CASE WHEN d >= 50 THEN substr(content, 1, d)
+                    ELSE content END AS content,
+               CAST(0 AS BIGINT) AS start_offset,
+               CAST(CASE WHEN d >= 50 THEN d ELSE n END AS BIGINT)
+                   AS end_offset
+        FROM p
+        UNION ALL
+        SELECT doc_id || '_1', doc_id, substr(content, d + 1),
+               CAST(d AS BIGINT), CAST(n AS BIGINT)
+        FROM p WHERE d >= 50
     """
 
     # code_dup_files: duplicate classes are arithmetic ground truth
