@@ -283,6 +283,18 @@ def main() -> None:
 
     bench("code_dependency_edges", q_code_dependency_edges)
 
+    def q_code_dup_files():
+        # The-Stack step 1 over the code corpus: sha256 exact-dup groups
+        return entry_q["code_dup_files"](spark, SF_DIR).count()
+
+    bench("code_dup_files", q_code_dup_files)
+
+    def q_code_chunking():
+        # C4 item-boundary chunking wall over the full code corpus
+        return entry_q["code_chunking"](spark, SF_DIR).count()
+
+    bench("code_chunking", q_code_chunking)
+
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_pipeline_fixture"]
     triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0
