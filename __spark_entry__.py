@@ -319,6 +319,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_communities"] = kg_communities
 
+    def kg_community_summaries(spark, sf):
+        """G3 extractive summaries (communities.py:summarize_communities,
+        reference leiden.rs:145-242): top-5 names per type sorted, the
+        'and N more' overflow clause, per-type lines sorted and joined
+        under the 'Community X (Level 0)' header. Membership is the
+        provable nation partition (same fixture family as
+        kg_communities), types fan out on custkey%3 so every community
+        exercises the overflow branch; the oracle rebuilds every summary
+        string with DuckDB's own list/string aggregation."""
+        from graphrag_rs_spark.operators.communities import (
+            summarize_communities,
+        )
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 300)
+        eid = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+        communities = c.select(
+            F.col("c_nationkey").cast("long").alias("community_id"),
+            eid.alias("entity_id"),
+        )
+        entities = c.select(
+            eid.alias("entity_id"),
+            eid.alias("name"),
+            F.concat(
+                F.lit("TYPE"), (F.col("c_custkey") % 3).cast("string")
+            ).alias("entity_type"),
+            F.lit(0.9).cast("float").alias("confidence"),
+        )
+        return summarize_communities(communities, entities)
+
+    q["kg_community_summaries"] = kg_community_summaries
+
     def kg_chunking(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -4314,6 +4345,41 @@ def oracle_sql() -> dict[str, str]:
                min(eid) OVER (PARTITION BY g) AS community_key,
                count(*) OVER (PARTITION BY g) AS community_size
         FROM c
+    """
+
+    # kg_community_summaries: rebuild every summary string independently —
+    # DuckDB list_sort/slice for the top-5, CASE for the overflow clause,
+    # ORDER BY string_agg for the line ordering; binary collation on both
+    # engines makes the name sort identical.
+    sql["kg_community_summaries"] = """
+        WITH m AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS community_id,
+                   'C' || CAST(c_custkey AS VARCHAR) AS name,
+                   'TYPE' || (c_custkey % 3) AS entity_type
+            FROM customer WHERE c_custkey <= 300
+        ),
+        pt AS (
+            SELECT community_id, entity_type, count(*) AS n,
+                   array_to_string(list_sort(list(name))[1:5], ', ')
+                       AS top_names
+            FROM m GROUP BY community_id, entity_type
+        ),
+        lines AS (
+            SELECT community_id, n,
+                   '- ' || entity_type || ': ' || top_names
+                   || CASE WHEN n > 5
+                           THEN ' and ' || (n - 5) || ' more'
+                           ELSE '' END AS type_line
+            FROM pt
+        )
+        SELECT community_id,
+               CAST(sum(n) AS BIGINT) AS member_count,
+               'Community ' || community_id || ' (Level 0)' || chr(10)
+               || 'Contains ' || CAST(sum(n) AS BIGINT) || ' entities:'
+               || chr(10)
+               || string_agg(type_line, chr(10) ORDER BY type_line)
+                   AS summary
+        FROM lines GROUP BY community_id
     """
 
     # G9 on a provable fixture: 25 disjoint pred families with globally
