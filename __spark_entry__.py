@@ -350,6 +350,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_community_summaries"] = kg_community_summaries
 
+    def _ctx_fixture(spark, sf):
+        """Shared G4/G2 fixture: nation-partition entities with exact
+        quarter confidences (binary-exact, so %.2f formatting can't
+        diverge between Java and C printf), star triples to each
+        nation's min member."""
+        from pyspark.sql import Window
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 300)
+        k = F.col("c_custkey")
+        eid = F.concat(F.lit("C"), k.cast("string"))
+        communities = c.select(
+            F.col("c_nationkey").cast("long").alias("community_id"),
+            eid.alias("entity_id"),
+        )
+        entities = c.select(
+            eid.alias("entity_id"),
+            eid.alias("name"),
+            F.concat(F.lit("TYPE"), (k % 3).cast("string")).alias("entity_type"),
+            ((k % 4) / F.lit(4.0)).cast("float").alias("confidence"),
+            (k % 7).cast("long").alias("mention_count"),
+        )
+        w = Window.partitionBy("c_nationkey")
+        triples = (
+            c.withColumn("mk", F.min("c_custkey").over(w))
+            .where(k != F.col("mk"))
+            .select(
+                eid.alias("subj"),
+                F.lit("REL").alias("pred"),
+                F.concat(F.lit("C"), F.col("mk").cast("string")).alias("obj"),
+                ((k % 4) / F.lit(4.0)).cast("float").alias("confidence"),
+            )
+        )
+        return communities, entities, triples
+
+    def kg_community_context(spark, sf):
+        """G4 LLM-ready context rendering (communities.py:
+        community_context, reference leiden.rs:260-312): sorted entity
+        lines with %.2f confidence + mention counts, intra-community
+        triple lines, markdown header template. The oracle rebuilds
+        every context block with DuckDB's printf/string_agg — exact
+        quarter confidences keep the two printf implementations
+        bit-identical."""
+        from graphrag_rs_spark.operators.communities import community_context
+
+        communities, entities, triples = _ctx_fixture(spark, sf)
+        return community_context(communities, entities, triples)
+
+    q["kg_community_context"] = kg_community_context
+
+    def kg_graph_projection(spark, sf):
+        """G2 triples→undirected weighted edges (communities.py:
+        triples_to_edges, reference core/mod.rs:1054-1073): symmetrize,
+        drop self-loops, sum confidences per (src, dst). The oracle
+        replays the projection as a plain UNION ALL + GROUP BY."""
+        from graphrag_rs_spark.operators.communities import triples_to_edges
+
+        _, _, triples = _ctx_fixture(spark, sf)
+        return triples_to_edges(triples)
+
+    q["kg_graph_projection"] = kg_graph_projection
+
     def kg_chunking(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -4380,6 +4441,59 @@ def oracle_sql() -> dict[str, str]:
                || string_agg(type_line, chr(10) ORDER BY type_line)
                    AS summary
         FROM lines GROUP BY community_id
+    """
+
+    # kg_community_context / kg_graph_projection: shared fixture CTEs —
+    # quarter confidences are binary-exact so printf('%.2f') agrees
+    # between Java's Formatter and DuckDB's C printf; line sorts are
+    # binary-collation on both engines.
+    _ctx_base = """c AS (
+            SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS g
+            FROM customer WHERE c_custkey <= 300
+        ),
+        e AS (
+            SELECT g, k, 'C' || k AS name, 'TYPE' || (k % 3) AS typ,
+                   (k % 4) / 4.0 AS conf, k % 7 AS m
+            FROM c
+        ),
+        mn AS (SELECT g, min(k) AS mk FROM c GROUP BY g)"""
+    sql["kg_community_context"] = f"""
+        WITH {_ctx_base},
+        el AS (
+            SELECT g, printf('- %s (%s): confidence %.2f, %d mentions',
+                             name, typ, conf, m) AS line
+            FROM e
+        ),
+        eb AS (SELECT g, string_agg(line, chr(10) ORDER BY line)
+                   AS entity_block FROM el GROUP BY g),
+        tl AS (
+            SELECT e.g, printf('- %s --[REL]--> %s (confidence: %.2f)',
+                               e.name, 'C' || mn.mk, e.conf) AS line
+            FROM e JOIN mn ON e.g = mn.g WHERE e.k <> mn.mk
+        ),
+        rb AS (SELECT g, string_agg(line, chr(10) ORDER BY line)
+                   AS rel_block FROM tl GROUP BY g)
+        SELECT eb.g AS community_id,
+               '# Community ' || eb.g || ' at Level 0' || chr(10) || chr(10)
+               || '## Entities:' || chr(10) || eb.entity_block
+               || chr(10) || chr(10) || '## Relationships:' || chr(10)
+               || coalesce(rb.rel_block, '') AS context
+        FROM eb LEFT JOIN rb ON eb.g = rb.g
+    """
+
+    sql["kg_graph_projection"] = f"""
+        WITH {_ctx_base},
+        t AS (
+            SELECT 'C' || e.k AS subj, 'C' || mn.mk AS obj,
+                   CAST(e.conf AS DOUBLE) AS w
+            FROM e JOIN mn ON e.g = mn.g WHERE e.k <> mn.mk
+        ),
+        sym AS (
+            SELECT subj AS src, obj AS dst, w FROM t
+            UNION ALL
+            SELECT obj, subj, w FROM t
+        )
+        SELECT src, dst, sum(w) AS weight FROM sym GROUP BY src, dst
     """
 
     # G9 on a provable fixture: 25 disjoint pred families with globally
