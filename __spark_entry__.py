@@ -2354,6 +2354,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_chunking"] = code_chunking
 
+    def ann_quantize(spark, sf):
+        """Symmetric int8 embedding quantization (similarity.py:
+        quantize_embeddings) — the 4× shuffle-compression step before
+        bucketed ANN. Single-rounded IEEE double ops + floor make the
+        result engine-bit-exact, so the oracle replays it in DuckDB
+        list lambdas and every int and double must match exactly."""
+        from graphrag_rs_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        return quantize_embeddings(emb).select("vec_id", "qvec", "qscale")
+
+    q["ann_quantize"] = ann_quantize
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4732,6 +4747,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, 'CONCEPT_' || g.name AS entity_id,
                g.name AS name, 'CONCEPT' AS entity_type
         FROM heads h JOIN gaz g ON contains(h.comment, g.name)
+    """
+
+    # ann_quantize: replay the single-rounded double pipeline (cast →
+    # ×127.0 → ÷max|v| → floor) in DuckDB list lambdas — both engines do
+    # the identical IEEE ops, so ints AND the double scale match bit-
+    # exactly; the zero-vector branch replays via CASE.
+    sql["ann_quantize"] = """
+        SELECT vec_id,
+               CASE WHEN m = 0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(
+                        v, x -> CAST(FLOOR(x * 127.0 / m) AS INT))
+               END AS qvec,
+               m / 127.0 AS qscale
+        FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   coalesce(list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m
+            FROM embeddings
+        )
     """
 
     # code_identifier_vocab: arithmetic ground truth — each py file

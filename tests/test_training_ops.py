@@ -566,3 +566,53 @@ def test_contrastive_triplets(spark):
         }
     again = contrastive_triplets(pairs, ids).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_quantize_embeddings_bounds_and_extremes(spark):
+    from graphrag_rs_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 1.0]), (2, [0.0, 0.0]), (3, [-2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # max-magnitude element maps to exactly +/-127
+    assert rows[1]["qvec"][3] == 127 and rows[1]["qvec"][1] == -127
+    assert rows[3]["qvec"][0] == -127
+    # zero vector -> all zeros, scale 0
+    assert rows[2]["qvec"] == [0, 0] and rows[2]["qscale"] == 0.0
+    # dequantization error bounded by one scale step, values in range
+    for r in rows.values():
+        s = r["qscale"]
+        for v, q in zip(r["embedding"], r["qvec"]):
+            assert -127 <= q <= 127
+            assert abs(v - q * s) <= s + 1e-12
+
+
+def test_quantized_cosine_preserves_ranking(spark):
+    import numpy as np
+
+    from graphrag_rs_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    deq = np.array(
+        [np.array(rows[i]["qvec"]) * rows[i]["qscale"] for i in range(40)]
+    )
+
+    def topk(mat, q, k=5):
+        sims = mat @ mat[q] / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[q]) + 1e-12
+        )
+        return set(np.argsort(-sims)[1 : k + 1].tolist())
+
+    overlap = [
+        len(topk(vecs.astype("float64"), q) & topk(deq, q)) / 5.0
+        for q in range(10)
+    ]
+    assert sum(overlap) / len(overlap) >= 0.8  # int8 keeps rankings
