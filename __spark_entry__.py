@@ -2369,6 +2369,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_quantize"] = ann_quantize
 
+    def ann_quantized_topk(spark, sf):
+        """Two-stage quantized ANN (similarity.py:cosine_topk_quantized):
+        int8 dot-product candidates (INTEGER-exact, order-independent —
+        the oracle replays the candidate set identically) then exact
+        double-cosine re-rank of the 20 survivors, same query set and
+        rounding as ann_cosine_topk."""
+        from graphrag_rs_spark.operators.similarity import (
+            cosine_topk_quantized,
+        )
+
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        topk = cosine_topk_quantized(
+            emb, emb.where(F.col("vec_id") < 20), k=5, n_candidates=20
+        )
+        return topk.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 5).alias("cosine"),
+            "rank",
+        )
+
+    q["ann_quantized_topk"] = ann_quantized_topk
+
     def text_pack_sequences(spark, sf):
         """Greedy sequence packing (operators/packing.py): whitespace
         token counts, shard = doc_id % 8, 256-token budget. The oracle
@@ -4768,6 +4796,47 @@ def oracle_sql() -> dict[str, str]:
                        embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m
             FROM embeddings
         )
+    """
+
+    # ann_quantized_topk: the candidate stage replays bit-exactly (int8
+    # products summed — order-independent, list_dot_product over integer-
+    # valued doubles is exact below 2^53); the re-rank reuses the
+    # ann_cosine_topk oracle shape (list_cosine_similarity + round 5).
+    sql["ann_quantized_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        qz AS (
+            SELECT vec_id, emb,
+                   CASE WHEN m = 0 THEN list_transform(emb, x -> 0)
+                        ELSE list_transform(
+                            emb, x -> CAST(FLOOR(x * 127.0 / m) AS INT))
+                   END AS qv
+            FROM (SELECT vec_id, emb,
+                         coalesce(list_max(list_transform(emb, x -> abs(x))),
+                                  0.0) AS m
+                  FROM e)
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, qe, ce FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       q.emb AS qe, c.emb AS ce,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.qv::DOUBLE[],
+                                                     c.qv::DOUBLE[]) DESC,
+                                    c.vec_id ASC) AS crank
+                FROM qz q, qz c
+                WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+            ) WHERE crank <= 20
+        )
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qe, ce) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qe, ce) DESC,
+                                neighbor_id ASC) AS rank
+            FROM cand
+        ) WHERE rank <= 5
     """
 
     # code_identifier_vocab: arithmetic ground truth — each py file

@@ -617,3 +617,68 @@ def quantize_embeddings(
     return df.withColumn("qvec", q).withColumn(
         "qscale", maxabs / F.lit(127.0)
     )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 20,
+) -> DataFrame:
+    """Two-stage ANN: int8 quantized dot-product candidate generation +
+    exact float cosine re-rank → (query_id, neighbor_id, cosine, rank).
+
+    The production pattern behind ``quantize_embeddings``: ship the 4×
+    smaller ``qvec`` through the scoring fan-out, keep only
+    ``n_candidates`` per query by integer dot product, then re-rank just
+    those with the exact double cosine.  The candidate stage is
+    INTEGER-exact — products of int8s summed into a long — so unlike
+    float scoring it is order-independent and any engine replays the
+    candidate set identically; only the tiny re-rank touches floats.
+
+    The candidate scan here is the broadcast brute-force shape (query
+    side broadcast, corpus streamed — same rationale as
+    ``cosine_topk_bruteforce``); at bucketed scale run LSH/IVF candidate
+    generation instead and keep this operator's re-rank contract.
+    Self-pairs are excluded.
+    """
+    from pyspark.sql import Window
+
+    base_q = queries if queries is not None else corpus
+    cq = quantize_embeddings(corpus, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nvec"),
+        F.col("qvec").alias("_nq"),
+    )
+    qq = quantize_embeddings(base_q, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("qvec").alias("_qq"),
+    )
+    idot = F.aggregate(
+        F.zip_with("_qq", "_nq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("idot"), F.asc("neighbor_id")
+    )
+    cand = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("idot", idot)
+        .withColumn("_crank", F.row_number().over(w_cand))
+        .where(F.col("_crank") <= int(n_candidates))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_nvec")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

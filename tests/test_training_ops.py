@@ -616,3 +616,30 @@ def test_quantized_cosine_preserves_ranking(spark):
         for q in range(10)
     ]
     assert sum(overlap) / len(overlap) >= 0.8  # int8 keeps rankings
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    from graphrag_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 16).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(df, q, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_quantized(df, q, k=5, n_candidates=20).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall  # int8 candidates barely lose anything
