@@ -411,6 +411,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_graph_projection"] = kg_graph_projection
 
+    def kg_modularity(spark, sf):
+        """Partition-quality audit (communities.py:modularity): per-
+        community contributions Q_c = intra/W − (deg/W)² over the
+        symmetric projection of the star fixture, labels = the provable
+        nation partition. Quarter confidences make every aggregate an
+        exact binary sum, so the floating-point contributions are
+        single-rounded arithmetic the oracle replays bit-exactly
+        (explicit r·r, never pow)."""
+        from graphrag_rs_spark.operators.communities import (
+            modularity,
+            triples_to_edges,
+        )
+
+        communities, _, triples = _ctx_fixture(spark, sf)
+        edges = triples_to_edges(triples)
+        labels = communities.select(
+            F.col("entity_id").alias("id"),
+            F.col("community_id").alias("label"),
+        )
+        return modularity(edges, labels)
+
+    q["kg_modularity"] = kg_modularity
+
     def kg_chunking(spark, sf):
         from graphrag_rs_spark.operators.chunking import chunk_documents
 
@@ -4522,6 +4545,39 @@ def oracle_sql() -> dict[str, str]:
                || chr(10) || chr(10) || '## Relationships:' || chr(10)
                || coalesce(rb.rel_block, '') AS context
         FROM eb LEFT JOIN rb ON eb.g = rb.g
+    """
+
+    # kg_modularity: replay the symmetric projection, then the formula on
+    # exact quarter-sums — division and r*r are single-rounded the same
+    # on both engines (labels are all-intra here: the star never crosses
+    # nations).
+    sql["kg_modularity"] = f"""
+        WITH {_ctx_base},
+        t AS (
+            SELECT 'C' || e.k AS subj, 'C' || mn.mk AS obj,
+                   CAST(e.conf AS DOUBLE) AS w, e.g
+            FROM e JOIN mn ON e.g = mn.g WHERE e.k <> mn.mk
+        ),
+        sym AS (
+            SELECT subj AS src, obj AS dst, w, g FROM t
+            UNION ALL
+            SELECT obj, subj, w, g FROM t
+        ),
+        agg AS (
+            SELECT src, dst, sum(w) AS weight, min(g) AS g
+            FROM sym GROUP BY src, dst
+        ),
+        tot AS (SELECT sum(weight) AS wt FROM agg),
+        per AS (
+            SELECT g AS community_id, sum(weight) AS degree_weight,
+                   sum(weight) AS intra_weight
+            FROM agg GROUP BY g
+        )
+        SELECT community_id, intra_weight, degree_weight,
+               intra_weight / (SELECT wt FROM tot)
+               - (degree_weight / (SELECT wt FROM tot))
+                 * (degree_weight / (SELECT wt FROM tot)) AS contribution
+        FROM per
     """
 
     sql["kg_graph_projection"] = f"""

@@ -694,3 +694,69 @@ def summarize_communities(
             ).alias("summary"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    gamma: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Per-community modularity contributions of a partition →
+    (community_id, intra_weight, degree_weight, contribution); total
+    modularity Q = sum(contribution).
+
+    ``edges`` must be the SYMMETRIC projection (both directions present —
+    ``triples_to_edges`` output); ``labels`` is (id, label).  For each
+    community c: contribution = intra_c/W − γ·(deg_c/W)² with W the total
+    symmetric weight (= 2m).  This is the quality score the Leiden
+    local-moving loop optimizes — materialized as an operator so a 100 TB
+    partition can be AUDITED without rerunning detection (compare two
+    partitions, track Q across incremental updates, alert on regression).
+
+    Scale shape: two broadcast-able label joins (labels are ids-only),
+    one partial-agg groupBy per term, and the scalar W rides a 1-row
+    broadcast join — no collect, no per-community work.  With integer
+    edge weights every aggregate is exact, so the floating-point
+    contributions are single-rounded arithmetic on exact sums —
+    bit-replayable by any engine.
+    """
+    lab_s = labels.select(F.col("id").alias(src), F.col("label").alias("_c_s"))
+    lab_d = labels.select(F.col("id").alias(dst), F.col("label").alias("_c_d"))
+    e = (
+        edges.select(src, dst, F.col(weight).cast("double").alias("_w"))
+        .join(F.broadcast(lab_s), src)
+        .join(F.broadcast(lab_d), dst)
+    )
+    total = e.agg(F.sum("_w").alias("_total"))
+    deg_c = (
+        e.groupBy(F.col("_c_s").alias("community_id"))
+        .agg(F.sum("_w").alias("degree_weight"))
+    )
+    intra_c = (
+        e.where(F.col("_c_s") == F.col("_c_d"))
+        .groupBy(F.col("_c_s").alias("community_id"))
+        .agg(F.sum("_w").alias("intra_weight"))
+    )
+    g = F.lit(float(gamma))
+    return (
+        deg_c.join(intra_c, "community_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community_id",
+            F.coalesce("intra_weight", F.lit(0.0)).alias("intra_weight"),
+            "degree_weight",
+            (
+                F.coalesce("intra_weight", F.lit(0.0)) / F.col("_total")
+                # explicit r*r, not pow(r, 2): Math.pow is only 1-ulp
+                # accurate and can differ from C pow — multiplication is
+                # single-rounded identically on every engine
+                - g
+                * (F.col("degree_weight") / F.col("_total"))
+                * (F.col("degree_weight") / F.col("_total"))
+            ).alias("contribution"),
+        )
+    )

@@ -257,3 +257,43 @@ def test_cc_union_find_parity(spark):
     )
     assert fast == dist
     assert dict(fast)["z"] == "z"
+
+
+def test_modularity_two_cliques(spark):
+    from graphrag_rs_spark.operators.communities import modularity
+
+    # two disjoint triangles, unit weights, symmetric list
+    tri = lambda off: [  # noqa: E731
+        (f"n{a + off}", f"n{b + off}", 1.0)
+        for a, b in [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    ]
+    edges = spark.createDataFrame(tri(0) + tri(10), ["src", "dst", "weight"])
+    labels = spark.createDataFrame(
+        [(f"n{i + off}", off) for off in (0, 10) for i in range(3)],
+        ["id", "label"],
+    )
+    rows = {r["community_id"]: r for r in modularity(edges, labels).collect()}
+    # perfect split of two equal cliques: Q = 2*(1/2 - 1/4) = 1/2
+    total = sum(r["contribution"] for r in rows.values())
+    assert abs(total - 0.5) < 1e-12
+    for r in rows.values():
+        assert r["intra_weight"] == 6.0 and r["degree_weight"] == 6.0
+
+
+def test_modularity_penalizes_merged_partition(spark):
+    from graphrag_rs_spark.operators.communities import modularity
+
+    tri = lambda off: [  # noqa: E731
+        (f"n{a + off}", f"n{b + off}", 1.0)
+        for a, b in [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    ]
+    edges = spark.createDataFrame(tri(0) + tri(10), ["src", "dst", "weight"])
+    one = spark.createDataFrame(
+        [(f"n{i + off}", 0) for off in (0, 10) for i in range(3)],
+        ["id", "label"],
+    )
+    total = sum(
+        r["contribution"] for r in modularity(edges, one).collect()
+    )
+    # everything in one community: Q = 1 - 1 = 0 < 0.5
+    assert abs(total) < 1e-12
