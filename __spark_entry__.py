@@ -2570,6 +2570,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_lpa"] = kg_lpa
 
+    def kg_sample_neighbors(spark, sf):
+        """GraphSAGE-style deterministic fan-out sampling (linkpred.py:
+        sample_neighbors): at most 4 neighbors per node drawn by the
+        portable 60-bit sha256 of (src, dst, seed) — reproducible across
+        engines, epochs, and cluster sizes. The oracle replays every
+        draw and the (draw, dst) tie-break."""
+        from graphrag_rs_spark.operators.linkpred import sample_neighbors
+
+        return sample_neighbors(_clique_chain_edges(spark, sf), fan_out=4)
+
+    q["kg_sample_neighbors"] = kg_sample_neighbors
+
     def _directed_fixture_edges(spark, sf):
         """Directed analogue of the clique+chain graph: per customer group
         of 8 (c_custkey < 120), a 5-cycle on idx 0-4, a bridge 4→5, a
@@ -5622,6 +5634,27 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + lpa_round_ctes(_cc_edges_cte, 3)
         + "\nSELECT id, label FROM lab3"
     )
+
+    # kg_sample_neighbors: replay every sha256 draw (same 60-bit prefix
+    # family and chr(31) separators as linkpred._h60) and the
+    # (draw, dst) tie-break window.
+    sql["kg_sample_neighbors"] = f"""
+        WITH {_cc_edges_cte},
+        d AS (SELECT DISTINCT src, dst FROM e),
+        drawn AS (
+            SELECT src, dst,
+                   ('0x' || substr(sha256(src || chr(31) || dst
+                                          || chr(31) || 'sn'), 1, 15))::BIGINT
+                       AS draw
+            FROM d
+        )
+        SELECT src, dst, rk AS draw_rank FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY draw, dst) AS rk
+            FROM drawn
+        ) WHERE rk <= 4
+    """
 
     # kg_negative_samples: replay every hash-routed draw — same 60-bit
     # sha256 prefix family and chr(31) separators as linkpred._h60

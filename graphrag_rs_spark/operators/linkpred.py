@@ -198,3 +198,44 @@ def negative_samples(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).select("src", F.col("dst").alias("neg_dst"))
     return picked.join(sym, ["src", "neg_dst"], "left_anti")
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    *,
+    fan_out: int = 10,
+    seed: str = "sn",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling → at most
+    ``fan_out`` neighbors per source node: (src, dst, draw_rank).
+
+    GNN mini-batch training can't explode hub nodes' full adjacency —
+    every framework samples a fixed fan-out per node per layer.  Doing it
+    INSIDE the engine (instead of in the training loop) means the sampled
+    adjacency ships once, is identical across epochs/workers, and is
+    reproducible months later: the draw key is the portable 60-bit
+    sha256 of (src, dst, seed), so any engine — and any future rerun on
+    any cluster size — selects the same neighbors.  Compose per layer
+    with different seeds for multi-hop sampling.
+
+    Scale shape: ONE window per source node ordered by the hash draw
+    (map-side WindowGroupLimit prunes to fan_out before the shuffle on
+    modern Spark); hubs cost fan_out rows downstream no matter their
+    degree.  No RNG state, no collect.
+    """
+    draw = _h60(
+        F.concat_ws(chr(31), F.col(src), F.col(dst), F.lit(seed))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(src).orderBy("_draw", dst)
+    return (
+        edges.select(src, dst)
+        .distinct()
+        .withColumn("_draw", draw)
+        .withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= int(fan_out))
+        .drop("_draw")
+    )

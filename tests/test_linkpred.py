@@ -91,3 +91,28 @@ def test_negative_samples_are_nonedges(spark):
     assert all(v <= 3 for v in per_src.values())
     again = negative_samples(edges, k=3, num_buckets=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_sample_neighbors_deterministic_fanout(spark):
+    from graphrag_rs_spark.operators.linkpred import sample_neighbors
+
+    edges = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(50)] + [("leaf", "n0")],
+        ["src", "dst"],
+    )
+    out = sample_neighbors(edges, fan_out=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append((r["draw_rank"], r["dst"]))
+    assert len(by_src["hub"]) == 5          # hub capped at fan_out
+    assert len(by_src["leaf"]) == 1         # low-degree kept entirely
+    # repartitioning must not change the sample (hash draws, no RNG)
+    again = sample_neighbors(edges.repartition(7), fan_out=5).collect()
+    assert {(r["src"], r["dst"]) for r in again} == {
+        (r["src"], r["dst"]) for r in out
+    }
+    # a different seed draws a different sample
+    other = sample_neighbors(edges, fan_out=5, seed="x2").collect()
+    assert {(r["src"], r["dst"]) for r in other} != {
+        (r["src"], r["dst"]) for r in out
+    }
