@@ -146,6 +146,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_gazetteer_mentions"] = kg_gazetteer_mentions
 
+    def kg_mention_contexts(spark, sf):
+        """NER training-example extraction (extraction.py:
+        mention_context_windows): ±30-char snippets around the first
+        occurrence of each gazetteer match with 0-based offsets — the
+        span-annotated supervision format entity models train on. The
+        oracle replays instr/substring math including the doc-start
+        clamp."""
+        from graphrag_rs_spark.operators.extraction import (
+            mention_context_windows,
+        )
+
+        chunks = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("content"),
+        )
+        return mention_context_windows(
+            chunks, _gazetteer_df(spark), window=30
+        ).select("doc_id", "name", "entity_type", "start_offset", "snippet")
+
+    q["kg_mention_contexts"] = kg_mention_contexts
+
     def kg_cooccurrence_triples(spark, sf):
         from graphrag_rs_spark.config import PipelineConfig
         from graphrag_rs_spark.operators.relationships import extract_triples
@@ -2582,6 +2604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_sample_neighbors"] = kg_sample_neighbors
 
+    def kg_coo_export(spark, sf):
+        """Tensor-ready COO export (linkpred.py:to_coo_graph): contiguous
+        0-based node indices ordered by id + index-rewritten edges — the
+        PyG/DGL edge_index shape. The oracle replays the dense ranking
+        (row_number over sorted distinct ids) and both joins."""
+        from graphrag_rs_spark.operators.linkpred import to_coo_graph
+
+        return to_coo_graph(_clique_chain_edges(spark, sf))
+
+    q["kg_coo_export"] = kg_coo_export
+
     def _directed_fixture_edges(spark, sf):
         """Directed analogue of the clique+chain graph: per customer group
         of 8 (c_custkey < 120), a 5-cycle on idx 0-4, a bridge 4→5, a
@@ -2684,6 +2717,20 @@ def oracle_sql() -> dict[str, str]:
                'CONCEPT' AS entity_type
         FROM documents d JOIN gaz g ON contains(d.text, g.name)
         ORDER BY doc_id, entity_id
+    """
+
+    # kg_mention_contexts: replay the first-occurrence instr/substring
+    # snippet math including the doc-start clamp (greatest(pos-30, 1)).
+    sql["kg_mention_contexts"] = f"""
+        WITH {gaz_cte}
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, g.name,
+               'CONCEPT' AS entity_type,
+               CAST(strpos(d.text, g.name) - 1 AS INT) AS start_offset,
+               substr(d.text,
+                      greatest(strpos(d.text, g.name) - 30, 1),
+                      strpos(d.text, g.name) + length(g.name) + 30
+                      - greatest(strpos(d.text, g.name) - 30, 1)) AS snippet
+        FROM documents d JOIN gaz g ON contains(d.text, g.name)
     """
 
     sql["kg_cooccurrence_triples"] = f"""
@@ -5654,6 +5701,20 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY src ORDER BY draw, dst) AS rk
             FROM drawn
         ) WHERE rk <= 4
+    """
+
+    # kg_coo_export: replay the dense ranking (row_number over sorted
+    # distinct ids, 0-based) and the two index joins.
+    sql["kg_coo_export"] = f"""
+        WITH {_cc_edges_cte},
+        nodes AS (
+            SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM (
+                SELECT src AS id FROM e UNION SELECT dst FROM e
+            )
+        )
+        SELECT e.src, ns.idx AS src_idx, e.dst, nd.idx AS dst_idx
+        FROM e JOIN nodes ns ON e.src = ns.id
+               JOIN nodes nd ON e.dst = nd.id
     """
 
     # kg_negative_samples: replay every hash-routed draw — same 60-bit

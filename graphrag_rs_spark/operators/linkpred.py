@@ -239,3 +239,41 @@ def sample_neighbors(
         .where(F.col("draw_rank") <= int(fan_out))
         .drop("_draw")
     )
+
+
+def to_coo_graph(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Tensor-ready COO export → (src, src_idx, dst, dst_idx): every
+    node mapped to a contiguous 0-based integer index (dense, ordered by
+    node id), every edge rewritten to index space.
+
+    GNN frameworks (PyG/DGL) want exactly this shape — an edge_index
+    tensor of contiguous ints plus the id↔index dictionary (carried here
+    on every row so one output feeds both).  Index assignment is
+    row_number over the globally SORTED distinct node ids — fully
+    deterministic (same graph → same indices on any cluster), and the
+    sort is a distributed range-partitioned exchange; only the final
+    rank numbering is a single-pass window, over the ids-only node
+    frame (orders of magnitude smaller than the edges).  The edge rewrite
+    is two broadcast-able joins against that node frame.
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("id")) - F.lit(1),
+        )
+    )
+    n_src = nodes.select(F.col("id").alias(src), F.col("idx").alias("src_idx"))
+    n_dst = nodes.select(F.col("id").alias(dst), F.col("idx").alias("dst_idx"))
+    return (
+        edges.select(src, dst)
+        .join(F.broadcast(n_src), src)
+        .join(F.broadcast(n_dst), dst)
+        .select(src, "src_idx", dst, "dst_idx")
+    )

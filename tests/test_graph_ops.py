@@ -188,3 +188,22 @@ def test_find_all_paths_simple_and_bounded(spark):
     got4 = [tuple(r["path"]) for r in
             find_all_paths(edges, "a", "a", max_depth=3).collect()]
     assert got4 == [("a",)]
+
+
+def test_mention_context_windows(spark):
+    from graphrag_rs_spark.operators.extraction import mention_context_windows
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "x" * 40 + "spark rules here"),
+         ("c2", "d2", "spark at start")],
+        ["chunk_id", "doc_id", "content"],
+    )
+    gaz = spark.createDataFrame([("spark", "CONCEPT")], ["name", "entity_type"])
+    rows = {r["chunk_id"]: r for r in
+            mention_context_windows(chunks, gaz, window=5).collect()}
+    r1 = rows["c1"]
+    assert r1["start_offset"] == 40
+    assert r1["snippet"] == "xxxxxspark rule"  # 5 before + name + 5 after
+    r2 = rows["c2"]                            # window clamps at doc start
+    assert r2["start_offset"] == 0
+    assert r2["snippet"] == "spark at s"

@@ -116,3 +116,24 @@ def test_sample_neighbors_deterministic_fanout(spark):
     assert {(r["src"], r["dst"]) for r in other} != {
         (r["src"], r["dst"]) for r in out
     }
+
+
+def test_to_coo_graph_contiguous_and_deterministic(spark):
+    from graphrag_rs_spark.operators.linkpred import to_coo_graph
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    rows = to_coo_graph(edges).collect()
+    idx = {}
+    for r in rows:
+        idx[r["src"]] = r["src_idx"]
+        idx[r["dst"]] = r["dst_idx"]
+    # dense 0-based, ordered by node id
+    assert idx == {"a": 0, "b": 1, "c": 2, "d": 3}
+    assert len(rows) == 4
+    # partitioning must not change the mapping
+    again = to_coo_graph(edges.repartition(5)).collect()
+    assert {(r["src_idx"], r["dst_idx"]) for r in again} == {
+        (r["src_idx"], r["dst_idx"]) for r in rows
+    }
