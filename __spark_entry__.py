@@ -168,6 +168,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_mention_contexts"] = kg_mention_contexts
 
+    def text_hash_split(spark, sf):
+        """Deterministic train/val/test carve (mixture.py:hash_split):
+        sha256 bucket vs exact integer thresholds — bit-identical
+        membership on any engine/rerun, and documents never migrate
+        between splits as the corpus grows. Oracle replays every bucket
+        draw and threshold."""
+        from graphrag_rs_spark.operators.mixture import hash_split
+
+        d = _docs(spark, sf).select("doc_id")
+        return hash_split(d, "doc_id")
+
+    q["text_hash_split"] = text_hash_split
+
     def kg_cooccurrence_triples(spark, sf):
         from graphrag_rs_spark.config import PipelineConfig
         from graphrag_rs_spark.operators.relationships import extract_triples
@@ -2717,6 +2730,23 @@ def oracle_sql() -> dict[str, str]:
                'CONCEPT' AS entity_type
         FROM documents d JOIN gaz g ON contains(d.text, g.name)
         ORDER BY doc_id, entity_id
+    """
+
+    # text_hash_split: replay the portable sha256 bucket and the exact
+    # integer thresholds (9000/9500/10000 from floor-cumulative 0.9/0.05/
+    # 0.05 at resolution 10000).
+    sql["text_hash_split"] = """
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                          || chr(31) || 'split'), 1, 15))::BIGINT
+                   % 10000 AS b
+            FROM documents
+        )
     """
 
     # kg_mention_contexts: replay the first-occurrence instr/substring

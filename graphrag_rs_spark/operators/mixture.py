@@ -355,3 +355,51 @@ def contamination_scores(
             (F.col("n_contaminated") >= min_hits).alias("contaminated"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    *,
+    seed: str = "split",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Append a deterministic ``split`` column (train/val/test/...) from
+    integer thresholds over a portable hash of the key.
+
+    The first thing a training run does with a curated corpus is carve
+    held-out sets — and doing it by RNG makes the split unreproducible
+    and cluster-size-dependent, while doing it by range leaks temporal
+    or lexicographic structure.  The portable sha256 bucket
+    (``h(key:seed) % resolution`` vs cumulative INTEGER thresholds)
+    gives bit-identical membership on any engine and any rerun, and a
+    document NEVER migrates between splits when the corpus grows — the
+    property that prevents eval contamination across dataset versions.
+
+    Fractions are converted to integer bucket counts with
+    floor-cumulative rounding (last split takes the remainder), so the
+    thresholds themselves are exact. Map-only, zero shuffles.
+    """
+    splits = dict(splits) if splits else {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    names = list(splits)
+    bounds = []
+    acc = 0
+    for i, name in enumerate(names):
+        acc = resolution if i == len(names) - 1 else acc + int(
+            splits[name] * resolution
+        )
+        bounds.append((name, acc))
+    from graphrag_rs_spark.operators.linkpred import _h60
+
+    bucket = _h60(
+        F.concat_ws(chr(31), F.col(key_col).cast("string"), F.lit(seed))
+    ) % resolution
+    expr = None
+    for name, hi in bounds:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

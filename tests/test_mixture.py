@@ -207,3 +207,28 @@ def test_span_dedup_deterministic_across_partitioning(spark):
     assert a == b
     kept_footer = [r for r in a if shared in r[1]]
     assert len(kept_footer) == 1 and kept_footer[0][0] == 0
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark):
+    from graphrag_rs_spark.operators.mixture import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+    # membership is a pure function of the key: growing the corpus never
+    # migrates an existing document between splits
+    assert all(s2[k] == v for k, v in s1.items())
+    frac = sum(1 for v in s2.values() if v == "train") / len(s2)
+    assert 0.85 < frac < 0.95
+    assert set(s2.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_fraction_validation(spark):
+    import pytest as _pytest
+
+    from graphrag_rs_spark.operators.mixture import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "val": 0.1})
