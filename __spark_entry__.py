@@ -2702,6 +2702,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_contamination"] = text_contamination
 
+    def kg_skipgram_pairs(spark, sf):
+        """Skip-gram (center, context) pair counts derived from the
+        deterministic DeepWalk corpus (operators/walks.py skipgram_pairs):
+        pair generation is intra-row codegen (nested transform/filter/
+        flatten over the split path), so the only shuffle is the final
+        pair groupBy. Oracle replays the walks recursively, then forms
+        the same |delta|<=window pairs with a positional self-join."""
+        from graphrag_rs_spark.operators.walks import random_walks, skipgram_pairs
+
+        w = random_walks(
+            _clique_chain_edges(spark, sf), walk_length=4, walks_per_node=2, seed=42
+        )
+        return skipgram_pairs(w, window=2)
+
+    q["kg_skipgram_pairs"] = kg_skipgram_pairs
+
+    def rel_cube_rollup(spark, sf):
+        """OLAP grouping-sets over lineitem: CUBE(l_returnflag,
+        l_linestatus) with sum/count measures plus the grouping_id
+        bitmask — Spark's cube() and DuckDB's CUBE share the NULL-fill
+        and GROUPING() bit conventions, so the compare is exact. One
+        pass, map-side partial aggs per grouping set."""
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.grouping_id().alias("gid"),
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("sum_revenue"),
+            )
+            .select(
+                "l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty", "sum_revenue"
+            )
+        )
+
+    q["rel_cube_rollup"] = rel_cube_rollup
+
+    def rel_events_funnel(spark, sf):
+        """Ordered funnel view->click->purchase per user over the events
+        stream: each stage is the MIN event time strictly after the prior
+        stage's time. Shape: stage frames are equi-joined on user_id with
+        the strictly-after predicate as a post-join filter, then
+        min-aggregated — every join key is user_id, so all stages share
+        one hash partitioning (AQE reuses the exchange) and the
+        monotonically shrinking stage frames broadcast at scale."""
+        ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+        per_user = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("t_c")
+        )
+        step2 = (
+            per_user.join(clicks, "user_id", "left")
+            .where(F.col("t_c") > F.col("t_view"))
+            .groupBy("user_id", "t_view")
+            .agg(F.min("t_c").alias("t_click"))
+        )
+        buys = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("t_p")
+        )
+        step3 = (
+            step2.join(buys, "user_id", "left")
+            .where(F.col("t_p") > F.col("t_click"))
+            .groupBy("user_id", "t_view", "t_click")
+            .agg(F.min("t_p").alias("t_purchase"))
+        )
+        funnel = (
+            per_user.where(F.col("t_view").isNotNull())
+            .join(step2.select("user_id", "t_click"), "user_id", "left")
+            .join(step3.select("user_id", "t_purchase"), "user_id", "left")
+        )
+        return funnel.select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("stage_reached"),
+        )
+
+    q["rel_events_funnel"] = rel_events_funnel
+
+    def rel_quantiles(spark, sf):
+        """Exact linear-interpolation quantiles (p25/p50/p75) of
+        l_extendedprice per returnflag — Spark's percentile() and
+        DuckDB's quantile_cont share the (n-1)*p interpolation rule.
+        Exact percentile sorts within group; for 100 TB the documented
+        alternative is percentile_approx (t-digest) — this row pins the
+        exact contract."""
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.count("*").alias("n_rows"),
+        )
+
+    q["rel_quantiles"] = rel_quantiles
+
     return q
 
 
@@ -6185,6 +6290,79 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN totals t USING (doc_id)
         LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 83 != 0
+    """
+
+    # kg_skipgram_pairs: replay the deterministic walks (the
+    # kg_random_walks recursive CTE verbatim), then form |delta|<=2
+    # (center, context) pairs with a positional self-join — an
+    # independent pairing engine vs Spark's intra-row array transform.
+    sql["kg_skipgram_pairs"] = f"""
+        WITH walks AS ({sql["kg_random_walks"]}),
+        tok AS (
+            SELECT walk_id, u[1] AS node, u[2] AS pos
+            FROM (
+                SELECT walk_id,
+                       unnest(list_zip(
+                           string_split(path_str, '>'),
+                           generate_series(1, len(string_split(path_str, '>')))
+                       )) AS u
+                FROM walks
+            )
+        )
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS pair_count
+        FROM tok a JOIN tok b
+          ON a.walk_id = b.walk_id
+         AND a.pos != b.pos
+         AND abs(a.pos - b.pos) <= 2
+        GROUP BY a.node, b.node
+    """
+
+    sql["rel_cube_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["rel_events_funnel"] = """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM events GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN pu USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > pu.t_view
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT pu.user_id, pu.t_view, s2.t_click, s3.t_purchase,
+               CAST(1 + (CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS stage_reached
+        FROM pu
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        WHERE pu.t_view IS NOT NULL
+    """
+
+    sql["rel_quantiles"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
     """
 
     return sql

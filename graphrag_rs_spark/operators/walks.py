@@ -246,3 +246,50 @@ def node2vec_walks(
         F.col("steps").cast("int").alias("steps"),
         F.array_join("path", ">").alias("path_str"),
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    *,
+    window: int = 2,
+    path_col: str = "path_str",
+) -> DataFrame:
+    """Walk corpus → skip-gram co-occurrence counts (word2vec-style input).
+
+    DeepWalk/node2vec training consumes (center, context) pairs with
+    |position delta| <= window; this derives the aggregated pair counts
+    directly from the walk table emitted by :func:`random_walks` /
+    :func:`node2vec_walks`.
+
+    Spark shape: pair generation is INTRA-ROW — a nested
+    ``transform``/``filter``/``flatten`` over the split path array, fully
+    inside whole-stage codegen (no self-join on walk_id, no UDF). A walk
+    of length L yields <= L*2w structs in the same task that read the
+    row, so the only shuffle is the final (center, context) groupBy,
+    which partial-aggregates map-side. At 100 TB of walks this is one
+    scan + one agg shuffle of the (already tiny) distinct-pair space.
+    """
+    arr = F.split(F.col(path_col), ">")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.filter(
+                F.transform(
+                    arr,
+                    lambda y, j: F.struct(
+                        x.alias("center"),
+                        y.alias("context"),
+                        (i - j).alias("d"),
+                    ),
+                ),
+                lambda s: (s["d"] != 0)
+                & (F.abs(s["d"]) <= F.lit(window)),
+            ),
+        )
+    )
+    return (
+        walks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("pair_count"))
+    )

@@ -127,3 +127,40 @@ def test_colliding_walks_diverge(spark):
         ).collect()
     }
     assert rows["x#0"].split(">")[-1] != rows["y#0"].split(">")[-1]
+
+
+def test_skipgram_pairs_match_python_enumeration(spark):
+    from collections import Counter
+
+    from graphrag_rs_spark.operators.walks import skipgram_pairs
+
+    paths = ["a>b>c>d>e", "x>y", "a>b"]
+    walks = spark.createDataFrame(
+        [(f"w{i}", p) for i, p in enumerate(paths)], ["walk_id", "path_str"]
+    )
+    window = 2
+    expect = Counter()
+    for p in paths:
+        toks = p.split(">")
+        for i, c in enumerate(toks):
+            for j, ctx in enumerate(toks):
+                if i != j and abs(i - j) <= window:
+                    expect[(c, ctx)] += 1
+    got = {
+        (r["center"], r["context"]): r["pair_count"]
+        for r in skipgram_pairs(walks, window=window).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_skipgram_pairs_plan_has_no_join(spark):
+    """Pair generation must stay intra-row (codegen transform/flatten) —
+    a self-join on walk_id would shuffle the whole corpus twice."""
+    from graphrag_rs_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame([("w0", "a>b>c")], ["walk_id", "path_str"])
+    plan = (
+        skipgram_pairs(walks, window=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan
