@@ -2807,6 +2807,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_quantiles"] = rel_quantiles
 
+    def text_span_corruption(spark, sf):
+        """T5 span corruption (operators/corruption.py): deterministic
+        sha256 block draws -> masked (input, target) pairs. One map-only
+        projection, zero shuffles; the oracle replays the block/span
+        arithmetic with DuckDB list comprehensions."""
+        from graphrag_rs_spark.operators.corruption import span_corrupt
+
+        return span_corrupt(
+            _docs(spark, sf).select("doc_id", "text"), block=8, seed=42
+        )
+
+    q["text_span_corruption"] = text_span_corruption
+
     return q
 
 
@@ -6363,6 +6376,75 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """
+
+    # text_span_corruption: replay the block/span arithmetic (same
+    # sha256 60-bit draws, same >> shifts — NOT float division) with
+    # list comprehensions, then rebuild input/target by position.
+    sql["text_span_corruption"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x != '') AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, len(toks) AS L,
+                   CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nblk
+            FROM base
+        ),
+        sp AS (
+            SELECT doc_id, toks, L,
+                   list_filter(
+                       list_transform(
+                           generate_series(0, greatest(nblk - 1, 0)),
+                           blk -> struct_pack(
+                               masked := ('0x' || substr(sha256(doc_id::VARCHAR
+                                   || chr(31) || blk::VARCHAR || chr(31) || '42'),
+                                   1, 15))::BIGINT % 3 = 0,
+                               s := blk * 8 + ((('0x' || substr(sha256(doc_id::VARCHAR
+                                   || chr(31) || blk::VARCHAR || chr(31) || '42'),
+                                   1, 15))::BIGINT >> 2) % 6) + 1,
+                               e := least(
+                                   blk * 8 + ((('0x' || substr(sha256(doc_id::VARCHAR
+                                       || chr(31) || blk::VARCHAR || chr(31) || '42'),
+                                       1, 15))::BIGINT >> 2) % 6) + 1
+                                   + ((('0x' || substr(sha256(doc_id::VARCHAR
+                                       || chr(31) || blk::VARCHAR || chr(31) || '42'),
+                                       1, 15))::BIGINT >> 5) % 3),
+                                   (blk + 1) * 8, len(toks))
+                           )
+                       ),
+                       s -> s.masked AND s.s >= 1 AND s.s <= L
+                   ) AS spans
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(L AS INT) AS n_tokens,
+               CAST(coalesce(list_aggregate(
+                   list_transform(spans, s -> s.e - s.s + 1), 'sum'), 0)
+                   AS BIGINT) AS n_masked,
+               coalesce(array_to_string(flatten(list_transform(
+                   generate_series(1, greatest(L, 1)),
+                   i -> CASE
+                       WHEN L = 0 THEN []
+                       WHEN len(list_filter(spans, s -> s.s = i)) > 0
+                       THEN ['<extra_id_' ||
+                             len(list_filter(spans, s -> s.s < i))::VARCHAR || '>']
+                       WHEN len(list_filter(spans,
+                                s -> s.s <= i AND i <= s.e)) > 0
+                       THEN []
+                       ELSE [toks[i]]
+                   END)), ' '), '') AS input_text,
+               coalesce(array_to_string(
+                   CASE WHEN len(spans) = 0 THEN []
+                   ELSE flatten(list_transform(
+                            generate_series(1, len(spans)),
+                            k -> ['<extra_id_' || (k - 1)::VARCHAR || '>']
+                                 || list_slice(toks, spans[k].s, spans[k].e)))
+                        || ['<extra_id_' || len(spans)::VARCHAR || '>']
+                   END, ' '), '') AS target_text
+        FROM sp
     """
 
     return sql
