@@ -2820,6 +2820,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_span_corruption"] = text_span_corruption
 
+    def text_dsir_weights(spark, sf):
+        """DSIR importance log-weights (operators/dsir.py): hashed-bigram
+        bag model, target = English docs, add-1 smoothing over 10k
+        buckets, per-bucket log-ratio quantized to integer ppm so the
+        per-doc reduction is exact integer addition. Oracle replays the
+        buckets, smoothing, quantization, and sums."""
+        from graphrag_rs_spark.operators.dsir import dsir_log_weights
+
+        return dsir_log_weights(
+            _docs(spark, sf).select("doc_id", "text", "lang"),
+            target=F.col("lang") == "en",
+        )
+
+    q["text_dsir_weights"] = text_dsir_weights
+
+    def text_top_ngrams(spark, sf):
+        """WIMBD top-k corpus trigrams (operators/mixture.py:
+        corpus_top_ngrams): two-level partial agg, deterministic
+        (cnt DESC, gram ASC) cut."""
+        from graphrag_rs_spark.operators.mixture import corpus_top_ngrams
+
+        return corpus_top_ngrams(
+            _docs(spark, sf).select("doc_id", "text"), n=3, k=25
+        )
+
+    q["text_top_ngrams"] = text_top_ngrams
+
+    def text_dup_ngram_rate(spark, sf):
+        """WIMBD corpus duplication summary (operators/mixture.py:
+        ngram_duplication): 1-row exact-integer reduction over the
+        gram-distinct frame."""
+        from graphrag_rs_spark.operators.mixture import ngram_duplication
+
+        return ngram_duplication(_docs(spark, sf).select("doc_id", "text"), n=3)
+
+    q["text_dup_ngram_rate"] = text_dup_ngram_rate
+
+    def code_api_lift(spark, sf):
+        """Market-basket API co-adoption (code_graph.py:
+        api_cooccurrence): per-repo distinct import baskets, a-priori
+        support prefilter, unordered pairs with exact-integer
+        confidence/lift in ppm. The Spark side runs the real import
+        regexes; the oracle derives the baskets from the m1/m2 closed
+        form and replays the integer ratio arithmetic."""
+        from graphrag_rs_spark.operators.code_graph import api_cooccurrence
+
+        return api_cooccurrence(_code_corpus(spark, sf), min_support=2)
+
+    q["code_api_lift"] = code_api_lift
+
+    def text_ppl_prune(spark, sf):
+        """Perplexity-band pruning (ngram_lm.py: perplexity_prune):
+        bigram LM trained on the even-id half, per-doc mean nll in
+        integer micro-bits, exact p25–p75 band kept. Same model as
+        text_ngram_lm; the oracle re-derives the model, quantization,
+        thresholds, and band."""
+        from graphrag_rs_spark.operators.ngram_lm import (
+            perplexity_prune,
+            train_ngram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        model = train_ngram_lm(docs.where(F.col("doc_id") % 2 == 0), n=2)
+        return perplexity_prune(docs, model, n=2, k=1.0, low=0.25, high=0.75)
+
+    q["text_ppl_prune"] = text_ppl_prune
+
     return q
 
 
@@ -6445,6 +6512,204 @@ def oracle_sql() -> dict[str, str]:
                         || ['<extra_id_' || len(spans)::VARCHAR || '>']
                    END, ' '), '') AS target_text
         FROM sp
+    """
+
+    # text_dsir_weights: replay the hashed-bigram importance model —
+    # same sha256 bucket hash, same add-1 smoothing, and the SAME
+    # floor(ln(...)*1e6) integer quantization before the per-doc sum
+    # (so neither engine's float summation order can matter).
+    sql["text_dsir_weights"] = """
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_target,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_target,
+                   CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1])
+                   END AS g
+            FROM toks
+        ),
+        feats AS (
+            SELECT doc_id, is_target,
+                   ('0x' || substr(sha256(gram || chr(31) || '42'), 1, 15))
+                       ::BIGINT % 10000 AS bucket
+            FROM (SELECT doc_id, is_target, unnest(g) AS gram FROM grams)
+        ),
+        raw_cnt AS (SELECT bucket, count(*) AS c_raw FROM feats GROUP BY bucket),
+        tgt_cnt AS (SELECT bucket, count(*) AS c_tgt
+                    FROM feats WHERE is_target GROUP BY bucket),
+        tot AS (SELECT count(*) AS t_raw,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_tgt
+                FROM feats),
+        ratio AS (
+            SELECT r.bucket,
+                   CAST(floor((ln(coalesce(t.c_tgt, 0) + 1.0)
+                               - ln(tot.t_tgt + 10000.0)
+                               - ln(r.c_raw + 1.0)
+                               + ln(tot.t_raw + 10000.0)) * 1e6) AS BIGINT)
+                       AS lr_ppm
+            FROM raw_cnt r LEFT JOIN tgt_cnt t USING (bucket) CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT doc_id, count(*) AS n_feats, sum(lr_ppm) AS logw_ppm
+            FROM feats JOIN ratio USING (bucket) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_feats, 0) AS INT) AS n_feats,
+               CAST(coalesce(s.logw_ppm, 0) AS BIGINT) AS logw_ppm
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # text_top_ngrams / text_dup_ngram_rate: WIMBD corpus analytics —
+    # plain count aggregation; the top-k cut is pinned by the
+    # deterministic (cnt DESC, gram ASC) ranking in both engines.
+    sql["text_top_ngrams"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                END) AS gram
+            FROM toks
+        )
+        SELECT gram,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM grams
+        GROUP BY gram
+        ORDER BY cnt DESC, gram
+        LIMIT 25
+    """
+
+    sql["text_dup_ngram_rate"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-zA-Z0-9'']+'),
+                               t -> t != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT unnest(
+                CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                END) AS gram
+            FROM toks
+        ),
+        per_gram AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram)
+        SELECT CAST(3 AS INT) AS n,
+               CAST(coalesce(sum(c), 0) AS BIGINT) AS total_occurrences,
+               CAST(count(*) AS BIGINT) AS distinct_grams,
+               CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+                    AS BIGINT) AS dup_occurrences,
+               CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) * 10000
+                    // greatest(coalesce(sum(c), 0), 1) AS BIGINT)
+                   AS dup_rate_bp
+        FROM per_gram
+    """
+
+    # code_api_lift: baskets derived from the closed form (repo = org
+    # id%3 / proj id%2, imports = mod_(7id+1)%1000, mod_(3id+2)%1000) —
+    # independent ground truth for the regex extractor + the a-priori
+    # pairing; ratios replayed in exact integer ppm.
+    sql["code_api_lift"] = """
+        WITH imp AS (
+            SELECT DISTINCT
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   m
+            FROM documents,
+                 unnest(['mod_' || ((doc_id * 7 + 1) % 1000),
+                         'mod_' || ((doc_id * 3 + 2) % 1000)]) AS t(m)
+        ),
+        sup AS (SELECT m, count(*) AS s FROM imp GROUP BY m),
+        kept AS (SELECT i.repo, i.m, sup.s FROM imp i JOIN sup USING (m)
+                 WHERE sup.s >= 2),
+        nb AS (SELECT count(DISTINCT repo) AS n_baskets FROM imp),
+        pairs AS (
+            SELECT a.m AS module_a, b.m AS module_b,
+                   count(*) AS co_baskets,
+                   any_value(a.s) AS support_a, any_value(b.s) AS support_b
+            FROM kept a JOIN kept b ON a.repo = b.repo AND a.m < b.m
+            GROUP BY a.m, b.m
+            HAVING count(*) >= 2
+        )
+        SELECT module_a, module_b,
+               CAST(co_baskets AS BIGINT) AS co_baskets,
+               CAST(support_a AS BIGINT) AS support_a,
+               CAST(support_b AS BIGINT) AS support_b,
+               CAST(co_baskets * 1000000 // support_a AS BIGINT)
+                   AS confidence_ppm,
+               CAST(co_baskets * n_baskets * 1000000
+                    // (support_a * support_b) AS BIGINT) AS lift_ppm
+        FROM pairs CROSS JOIN nb
+    """
+
+    # text_ppl_prune: same model derivation as text_ngram_lm, but each
+    # gram nll quantized to integer micro-bits BEFORE the per-doc sum
+    # (order-proof), mean via integer //, band = exact quantile_cont
+    # (DuckDB) ≡ percentile (Spark), inclusive on both edges.
+    sql["text_ppl_prune"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                                                  '[^a-z0-9'']+'),
+                               t -> t != '') AS ws
+            FROM documents
+        ),
+        tg AS (
+            SELECT g, regexp_replace(g, ' [^ ]+$', '') AS h
+            FROM (SELECT unnest(list_transform(
+                             range(1, greatest(len(ws) - 1, 0) + 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM w WHERE doc_id % 2 = 0)
+        ),
+        mg AS (SELECT g AS gram, h AS hist, count(*) AS c_gram
+               FROM tg GROUP BY g, h),
+        mh AS (SELECT hist, sum(c_gram) AS c_hist FROM mg GROUP BY hist),
+        vocab AS (
+            SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v
+            FROM (SELECT unnest(ws) AS u FROM w WHERE doc_id % 2 = 0)
+        ),
+        dg AS (
+            SELECT doc_id, g AS gram,
+                   regexp_replace(g, ' [^ ]+$', '') AS hist
+            FROM (SELECT doc_id, unnest(list_transform(
+                             range(1, greatest(len(ws) - 1, 0) + 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM w)
+        ),
+        nll AS (
+            SELECT doc_id,
+                   CAST(floor(-log2((coalesce(c_gram, 0) + 1.0)
+                                    / (coalesce(c_hist, 0) + v)) * 1e6)
+                        AS BIGINT) AS nll_ub
+            FROM dg
+            LEFT JOIN mg USING (gram, hist)
+            LEFT JOIN mh USING (hist)
+            CROSS JOIN vocab
+        ),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       sum(nll_ub) // count(*) AS ppl_ub
+                FROM nll GROUP BY doc_id),
+        bounds AS (SELECT quantile_cont(ppl_ub, 0.25) AS t_low,
+                          quantile_cont(ppl_ub, 0.75) AS t_high
+                   FROM per)
+        SELECT doc_id, n_grams, CAST(ppl_ub AS BIGINT) AS ppl_ub
+        FROM per CROSS JOIN bounds
+        WHERE ppl_ub >= t_low AND ppl_ub <= t_high
     """
 
     return sql

@@ -466,3 +466,77 @@ def identifier_subtokens(defs: DataFrame, *, symbol_col: str = "symbol") -> Data
         F.count("*").alias("n_defs"),
         F.countDistinct("repo", "path").alias("n_files"),
     )
+
+
+def api_cooccurrence(
+    files: DataFrame,
+    *,
+    imports: DataFrame | None = None,
+    min_support: int = 2,
+    max_basket_modules: int = 100_000,
+) -> DataFrame:
+    """Market-basket analysis over per-repo import sets: which external
+    APIs are adopted TOGETHER? → one row per unordered module pair
+    co-imported by ≥ min_support repos: (module_a, module_b, co_baskets,
+    support_a, support_b, confidence_ppm, lift_ppm), all counts exact
+    and the ratios in integer parts-per-million (no float anywhere, so
+    results are bit-stable across engines and cluster sizes).
+
+    lift > 1e6 ppm means the pair co-occurs more than independent
+    adoption would predict — the classic association-rule signal for
+    "these libraries form a stack" (agrawal-style a-priori, first pass
+    only: the per-module ``min_support`` prefilter IS a-priori's
+    downward-closure cut, applied before any pairing).
+
+    Scale shape: baskets are repo-distinct module sets, so the pairing
+    self-join is O(Σ basket²) — bounded by the support prefilter, and
+    guarded: any basket still wider than ``max_basket_modules`` after
+    the cut raises with guidance (raise min_support) instead of
+    detonating a quadratic shuffle. Counts aggregate with map-side
+    partial aggregation; the basket-count total rides a broadcast
+    1-row frame.
+    """
+    imp = imports if imports is not None else extract_imports(files)
+    basket = imp.select("repo", "imported").distinct()
+    support = basket.groupBy("imported").agg(F.count("*").alias("sup"))
+    frequent = support.where(F.col("sup") >= min_support)
+    kept = basket.join(frequent, "imported")
+
+    widths = kept.groupBy("repo").agg(F.count("*").alias("w")).where(
+        F.col("w") > max_basket_modules
+    )
+    if widths.limit(1).count() > 0:
+        raise ValueError(
+            f"a basket exceeds max_basket_modules={max_basket_modules} "
+            "after the support cut; raise min_support (a-priori's "
+            "downward closure makes that sound) or the cap"
+        )
+
+    n_baskets = basket.select(
+        F.count_distinct("repo").alias("n_baskets")
+    )
+    a = kept.select("repo", F.col("imported").alias("module_a"),
+                    F.col("sup").alias("support_a"))
+    b = kept.select("repo", F.col("imported").alias("module_b"),
+                    F.col("sup").alias("support_b"))
+    pairs = (
+        a.join(b, "repo")
+        .where(F.col("module_a") < F.col("module_b"))
+        .groupBy("module_a", "module_b", "support_a", "support_b")
+        .agg(F.count("*").alias("co_baskets"))
+        .where(F.col("co_baskets") >= min_support)
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return pairs.select(
+        "module_a",
+        "module_b",
+        "co_baskets",
+        "support_a",
+        "support_b",
+        F.expr("(co_baskets * 1000000) div support_a").alias(
+            "confidence_ppm"
+        ),
+        F.expr(
+            "(co_baskets * n_baskets * 1000000) div (support_a * support_b)"
+        ).alias("lift_ppm"),
+    )

@@ -403,3 +403,84 @@ def hash_split(
         cond = bucket < F.lit(hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def corpus_top_ngrams(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """WIMBD-style corpus analytics (Elazar et al., "What's In My Big
+    Data?", ICLR 2024): the k most frequent word n-grams with occurrence
+    count and document frequency. → (gram, cnt, doc_freq), ties broken
+    by gram ascending so the cut is deterministic.
+
+    Spark shape: explode → two-level partial aggregation — first
+    (gram, doc) to get per-doc counts (map-side combine soaks repeats
+    inside a document, the common case for boilerplate grams), then
+    (gram) summing counts and counting docs. The final top-k is a
+    TakeOrdered over the gram-distinct frame, never a global sort of
+    the corpus. At 100 TB both shuffles carry gram-distinct rows only.
+    """
+    toks = _tokens(F.col(text_col))
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(ngrams_col(toks, n)).alias("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("c").alias("cnt"),
+            F.count("*").alias("doc_freq"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def ngram_duplication(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus n-gram duplication summary (the WIMBD duplication metric):
+    one row — (n, total_occurrences, distinct_grams, dup_occurrences,
+    dup_rate_bp) where dup_occurrences counts occurrences of grams seen
+    more than once and dup_rate_bp is that share in integer basis
+    points (exact integer floor-division — no float in the reduction).
+
+    Spark shape: explode → groupBy(gram) partial agg → a single 1-row
+    reduce over the gram-distinct frame. Nothing in the plan scales
+    with corpus size except the first map-side combine.
+    """
+    toks = _tokens(F.col(text_col))
+    per_gram = (
+        docs.select(F.explode(ngrams_col(toks, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_gram.agg(
+        F.lit(n).cast("int").alias("n"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total_occurrences"),
+        F.count("*").alias("distinct_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("dup_occurrences"),
+    ).select(
+        "n",
+        "total_occurrences",
+        "distinct_grams",
+        "dup_occurrences",
+        # `div` = exact integer division (float `/` + cast can round up
+        # across an integer boundary and diverge from the oracle's `//`)
+        F.expr(
+            "(dup_occurrences * 10000) div greatest(total_occurrences, 1)"
+        ).alias("dup_rate_bp"),
+    )

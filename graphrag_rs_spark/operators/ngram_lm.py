@@ -144,3 +144,89 @@ def perplexity_scores(
             F.round("logppl", 6).alias("logppl"),
         )
     )
+
+
+def perplexity_prune(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    *,
+    n: int = 2,
+    k: float = 1.0,
+    low: float = 0.25,
+    high: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-band data pruning (Marion et al., "When Less is More:
+    Investigating Data Pruning for Pretraining LLMs", 2023 — their
+    strongest selector keeps the MIDDLE perplexity band: the low tail is
+    boilerplate, the high tail is noise). → the kept documents as
+    (doc_id, n_grams, ppl_ub) where ppl_ub is mean n-gram −log₂ p in
+    integer micro-bits.
+
+    Exactness: each gram's nll is quantized to integer micro-bits
+    (``floor(−log₂(p)·1e6)``) BEFORE the per-document reduction, so the
+    sum and the mean (integer ``div``) are order-independent exact
+    integers; the band thresholds are exact ``percentile()`` over those
+    integers (Spark and DuckDB share the (n−1)·p interpolation rule),
+    and membership is ``t_low ≤ ppl_ub ≤ t_high``. No float ever enters
+    a reduction, so the kept SET is bit-stable across partitionings.
+
+    Scale: scoring is the same joins as :func:`perplexity_scores`
+    (model frames are vocab-bounded). The exact percentile is one
+    global agg over doc-level integers — at 100 TB substitute
+    ``percentile_approx`` (t-digest) for the thresholds; this operator
+    pins the exact contract, same policy as the repo's quantile row.
+    Documents with fewer than ``n`` tokens carry no evidence and are
+    never kept (the curation gate upstream decides their fate).
+    """
+    words = _words(F.col(text_col))
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngrams_col(words, n)).alias("gram")
+    )
+    if n == 1:
+        doc_grams = doc_grams.withColumn("hist", F.lit(""))
+    else:
+        doc_grams = doc_grams.withColumn(
+            "hist", F.expr(r"regexp_replace(gram, ' [^ ]+$', '')")
+        )
+    v = model["vocab_size"].select(F.col("v").cast("double").alias("v"))
+    per_doc = (
+        doc_grams.join(model["grams"], ["gram", "hist"], "left")
+        .join(model["hists"], ["hist"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            F.floor(
+                -F.log2(
+                    (F.coalesce(F.col("c_gram"), F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce(F.col("c_hist"), F.lit(0))
+                        + F.lit(k) * F.col("v")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_ub"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.sum("nll_ub").alias("s"))
+        .select(
+            id_col,
+            "n_grams",
+            F.expr("s div n_grams").alias("ppl_ub"),
+        )
+    )
+    bounds = per_doc.agg(
+        F.expr(f"percentile(ppl_ub, {low})").alias("t_low"),
+        F.expr(f"percentile(ppl_ub, {high})").alias("t_high"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("ppl_ub") >= F.col("t_low"))
+            & (F.col("ppl_ub") <= F.col("t_high"))
+        )
+        .select(id_col, "n_grams", "ppl_ub")
+    )
