@@ -2887,6 +2887,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_ppl_prune"] = text_ppl_prune
 
+    def text_hard_negatives(spark, sf):
+        """DPR-style hard-negative mining (bm25.py: hard_negatives):
+        queries = every doc_id % 29 == 0 doc, query terms = its first 3
+        distinct tokens, positive = itself; top-5 BM25 hits excluding
+        the positive, scores quantized to integer micro-units before the
+        deterministic (score DESC, id ASC) cut. Oracle replays postings,
+        idf, quantization, and the window."""
+        from graphrag_rs_spark.operators.bm25 import hard_negatives
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+        queries = docs.where(F.col("doc_id") % 29 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(F.slice(toks, 1, 3)).alias("terms"),
+            F.col("doc_id").alias("positive_id"),
+        )
+        return hard_negatives(docs, queries, k=5)
+
+    q["text_hard_negatives"] = text_hard_negatives
+
     return q
 
 
@@ -6710,6 +6733,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_grams, CAST(ppl_ub AS BIGINT) AS ppl_ub
         FROM per CROSS JOIN bounds
         WHERE ppl_ub >= t_low AND ppl_ub <= t_high
+    """
+
+    # text_hard_negatives: replay postings, Robertson idf, the 1e6
+    # quantization, and the (score DESC, id ASC) window cut.
+    sql["text_hard_negatives"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t != '') AS tokens
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(len(tokens)) AS avgdl
+                  FROM toks),
+        queries AS (
+            SELECT doc_id AS query_id, doc_id AS positive_id,
+                   list_distinct(tokens[1:3]) AS terms
+            FROM toks WHERE doc_id % 29 = 0
+        ),
+        qterms AS (
+            SELECT query_id, positive_id, unnest(terms) AS term FROM queries
+        ),
+        postings AS (
+            SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term
+            FROM toks
+        ),
+        tf AS (SELECT doc_id, term, dl, count(*) AS tf
+               FROM postings GROUP BY doc_id, term, dl),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(floor(sum(
+                       ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / stats.avgdl))
+                   ) * 1e6) AS BIGINT) AS score_upm
+            FROM qterms q
+            JOIN tf t ON q.term = t.term AND t.doc_id != q.positive_id
+            JOIN df ON df.term = q.term
+            CROSS JOIN stats
+            GROUP BY q.query_id, t.doc_id
+        )
+        SELECT query_id, doc_id AS neg_doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_upm DESC, doc_id) AS INT) AS rank,
+               score_upm
+        FROM scored
+        QUALIFY rank <= 5
     """
 
     return sql
