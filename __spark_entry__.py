@@ -2910,6 +2910,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hard_negatives"] = text_hard_negatives
 
+    def text_exactsubstr_spans(spark, sf):
+        """ExactSubstr dedup (dedup.py: duplicated_spans, Lee et al.
+        2022): maximal per-doc spans whose every 8-gram occurs more than
+        once in the corpus. The oracle replays the portable sha256 gram
+        hashes, the count>1 gate, and the lag-window span merge."""
+        from graphrag_rs_spark.operators.dedup import duplicated_spans
+
+        return duplicated_spans(
+            _docs(spark, sf).select("doc_id", "text"), length=8
+        ).select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_tokens",
+        )
+
+    q["text_exactsubstr_spans"] = text_exactsubstr_spans
+
     return q
 
 
@@ -6780,6 +6798,50 @@ def oracle_sql() -> dict[str, str]:
                score_upm
         FROM scored
         QUALIFY rank <= 5
+    """
+
+    # text_exactsubstr_spans: replay gram hashing (60-bit sha256 prefix
+    # over \\x1f-joined 8-token windows), the corpus-wide count>1 gate,
+    # and the lag<=L window span merge.
+    sql["text_exactsubstr_spans"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t != '') AS tokens
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(sha256(
+                       array_to_string(tokens[i:i+7], chr(31))), 1, 15)
+                   )::BIGINT AS g
+            FROM (SELECT doc_id, tokens,
+                         unnest(generate_series(1, len(tokens) - 7)) AS i
+                  FROM toks WHERE len(tokens) >= 8)
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM grams
+            WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END
+                       AS _new
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        spanned AS (
+            SELECT doc_id, pos,
+                   sum(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS _span
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + 8 AS INT) AS span_end,
+               CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens
+        FROM spanned
+        GROUP BY doc_id, _span
     """
 
     return sql

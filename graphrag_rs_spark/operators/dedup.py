@@ -514,3 +514,79 @@ def contrastive_triplets(
         .where(F.col("_rn") == 1)
         .select("anchor", "positive", "negative")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" §3.1): find every token position whose
+    ``length``-gram occurs MORE THAN ONCE anywhere in the corpus (other
+    docs or elsewhere in the same doc), and merge the hit positions into
+    maximal duplicated spans per doc → (id, span_start, span_end,
+    span_tokens), token offsets 0-based, end exclusive.
+
+    The paper builds a corpus suffix array on one machine; the
+    distributed shape is the gram-occurrence groupBy: corpus-wide
+    duplication of a fixed-length gram is just count(gram) > 1, and any
+    duplicated substring of length >= ``length`` is exactly a run of
+    duplicated grams — so merging overlapping hits reconstructs the
+    paper's maximal-span semantics without any suffix array.
+
+    Scale shape: one scan emits (gram_hash, id, pos) — hashes are
+    portable 60-bit sha256 prefixes so the shuffle ships longs, not
+    strings, and the DuckDB oracle replays them bit-for-bit. One
+    partial-agg groupBy counts occurrences (hot grams are just big
+    counts, never big groups), one shuffle join back to positions keeps
+    only duplicated ones, and the span merge is a per-doc window over
+    the (small) hit set. Nothing is quadratic; nothing collects.
+    """
+    from graphrag_rs_spark.operators.linkpred import _h60
+
+    sep = F.lit("\x1f")
+    toks = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("tokens"),
+    )
+    grams = toks.where(F.size("tokens") >= length).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - length + 1),
+                lambda i: _h60(
+                    F.array_join(F.slice(F.col("tokens"), i, length), "\x1f")
+                ),
+            )
+        ).alias("pos", "g"),
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("n"))
+    dup = grams.join(counts.where(F.col("n") > 1).select("g"), "g").select(
+        "id", "pos"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    spanned = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= length, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_span",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return spanned.groupBy("id", "_span").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + length).alias("span_end"),
+    ).select(
+        "id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        (F.col("span_end") - F.col("span_start")).cast("int").alias("span_tokens"),
+    )
