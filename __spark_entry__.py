@@ -2928,6 +2928,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_exactsubstr_spans"] = text_exactsubstr_spans
 
+    def rel_retention_cohorts(spark, sf):
+        """Cohort retention matrix: cohort = a user's first event day
+        (epoch days), cell = distinct users of that cohort active at
+        each day offset. Two shuffles, both keyed small (user_id then
+        (cohort, offset)); the cohort frame is per-user tiny and
+        broadcasts at scale."""
+        e = _t(spark, sf, "events").select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return (
+            e.join(cohort, "user_id")
+            .groupBy(
+                "cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["rel_retention_cohorts"] = rel_retention_cohorts
+
+    def rel_markov_transitions(spark, sf):
+        """First-order event-type Markov transition counts + row-
+        normalized probability (integer ppm so the division is
+        engine-exact). One window per user (ties broken by event_id),
+        one pair-count agg, one per-source total via a second window —
+        no joins at all."""
+        e = _t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            e.withColumn("next_type", F.lead("event_type").over(w))
+            .where(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count("*").alias("n"))
+        )
+        tot = Window.partitionBy("event_type")
+        return pairs.select(
+            "event_type",
+            "next_type",
+            "n",
+            F.floor(F.col("n") * 1000000 / F.sum("n").over(tot))
+            .cast("long")
+            .alias("p_ppm"),
+        )
+
+    q["rel_markov_transitions"] = rel_markov_transitions
+
+    def rel_pivot(spark, sf):
+        """Wide per-user activity pivot: groupBy().pivot() with an
+        EXPLICIT value list (no driver-side distinct scan — the two-pass
+        implicit pivot is the classic Spark scale trap) → one shuffle,
+        map-side partial agg."""
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        e = _t(spark, sf, "events").select("user_id", "event_type")
+        wide = e.groupBy("user_id").pivot("event_type", kinds).count()
+        return wide.select(
+            "user_id",
+            *[
+                F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+                for k in kinds
+            ],
+        )
+
+    q["rel_pivot"] = rel_pivot
+
+    def rel_gapfill_locf(spark, sf):
+        """Time-series gap fill: per-user daily value sums on a dense
+        day spine (sequence+explode — no driver loop), missing days
+        carried forward (last_value IGNORE NULLS window). filled flag
+        marks observed vs imputed rows. Spine size = users × days, built
+        executor-side; the only shuffles are the per-user agg and the
+        spine join, both on user_id."""
+        e = _t(spark, sf, "events").select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "value",
+        )
+        daily = e.groupBy("user_id", "day").agg(
+            F.round(F.sum("value"), 2).alias("v")
+        )
+        span = daily.groupBy("user_id").agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
+        )
+        spine = span.select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        joined = spine.join(daily, ["user_id", "day"], "left")
+        return joined.select(
+            "user_id",
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+
+    q["rel_gapfill_locf"] = rel_gapfill_locf
+
     return q
 
 
@@ -6842,6 +6944,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens
         FROM spanned
         GROUP BY doc_id, _span
+    """
+
+    sql["rel_retention_cohorts"] = """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+            FROM events
+        ),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        SELECT c.cohort_day,
+               e.day - c.cohort_day AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    sql["rel_markov_transitions"] = """
+        WITH ordered AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n,
+               CAST(floor(n * 1000000.0 / sum(n) OVER (
+                   PARTITION BY event_type)) AS BIGINT) AS p_ppm
+        FROM pairs
+    """
+
+    sql["rel_pivot"] = """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """
+
+    sql["rel_gapfill_locf"] = """
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+        )
+        SELECT s.user_id, s.day,
+               last_value(d.v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING) AS value_filled,
+               d.v IS NOT NULL AS observed
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
     """
 
     return sql
