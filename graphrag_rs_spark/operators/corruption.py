@@ -61,7 +61,16 @@ def span_corrupt(
     if block < 4:
         raise ValueError("block must be >= 4 (span offset needs block-2 slots)")
     did = F.col(id_col).cast("string")
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    # Tokens and spans are materialized as REAL COLUMNS in staged
+    # projections, not inlined expressions: the per-token lambdas below
+    # reference the span array, and an inlined span expression would be
+    # re-evaluated (sha256 per block!) once per token — measured 20×
+    # slower at sf0.1. Staged projections evaluate each once per row;
+    # CollapseProject keeps them staged because they are expensive and
+    # multiply referenced.
+    toks_expr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    staged = docs.withColumn("_toks", toks_expr)
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_blk = F.ceil(n_tok / F.lit(block)).cast("int")
 
@@ -90,12 +99,14 @@ def span_corrupt(
     # sequence() is clamped so the empty-doc case (n_blk = 0) cannot
     # generate a descending [0, -1] block range; the start <= n_tokens
     # filter then drops every candidate of an empty doc.
-    spans = F.filter(
+    spans_expr = F.filter(
         F.transform(F.sequence(F.lit(0), F.greatest(n_blk - 1, F.lit(0))), _span),
         lambda s: s["masked"]
         & (s["start"] >= 1)
         & (s["start"] <= n_tok.cast("long")),
     )
+    staged = staged.withColumn("_spans", spans_expr)
+    spans = F.col("_spans")
 
     def _sentinel(k: Column) -> Column:
         return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
@@ -138,7 +149,7 @@ def span_corrupt(
     n_masked = F.aggregate(
         spans, F.lit(0).cast("long"), lambda acc, s: acc + (s["end"] - s["start"] + 1)
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_masked.alias("n_masked"),
