@@ -3030,6 +3030,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_gapfill_locf"] = rel_gapfill_locf
 
+    def ann_pq_topk(spark, sf):
+        """IVF-PQ ANN (similarity.py: cosine_topk_ivfpq): coarse IVF
+        buckets prune, PQ codes score via integer ADC — output is pure
+        integer (adc_sqdist), so the oracle replays coarse + subspace
+        Lloyd trainings and the table-lookup sum bit-for-bit."""
+        from graphrag_rs_spark.operators.similarity import cosine_topk_ivfpq
+
+        return cosine_topk_ivfpq(_t(spark, sf, "embeddings"), dim=64, k=5)
+
+    q["ann_pq_topk"] = ann_pq_topk
+
+    def ann_pq_refined(spark, sf):
+        """IVF-PQ + refine (FAISS IVFPQR shape): exact cosine re-rank of
+        the k·4-deep ADC shortlist. Shares training with ann_pq_topk;
+        the oracle replays the shortlist cut and the re-rank."""
+        from graphrag_rs_spark.operators.similarity import cosine_topk_ivfpq
+
+        # double-cast first so the re-rank's float products match the
+        # oracle's ::DOUBLE[] arithmetic (same parity trick as
+        # ann_ivf_topk; float→double is exact so the integer-quantized
+        # ADC half is unaffected)
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        out = cosine_topk_ivfpq(emb, dim=64, k=5, refine=4)
+        return out.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 5).alias("cosine"),
+            "rank",
+        )
+
+    q["ann_pq_refined"] = ann_pq_refined
+
     return q
 
 
@@ -7010,6 +7045,147 @@ def oracle_sql() -> dict[str, str]:
                d.v IS NOT NULL AS observed
         FROM spine s LEFT JOIN daily d
           ON s.user_id = d.user_id AND s.day = d.day
+    """
+
+    # ann_pq_topk: replay BOTH Lloyd trainings (coarse over the full
+    # vector as subspace s=0; PQ over (pos-1)//16 subspaces), the code
+    # assignment, and the integer ADC sum. Same exact-integer arithmetic
+    # as the Spark side — zero float rounding anywhere.
+    def _lloyd_chain(p: str, ev: str, iters: int) -> str:
+        ctes = [f"""
+        {p}cent0 AS (
+            SELECT l.j, v.s, v.pos, v.val
+            FROM low8 l JOIN {ev} v USING (vec_id)
+        )"""]
+        prev = f"{p}cent0"
+        for i in range(1, iters + 1):
+            ctes.append(f"""
+        {p}dist{i} AS (
+            SELECT v.vec_id, v.s, c.j,
+                   sum((v.val - c.val) * (v.val - c.val)) AS d
+            FROM {ev} v JOIN {prev} c ON c.s = v.s AND c.pos = v.pos
+            GROUP BY v.vec_id, v.s, c.j
+        ),
+        {p}asg{i} AS (
+            SELECT vec_id, s, j FROM (
+                SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, j ASC) AS rn
+                FROM {p}dist{i}
+            ) WHERE rn = 1
+        ),
+        {p}upd{i} AS (
+            SELECT a.s, a.j, v.pos,
+                   CAST(floor(CAST(sum(v.val) AS DOUBLE) / count(*))
+                        AS BIGINT) AS val
+            FROM {p}asg{i} a
+            JOIN {ev} v ON v.vec_id = a.vec_id AND v.s = a.s
+            GROUP BY a.s, a.j, v.pos
+        ),
+        {p}cent{i} AS (
+            SELECT c.s, c.j, c.pos, COALESCE(u.val, c.val) AS val
+            FROM {prev} c LEFT JOIN {p}upd{i} u
+              ON u.s = c.s AND u.j = c.j AND u.pos = c.pos
+        )""")
+            prev = f"{p}cent{i}"
+        ctes.append(f"""
+        {p}fd AS (
+            SELECT v.vec_id, v.s, c.j,
+                   sum((v.val - c.val) * (v.val - c.val)) AS d
+            FROM {ev} v JOIN {prev} c ON c.s = v.s AND c.pos = v.pos
+            GROUP BY v.vec_id, v.s, c.j
+        )""")
+        return ",".join(ctes)
+
+    _pq_common = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x * 1000000.0) AS BIGINT))
+                       AS ivec
+            FROM embeddings
+        ),
+        pe AS (
+            SELECT vec_id, u[2] AS pos, u[1] AS val
+            FROM (SELECT vec_id,
+                         unnest(list_zip(ivec, generate_series(1, len(ivec)))) AS u
+                  FROM e)
+        ),
+        low8 AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        cev AS (SELECT vec_id, 0 AS s, pos, val FROM pe),
+        pev AS (SELECT vec_id, CAST((pos - 1) // 16 AS INT) AS s, pos, val
+                FROM pe),{_lloyd_chain("c", "cev", 2)},{_lloyd_chain("p", "pev", 2)},
+        cranked AS (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, j ASC) AS rn
+            FROM cfd
+        ),
+        members AS (SELECT vec_id, j FROM cranked WHERE rn = 1),
+        probes AS (SELECT vec_id, j FROM cranked WHERE rn <= 2),
+        codes AS (
+            SELECT vec_id, s, j FROM (
+                SELECT vec_id, s, j,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, j ASC) AS rn
+                FROM pfd
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+            FROM probes p JOIN members m USING (j)
+            WHERE p.vec_id != m.vec_id
+        ),
+        adc AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(sum(q.d) AS BIGINT) AS adc_sqdist
+            FROM cand c
+            JOIN codes n ON n.vec_id = c.neighbor_id
+            JOIN pfd q ON q.vec_id = c.query_id
+                      AND q.s = n.s AND q.j = n.j
+            GROUP BY 1, 2
+        )"""
+
+    sql["ann_pq_topk"] = _pq_common + """
+        SELECT query_id, neighbor_id, adc_sqdist, rank FROM (
+            SELECT query_id, neighbor_id, adc_sqdist,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_sqdist ASC, neighbor_id ASC) AS INT)
+                       AS rank
+            FROM adc
+        ) WHERE rank <= 5
+    """
+
+    # ann_pq_refined: same chains + ADC shortlist (k·refine = 20 deep),
+    # then exact cosine re-rank of the shortlist only (FAISS IVFPQR
+    # shape). round(5) float parity — same family as ann_ivf_topk.
+    sql["ann_pq_refined"] = _pq_common + """,
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_sqdist ASC, neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= 20
+        ),
+        re AS (
+            SELECT s.query_id, s.neighbor_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          n.embedding::DOUBLE[]) AS cosine
+            FROM short s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings n ON n.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+                       AS rank
+            FROM re
+        ) WHERE rank <= 5
     """
 
     return sql

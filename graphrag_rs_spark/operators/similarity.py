@@ -397,16 +397,32 @@ def _sqdist_to(ivec_col, centroid: list[int]):
     )
 
 
+def _lit_vecs(vecs: list[list[int]]):
+    """Nested literal array<array<long>> of integer vectors."""
+    return F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in vecs]
+    )
+
+
 def _centroid_dists(ivec_col, centroids: list[list[int]]):
     """Array of (squared-distance, centroid-index) structs; array_min /
-    array_sort over it break ties toward the smaller index."""
-    return F.array(
-        *[
-            F.named_struct(
-                F.lit("d"), _sqdist_to(ivec_col, c), F.lit("j"), F.lit(j)
-            )
-            for j, c in enumerate(centroids)
-        ]
+    array_sort over it break ties toward the smaller index.
+
+    Built as ONE transform lambda over a literal centroid matrix, not K
+    unrolled per-centroid folds: the unrolled form made Catalyst compile
+    K independent aggregate/zip_with trees per call site — with 8×64
+    centroids the janino compile dominated wall time (measured 38 → 11 s
+    for the IVFPQ query at sf0.01, identical results)."""
+    return F.transform(
+        _lit_vecs(centroids),
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(ivec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            j.cast("int").alias("j"),
+        ),
     )
 
 
@@ -680,5 +696,311 @@ def cosine_topk_quantized(
         cand.withColumn("cosine", cosine_col(F.col("_qvec"), F.col("_nvec")))
         .withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" §II): the vector is split
+    into ``n_subspaces`` contiguous slices and each slice gets its own
+    k-means codebook, trained with the same exact-integer Lloyd's as the
+    IVF coarse quantizer (fixed-point sub-vectors, integer squared
+    distances, ties to the smaller index, floor(sum/count) updates,
+    init = the n_centroids lowest-id vectors) — fully replayable by a
+    SQL oracle.
+
+    Returns codebooks[s][j] = centroid j of subspace s (length dim/m
+    integer vectors). Cost: n_subspaces independent trainings, each a
+    corpus scan + (centroid, dim/m) partial agg per iteration; model
+    state crossing the driver is m·k·(dim/m) = k·dim ints total.
+    """
+    import math
+
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    base = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    )
+    init = base.orderBy("id").limit(n_centroids).select("ivec").collect()
+    books = [
+        [list(r["ivec"])[s * d_sub:(s + 1) * d_sub] for r in init]
+        for s in range(n_subspaces)
+    ]
+    # ALL subspaces train in one pass family per iteration (not m
+    # sequential trainings): one staged projection assigns every
+    # subspace's nearest centroid, one posexplode+partial-agg sums per
+    # (subspace, centroid, dim) — m× fewer jobs, same exact-integer
+    # Lloyd semantics per subspace (measured 16.5 → ~8 s warm at
+    # sf0.01 for the IVFPQ query).
+    for _ in range(n_iters):
+        cs = F.array(
+            *[
+                F.array_min(
+                    _centroid_dists(
+                        F.slice(F.col("ivec"), s * d_sub + 1, d_sub), books[s]
+                    )
+                )["j"]
+                for s in range(n_subspaces)
+            ]
+        )
+        # assignments staged BEFORE the generator — same re-evaluation
+        # trap as train_ivf_centroids (Generate re-runs its child's
+        # expressions once per emitted row)
+        staged = base.select(cs.alias("cs"), "ivec")
+        ex = staged.select("cs", F.posexplode("ivec").alias("pos", "val")).select(
+            F.floor(F.col("pos") / d_sub).cast("int").alias("s"),
+            (F.col("pos") % d_sub).alias("pos_in"),
+            F.element_at("cs", F.floor(F.col("pos") / d_sub).cast("int") + 1).alias("c"),
+            "val",
+        )
+        upd = (
+            ex.groupBy("s", "c", "pos_in")
+            .agg(F.sum("val").alias("sum"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in b] for b in books]
+        for r in upd:
+            new[r["s"]][r["c"]][r["pos_in"]] = math.floor(r["sum"] / r["n"])
+        books = new  # empty clusters keep their previous centroid
+    return books
+
+
+def _train_ivfpq_joint(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int,
+    n_iters: int,
+    n_subspaces: int,
+    pq_centroids: int,
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """Coarse quantizer + PQ codebooks trained in ONE pass family.
+
+    Identical Lloyd recurrences to :func:`train_ivf_centroids` /
+    :func:`train_pq_codebooks` run separately (the assignments of each
+    quantizer never feed the other, so co-scheduling changes nothing),
+    but every iteration is a single job: one staged projection computes
+    the coarse assignment AND all subspace assignments, one
+    posexplode emits each element once under its coarse group (grp 0)
+    and once under its subspace group (grp 1+s), one partial-agg
+    groupBy sums both. 2×dim rows per vector per iteration instead of
+    (1 + n_subspaces) sequential corpus scans — the driver still only
+    ever sees the k·dim-int model state.
+    """
+    import math
+
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d_sub = dim // n_subspaces
+    base = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    )
+    n_init = max(n_centroids, pq_centroids)
+    init = base.orderBy("id").limit(n_init).select("ivec").collect()
+    coarse = [list(r["ivec"]) for r in init[:n_centroids]]
+    books = [
+        [list(r["ivec"])[s * d_sub:(s + 1) * d_sub] for r in init[:pq_centroids]]
+        for s in range(n_subspaces)
+    ]
+    for _ in range(n_iters):
+        cs = F.array(
+            F.array_min(_centroid_dists(F.col("ivec"), coarse))["j"],
+            *[
+                F.array_min(
+                    _centroid_dists(
+                        F.slice(F.col("ivec"), s * d_sub + 1, d_sub), books[s]
+                    )
+                )["j"]
+                for s in range(n_subspaces)
+            ],
+        )
+        staged = base.select(cs.alias("cs"), "ivec")
+        ex = (
+            staged.select("cs", F.posexplode("ivec").alias("pos", "val"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(0).alias("grp"),
+                            F.col("pos").alias("pos_in"),
+                            F.element_at("cs", 1).alias("c"),
+                        ),
+                        F.struct(
+                            (1 + F.floor(F.col("pos") / d_sub)).cast("int").alias("grp"),
+                            (F.col("pos") % d_sub).alias("pos_in"),
+                            F.element_at(
+                                "cs",
+                                F.floor(F.col("pos") / d_sub).cast("int") + 2,
+                            ).alias("c"),
+                        ),
+                    )
+                ).alias("g"),
+                F.col("val"),
+            )
+            .select("g.grp", "g.c", "g.pos_in", "val")
+        )
+        upd = (
+            ex.groupBy("grp", "c", "pos_in")
+            .agg(F.sum("val").alias("sum"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_coarse = [list(c) for c in coarse]
+        new_books = [[list(c) for c in b] for b in books]
+        for r in upd:
+            v = math.floor(r["sum"] / r["n"])
+            if r["grp"] == 0:
+                new_coarse[r["c"]][r["pos_in"]] = v
+            else:
+                new_books[r["grp"] - 1][r["c"]][r["pos_in"]] = v
+        coarse, books = new_coarse, new_books  # empty clusters persist
+    return coarse, books
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    n_subspaces: int = 4,
+    pq_centroids: int = 8,
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate self-ANN → (query_id, neighbor_id, adc_sqdist,
+    rank), or with ``refine`` = R > 0 an exact-cosine re-rank of the
+    k·R-deep ADC shortlist → (query_id, neighbor_id, cosine, rank): IVF coarse buckets prune candidates, PQ codes score them via
+    asymmetric distance computation (ADC) — the query keeps its exact
+    (fixed-point) sub-vectors, each candidate is represented ONLY by its
+    m subspace codes, and the approximate distance is the sum of m
+    table lookups.
+
+    This is the memory-bound large-scale ANN shape (FAISS IVFPQ): the
+    candidate join ships m small ints per corpus vector instead of dim
+    floats, and the per-query distance table (m × k_pq longs) rides the
+    query row. Everything is integer arithmetic end-to-end —
+    ``adc_sqdist`` is exact given the codes, so any SQL engine replays
+    the output bit-for-bit (no float rounding anywhere). Residual
+    encoding (IVFPQ's optional refinement) is deliberately omitted: raw
+    sub-vector codes keep the quantizer engine-portable.
+
+    Scale: one training pass family (driver holds k·dim ints), one
+    map-only encode pass, a bucket equi-join on the coarse centroid id
+    (bounded by n_probe/n_centroids of the corpus per query), one
+    window top-k. Ties break (adc_sqdist ASC, neighbor_id ASC).
+    """
+    d_sub = dim // n_subspaces
+    coarse, books = _train_ivfpq_joint(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_centroids=n_centroids, n_iters=n_iters,
+        n_subspaces=n_subspaces, pq_centroids=pq_centroids,
+    )
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    )
+    cdists = _centroid_dists(F.col("ivec"), coarse)
+
+    def _sub(s):
+        return F.slice(F.col("ivec"), s * d_sub + 1, d_sub)
+
+    codes = F.array(
+        *[
+            F.array_min(_centroid_dists(_sub(s), books[s]))["j"]
+            for s in range(n_subspaces)
+        ]
+    )
+    members = base.select(
+        F.col("id").alias("neighbor_id"),
+        codes.alias("codes"),
+        F.array_min(cdists)["j"].alias("c"),
+    )
+    # per-query ADC table: qtab[s][j+1] = sqdist(query sub-vector s,
+    # codebook[s][j]) — m×k_pq longs riding each query row; one
+    # transform lambda per subspace (see _centroid_dists on compile
+    # cost). NB the lambda must stay single-parameter: a second
+    # parameter would be bound to the ARRAY INDEX by Spark's
+    # higher-order-function protocol.
+    def _qtab_for(s: int):
+        sub = _sub(s)
+        return F.transform(
+            _lit_vecs(books[s]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    qtab = F.array(*[_qtab_for(s) for s in range(n_subspaces)])
+    probes = base.select(
+        F.col("id").alias("query_id"),
+        qtab.alias("qtab"),
+        F.explode(F.slice(F.array_sort(cdists), 1, n_probe)).alias("p"),
+    ).select("query_id", "qtab", F.col("p.j").alias("c"))
+
+    cand = probes.join(members, "c").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("qtab"), F.col("codes"), lambda tab, code: F.element_at(tab, code + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.withColumn("adc_sqdist", adc)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sqdist").asc(), F.col("neighbor_id").asc()
+    )
+    if not refine:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_sqdist", "rank")
+        )
+    # FAISS-refine shape (IVFPQR): ADC produces a k·refine shortlist of
+    # ids, the original vectors are randomly accessed by id for an exact
+    # cosine re-rank of just that shortlist. Quantization error then only
+    # costs recall when a true neighbor misses the WHOLE shortlist —
+    # measured recall@5 on sf0.001 random unit vectors (ANN's worst
+    # case): 0.09 pure ADC at m=4/k_pq=8 → 0.85 at m=16/k_pq=16,
+    # refine=8, n_probe=8. The vector join stays tiny: k·refine rows
+    # per query.
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    vq = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    vn = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    re_sc = short.join(vq, "query_id").join(vn, "neighbor_id")
+    re_sc = re_sc.withColumn("cosine", _cosine_pair_expr(re_sc, "qvec", "nvec"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        re_sc.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

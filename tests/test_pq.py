@@ -1,0 +1,99 @@
+"""IVF-PQ ANN (operators/similarity.py) — trainer equivalence, ADC
+exactness, determinism, recall floor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivfpq,
+    train_ivf_centroids,
+    train_pq_codebooks,
+    _train_ivfpq_joint,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_joint_trainer_equals_separate(emb):
+    coarse_j, books_j = _train_ivfpq_joint(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        n_centroids=8, n_iters=2, n_subspaces=4, pq_centroids=8,
+    )
+    assert coarse_j == train_ivf_centroids(emb, n_centroids=8, n_iters=2)
+    assert books_j == train_pq_codebooks(
+        emb, dim=64, n_subspaces=4, n_centroids=8, n_iters=2
+    )
+
+
+def test_adc_is_exact_given_codes(emb):
+    """Replay one output row's adc_sqdist in plain Python: encode the
+    neighbor, look up the query's subspace distances to those codes."""
+    import math
+
+    _, books = _train_ivfpq_joint(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        n_centroids=8, n_iters=2, n_subspaces=4, pq_centroids=8,
+    )
+    out = cosine_topk_ivfpq(emb, dim=64, k=3).orderBy("query_id", "rank")
+    row = out.first()
+    vecs = {
+        r["vec_id"]: [math.floor(x * 1_000_000.0) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def sub(v, s):
+        return v[s * 16:(s + 1) * 16]
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    q, n = vecs[row["query_id"]], vecs[row["neighbor_id"]]
+    expect = 0
+    for s in range(4):
+        code = min(
+            range(8), key=lambda j: (sqd(sub(n, s), books[s][j]), j)
+        )
+        expect += sqd(sub(q, s), books[s][code])
+    assert row["adc_sqdist"] == expect
+
+
+def test_deterministic_and_k_capped(emb):
+    a = sorted(map(tuple, cosine_topk_ivfpq(emb, dim=64, k=4).collect()))
+    b = sorted(map(tuple, cosine_topk_ivfpq(emb, dim=64, k=4).collect()))
+    assert a == b
+    per_q = {}
+    for q, n, d, r in a:
+        per_q.setdefault(q, []).append(r)
+        assert q != n
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 4 for v in per_q.values())
+
+
+def test_recall_floor_vs_brute_force(emb):
+    """Random unit vectors are ANN's worst case; with full probe (no
+    IVF pruning error), 16×16 codebooks and an exact re-rank of the
+    8k-deep ADC shortlist, recall@5 measured 0.849 — pin a floor under
+    it. Pure ADC at the default m=4/k_pq=8 measures 0.09 on this data
+    (documented in cosine_topk_ivfpq)."""
+    approx = cosine_topk_ivfpq(
+        emb, dim=64, k=5, n_probe=8, n_subspaces=16, pq_centroids=16,
+        refine=8,
+    )
+    exact = cosine_topk_bruteforce(emb, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, dim=64, n_subspaces=5)
