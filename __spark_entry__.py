@@ -3065,6 +3065,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_pq_refined"] = ann_pq_refined
 
+    def kg_eccentricity(spark, sf):
+        """Per-source eccentricity + pseudo-diameter inputs over the
+        concept co-occurrence graph (traversal.py: eccentricity) — BFS
+        from EVERY node, exhaustive depth. Oracle: recursive CTE walk
+        per source, max(min-depth) per source."""
+        from graphrag_rs_spark.operators.traversal import eccentricity
+
+        t = kg_cooccurrence_triples(spark, sf)
+        edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        nodes = edges.select(F.col("src").alias("id")).union(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        return eccentricity(edges, nodes)
+
+    q["kg_eccentricity"] = kg_eccentricity
+
+    def code_halstead(spark, sf):
+        """Halstead metrics per source file (code_quality.py:
+        halstead_metrics): regex token classes, map-only. Oracle
+        replays the two regexp_extract_all passes and the formulas."""
+        from graphrag_rs_spark.operators.code_quality import halstead_metrics
+
+        return halstead_metrics(
+            _code_corpus(spark, sf).select("repo", "path", "content")
+        )
+
+    q["code_halstead"] = code_halstead
+
+    def text_ngram_novelty(spark, sf):
+        """Corpus-order trigram novelty (mixture.py: ngram_novelty):
+        fraction of each doc's distinct trigrams first seen in that doc
+        when consuming docs in id order."""
+        from graphrag_rs_spark.operators.mixture import ngram_novelty
+
+        return ngram_novelty(_docs(spark, sf).select("doc_id", "text"), n=3)
+
+    q["text_ngram_novelty"] = text_ngram_novelty
+
+    def text_readability(spark, sf):
+        """Flesch reading ease (textstats.py: readability_scores):
+        vowel-group syllable approximation, punctuation-run sentences,
+        round-2 score."""
+        from graphrag_rs_spark.operators.textstats import readability_scores
+
+        return readability_scores(_docs(spark, sf).select("doc_id", "text"))
+
+    q["text_readability"] = text_readability
+
     return q
 
 
@@ -7186,6 +7234,114 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
             FROM re
         ) WHERE rank <= 5
+    """
+
+    sql["kg_eccentricity"] = f"""
+        WITH RECURSIVE {gaz_cte},
+        m AS (
+            SELECT d.doc_id, 'CONCEPT_' || g.name AS eid
+            FROM documents d JOIN gaz g ON contains(d.text, g.name)
+        ),
+        tri AS (
+            SELECT a.eid AS subj, b.eid AS obj
+            FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.eid < b.eid
+            GROUP BY a.eid, b.eid
+        ),
+        sym AS (SELECT subj AS src, obj AS dst FROM tri
+                UNION SELECT obj, subj FROM tri),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        walk(source, node, depth) AS (
+            SELECT id, id, 0 FROM nodes
+            UNION
+            SELECT w.source, s.dst, w.depth + 1
+            FROM walk w JOIN sym s ON w.node = s.src
+            WHERE w.depth < 64
+        ),
+        md AS (SELECT source, node, min(depth) AS d
+               FROM walk GROUP BY source, node)
+        SELECT source, CAST(max(d) AS INT) AS eccentricity,
+               CAST(count(*) AS BIGINT) AS n_reached
+        FROM md GROUP BY source
+    """
+
+    sql["code_halstead"] = f"""
+        WITH {_code_content_cte},
+        tok AS (
+            SELECT repo, path,
+                   regexp_extract_all(content,
+                       '[-+*/%=<>!&|^~?:.,;(){{}}\\[\\]]', 0) AS ops,
+                   regexp_extract_all(content,
+                       '[A-Za-z_][A-Za-z0-9_]*|[0-9]+', 0) AS opnds
+            FROM codec
+        ),
+        c AS (
+            SELECT repo, path,
+                   CAST(len(list_distinct(ops)) AS BIGINT) AS n1,
+                   CAST(len(list_distinct(opnds)) AS BIGINT) AS n2,
+                   CAST(len(ops) AS BIGINT) AS big_n1,
+                   CAST(len(opnds) AS BIGINT) AS big_n2
+            FROM tok
+        )
+        SELECT repo, path, n1, n2, big_n1, big_n2,
+               n1 + n2 AS vocabulary,
+               big_n1 + big_n2 AS length,
+               round(CASE WHEN n1 + n2 > 0 THEN
+                   CAST(big_n1 + big_n2 AS DOUBLE) * log2(CAST(n1 + n2 AS DOUBLE))
+                   ELSE 0.0 END, 3) AS volume,
+               round(CASE WHEN n2 > 0 THEN
+                   CAST(n1 AS DOUBLE) / 2.0 * CAST(big_n2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE)
+                   ELSE 0.0 END, 3) AS difficulty
+        FROM c
+    """
+
+    sql["text_ngram_novelty"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t != '') AS tokens
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS g
+            FROM (SELECT doc_id, tokens,
+                         unnest(generate_series(1, len(tokens) - 2)) AS i
+                  FROM toks WHERE len(tokens) >= 3)
+        ),
+        first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT gr.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(floor(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1
+                                   ELSE 0 END) * 1000000.0 / count(*))
+                    AS BIGINT) AS novel_ppm
+        FROM grams gr JOIN first f USING (g)
+        GROUP BY gr.doc_id
+    """
+
+    sql["text_readability"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1)
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835
+                     - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                     - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2)
+                   AS flesch
+        FROM t WHERE n_words > 0
     """
 
     return sql

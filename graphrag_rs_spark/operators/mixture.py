@@ -484,3 +484,50 @@ def ngram_duplication(
             "(dup_occurrences * 10000) div greatest(total_occurrences, 1)"
         ).alias("dup_rate_bp"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-order n-gram novelty (WIMBD-family analysis) →
+    (doc_id, n_grams, n_novel, novel_ppm): for each doc, how many of
+    its DISTINCT n-grams appear for the first time in the corpus when
+    docs are consumed in id order (first_doc(gram) == this doc).
+    Falling novelty over a crawl is the classic saturation signal for
+    stopping collection; per-source novelty ranks sources by marginal
+    value.
+
+    Shape: one explode of per-doc distinct grams, one groupBy gram for
+    min(doc_id), one join back, one per-doc count — two shuffles, both
+    on bounded keys (hot grams are min-agg'd, never grouped wide).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(ngrams_col(toks, n)).alias("grams"),
+    ).select("doc_id", F.explode("grams").alias("g"))
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.floor(F.col("n_novel") * 1000000 / F.col("n_grams"))
+        .cast("long")
+        .alias("novel_ppm"),
+    )

@@ -545,3 +545,48 @@ def fingerprint_col(text_col, modulus: int = 2**31 - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 31 + _tok_hash(t), m),
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per doc → (doc_id, n_words, n_sentences,
+    n_syllables, flesch): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), the standard corpus-quality readability
+    band filter. Syllables use the classic vowel-group approximation
+    (runs of [aeiouy] — groups cannot span consonants or whitespace, so
+    one whole-text regexp pass equals the per-word sum); sentence count
+    = punctuation runs [.!?]+ floored at 1. Pure map-only codegen —
+    zero shuffles, zero UDFs; docs with no words are dropped (the
+    score is undefined).
+    """
+    words = token_count_col(F.col(text_col)).cast("long")
+    syll = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), F.lit(0)
+        )
+    ).cast("long")
+    sents = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))
+        ),
+        F.lit(1),
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return base.withColumn(
+        "flesch",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+            - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"),
+            2,
+        ),
+    )

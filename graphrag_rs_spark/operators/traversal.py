@@ -172,3 +172,60 @@ def find_all_paths(
         .orderBy("length", "path")
         .limit(max_paths)
     )
+
+
+def eccentricity(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Per-source eccentricity → (source, eccentricity, n_reached):
+    eccentricity = max BFS depth over the source's reachable set
+    (excluding unreachable nodes), n_reached = reachable nodes incl.
+    the source. max(eccentricity) over hash-sampled sources is the
+    standard pseudo-diameter lower bound (the all-sources exact
+    diameter is O(n·E) — callers pick k sources, this runs them ALL in
+    one frontier, so the work is k parallel BFS sharing each hop's
+    join).
+
+    Scale shape: state is (source, node); every hop is one equi-join of
+    the frontier against the edge list + one left_anti against the
+    visited set, lineage cut per hop. Raises on non-convergence at
+    ``max_iter`` (same contract as scc/topological_layers) — a graph's
+    true eccentricity can't exceed its longest shortest path, so
+    max_iter only trips on genuinely deeper graphs.
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    frontier = sources.select(
+        F.col("id").alias("source"),
+        F.col("id").alias("node"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    visited = frontier
+
+    for depth in range(1, max_iter + 1):
+        fresh = (
+            frontier.join(e.withColumnRenamed("src", "node"), "node")
+            .select("source", F.col("dst").alias("node"), F.lit(depth).alias("depth"))
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .dropDuplicates(["source", "node"])
+            .localCheckpoint(eager=True)
+        )
+        if fresh.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    else:
+        raise RuntimeError(
+            f"eccentricity did not exhaust frontiers within max_iter={max_iter}"
+        )
+    return visited.groupBy("source").agg(
+        F.max("depth").cast("int").alias("eccentricity"),
+        F.count("*").alias("n_reached"),
+    )
