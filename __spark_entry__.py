@@ -3113,6 +3113,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_readability"] = text_readability
 
+    def text_unimax(spark, sf):
+        """UniMax language-balanced sampling (mixture.py: unimax_sample,
+        Chung et al. 2023): smallest-language-first quota allocation
+        with an epoch cap; selection by deterministic sha draws. Oracle
+        replays the allocation with a recursive CTE over the census."""
+        from graphrag_rs_spark.operators.mixture import unimax_sample
+
+        return unimax_sample(
+            _docs(spark, sf).select("doc_id", "lang"),
+            budget=300,
+            max_epochs=2,
+        )
+
+    q["text_unimax"] = text_unimax
+
+    def text_zipf_stats(spark, sf):
+        """Zipf's-law least-squares fit (textstats.py: zipf_slope):
+        integer-quantized ln(rank)/ln(freq) sums → exact single-row
+        regression state + floor-ppm slope."""
+        from graphrag_rs_spark.operators.textstats import zipf_slope
+
+        return zipf_slope(_docs(spark, sf).select("text"), top_k=50)
+
+    q["text_zipf_stats"] = text_zipf_stats
+
+    def code_cochange_edges(spark, sf):
+        """Logical-coupling edges from synthesized VCS history (diff.py:
+        cochange_edges, Zimmermann et al. 2004): commit ck (k=0..4)
+        touches file id iff (id+k)%5 < 2, so files co-change exactly
+        twice iff id ≡ id' (mod 5) within a repo. The oracle replays the
+        synthesis and the (repo, commit)-blocked pair join."""
+        from graphrag_rs_spark.operators.diff import cochange_edges
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        commits = (
+            base.select("repo", "path", "_id")
+            .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(4))))
+            .where((F.col("_id") + F.col("k")) % 5 < 2)
+            .select(
+                "repo",
+                F.concat(F.lit("c"), F.col("k").cast("string")).alias("commit"),
+                "path",
+            )
+        )
+        return cochange_edges(commits, min_support=2)
+
+    q["code_cochange_edges"] = code_cochange_edges
+
+    def rel_rfm_segments(spark, sf):
+        """RFM customer segmentation over orders: per-customer recency/
+        frequency/monetary, ntile(4) each (deterministic tiebreak by
+        custkey), concatenated segment code. One agg shuffle + three
+        global windows over the (small) customer frame."""
+        o = _t(spark, sf, "orders")
+        rfm = o.groupBy("o_custkey").agg(
+            F.max(F.floor(F.unix_timestamp("o_orderdate") / 86400))
+            .cast("long")
+            .alias("recency_day"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        r = F.ntile(4).over(
+            Window.orderBy(F.col("recency_day").desc(), F.col("o_custkey"))
+        )
+        fq = F.ntile(4).over(
+            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+        )
+        mo = F.ntile(4).over(
+            Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+        )
+        return rfm.select(
+            "o_custkey",
+            "recency_day",
+            "frequency",
+            "monetary",
+            r.alias("r_tile"),
+            fq.alias("f_tile"),
+            mo.alias("m_tile"),
+        ).withColumn(
+            "segment",
+            (
+                F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+            ).cast("int"),
+        )
+
+    q["rel_rfm_segments"] = rel_rfm_segments
+
     return q
 
 
@@ -7342,6 +7432,124 @@ def oracle_sql() -> dict[str, str]:
                      - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2)
                    AS flesch
         FROM t WHERE n_words > 0
+    """
+
+    # text_unimax: recursive CTE walks the census smallest-first,
+    # carrying the remaining budget; selection replays the sha draws.
+    sql["text_unimax"] = """
+        WITH RECURSIVE census AS (
+            SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY lang
+        ),
+        ordered AS (
+            SELECT stratum, n,
+                   row_number() OVER (ORDER BY n ASC, stratum ASC) AS rn,
+                   count(*) OVER () AS l
+            FROM census
+        ),
+        alloc(rn, stratum, quota, remaining) AS (
+            SELECT o.rn, o.stratum,
+                   least(o.n * 2, 300 // o.l),
+                   300 - least(o.n * 2, 300 // o.l)
+            FROM ordered o WHERE o.rn = 1
+            UNION ALL
+            SELECT o.rn, o.stratum,
+                   least(o.n * 2, a.remaining // (o.l - o.rn + 1)),
+                   a.remaining
+                       - least(o.n * 2, a.remaining // (o.l - o.rn + 1))
+            FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+        ),
+        drawn AS (
+            SELECT doc_id, lang AS stratum,
+                   ('0x' || substr(sha256(doc_id::VARCHAR || ':unimax-v1'),
+                                   1, 15))::BIGINT % 1000000 AS u
+            FROM documents
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.stratum, CAST(d.u AS BIGINT) AS u,
+                   CAST(row_number() OVER (PARTITION BY d.stratum
+                        ORDER BY d.u ASC, d.doc_id ASC) AS BIGINT)
+                       AS stratum_rank,
+                   CAST(a.quota AS BIGINT) AS quota
+            FROM drawn d JOIN alloc a ON a.stratum = d.stratum
+        )
+        SELECT doc_id, stratum, u, stratum_rank, quota
+        FROM ranked WHERE stratum_rank <= quota
+    """
+
+    sql["text_zipf_stats"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS t
+            FROM documents
+        ),
+        freq AS (SELECT t, count(*) AS f FROM toks GROUP BY t),
+        top AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS rank
+            FROM freq QUALIFY rank <= 50
+        ),
+        q AS (
+            SELECT CAST(floor(ln(rank::DOUBLE) * 1000000) AS BIGINT) AS x,
+                   CAST(floor(ln(f::DOUBLE) * 1000000) AS BIGINT) AS y
+            FROM top
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx
+            FROM q
+        )
+        SELECT k, sum_x, sum_y, sum_xy, sum_xx,
+               CAST(floor(CAST(k * sum_xy - sum_x * sum_y AS DOUBLE)
+                    * 1000000
+                    / CAST(k * sum_xx - sum_x * sum_x AS DOUBLE)) AS BIGINT)
+                   AS slope_ppm
+        FROM sums
+    """
+
+    sql["code_cochange_edges"] = f"""
+        WITH {_code_content_cte},
+        touched AS (
+            SELECT repo, 'c' || k AS commit, path
+            FROM codec, unnest(generate_series(0, 4)) AS u(k)
+            WHERE (doc_id + k) % 5 < 2
+        ),
+        pairs AS (
+            SELECT a.repo, a.path AS path_a, b.path AS path_b
+            FROM touched a
+            JOIN touched b
+              ON a.repo = b.repo AND a.commit = b.commit
+             AND a.path < b.path
+        )
+        SELECT repo, path_a, path_b,
+               CAST(count(*) AS BIGINT) AS n_cochanges
+        FROM pairs GROUP BY repo, path_a, path_b
+        HAVING count(*) >= 2
+    """
+
+    sql["rel_rfm_segments"] = """
+        WITH rfm AS (
+            SELECT o_custkey,
+                   CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT)
+                       AS recency_day,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, recency_day, frequency, monetary,
+                   CAST(ntile(4) OVER (ORDER BY recency_day DESC, o_custkey)
+                        AS INT) AS r_tile,
+                   CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                        AS INT) AS f_tile,
+                   CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                        AS INT) AS m_tile
+            FROM rfm
+        )
+        SELECT *, CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
+        FROM tiled
     """
 
     return sql

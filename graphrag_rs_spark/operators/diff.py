@@ -149,3 +149,51 @@ def line_churn(
         )
         .where((F.col("lines_added") > 0) | (F.col("lines_removed") > 0))
     )
+
+
+def cochange_edges(
+    commits: DataFrame,
+    *,
+    repo_col: str = "repo",
+    commit_col: str = "commit",
+    path_col: str = "path",
+    min_support: int = 2,
+    max_commit_files: int = 1000,
+) -> DataFrame:
+    """Logical-coupling edges from VCS history (Zimmermann et al. 2004,
+    "Mining Version Histories to Guide Software Changes"): two files
+    that repeatedly change in the SAME commit are coupled →
+    (repo, path_a, path_b, n_cochanges) for pairs with support >=
+    ``min_support``, path_a < path_b.
+
+    These are first-class code-KG edges (the dependency graph misses
+    cross-language and config/code coupling; co-change catches both).
+
+    Scale shape: the pair generation is a self-join keyed on
+    (repo, commit) — the classic blocking key. Bulk/merge/reformat
+    commits touching more than ``max_commit_files`` files are dropped
+    FIRST (the standard mining guard: they assert no real coupling and
+    their pair count is quadratic — this is the skew story, a 50k-file
+    sweep commit would otherwise emit 1.25B pairs). One groupBy on the
+    (bounded) pair space afterwards.
+    """
+    f = commits.select(
+        F.col(repo_col).alias("repo"),
+        F.col(commit_col).alias("commit"),
+        F.col(path_col).alias("path"),
+    ).dropDuplicates(["repo", "commit", "path"])
+    sizes = f.groupBy("repo", "commit").agg(F.count("*").alias("_n"))
+    ok = f.join(
+        sizes.where(F.col("_n") <= max_commit_files).select("repo", "commit"),
+        ["repo", "commit"],
+    )
+    a = ok.select("repo", "commit", F.col("path").alias("path_a"))
+    b = ok.select("repo", "commit", F.col("path").alias("path_b"))
+    pairs = a.join(b, ["repo", "commit"]).where(
+        F.col("path_a") < F.col("path_b")
+    )
+    return (
+        pairs.groupBy("repo", "path_a", "path_b")
+        .agg(F.count("*").alias("n_cochanges"))
+        .where(F.col("n_cochanges") >= min_support)
+    )

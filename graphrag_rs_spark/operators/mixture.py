@@ -531,3 +531,76 @@ def ngram_novelty(
         .cast("long")
         .alias("novel_ppm"),
     )
+
+
+def unimax_sample(
+    df: DataFrame,
+    *,
+    budget: int,
+    max_epochs: int = 1,
+    doc_id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: str = "unimax-v1",
+) -> DataFrame:
+    """UniMax language-balanced sampling (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining") → kept rows (doc_id, stratum, u,
+    stratum_rank, quota).
+
+    The UniMax allocation: visit strata SMALLEST FIRST; each stratum i
+    (of L, 1-based) receives quota_i = min(n_i · max_epochs,
+    floor(remaining / (L − i + 1))) and the remainder carries forward —
+    small languages get up to ``max_epochs`` passes over their corpus,
+    never more (the over-sampling cap that temperature sampling lacks),
+    and the budget freed by capped strata flows to the bigger ones.
+    Ties in stratum size break lexicographically — the allocation is a
+    pure function of the census.
+
+    Within a stratum the quota picks the ``quota_i`` lowest
+    deterministic draws (sha256 of doc_id — re-run/partitioning
+    stable, same family as :func:`mixture_sample`), doc_id ascending
+    on draw ties.
+
+    Scale shape: the census is one partial-agg groupBy (L rows — model
+    state, like the k-means centroids); the allocation loop is
+    driver-side over L languages; selection is one window per stratum.
+    No shuffle touches the full corpus except the final rank window.
+    """
+    census = sorted(
+        (
+            (r["n"], str(r["s"]))
+            for r in df.groupBy(F.col(stratum_col).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ),
+    )
+    quotas: dict[str, int] = {}
+    remaining = budget
+    for i, (n, stratum) in enumerate(census):
+        share = remaining // (len(census) - i)
+        quotas[stratum] = min(n * max_epochs, share)
+        remaining -= quotas[stratum]
+
+    u = uniform_ppm_col(F.col(doc_id_col), seed)
+    quota = stratum_rate_ppm_col(F.col(stratum_col), quotas)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("u").asc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            u.alias("u"),
+            quota.alias("quota"),
+        )
+        .withColumn(
+            "stratum_rank",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(
+                    F.col("u").asc(), F.col("doc_id").asc()
+                )
+            ).cast("long"),
+        )
+        .where(F.col("stratum_rank") <= F.col("quota"))
+        .select("doc_id", "stratum", "u", "stratum_rank", "quota")
+    )

@@ -10,7 +10,7 @@ text/mod.rs:476-511); the rest are standard corpus-curation operators.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small, high-frequency function-word lists per language (n-gram-free
@@ -589,4 +589,60 @@ def readability_scores(
             - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"),
             2,
         ),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency table → ONE row
+    (k, sum_x, sum_y, sum_xy, sum_xx, slope_ppm): least-squares slope
+    of ln(freq) against ln(rank) for the ``top_k`` most frequent
+    tokens (Zipf's law predicts ≈ −1; a corpus that deviates hard is
+    template/boilerplate-heavy — a WIMBD-family health check).
+
+    Exactness: ln values are quantized to integer micro-units BEFORE
+    summing, so every aggregation is order-independent integer math and
+    any engine reproduces the row bit-for-bit; only the final slope is
+    one double division (floor-quantized to ppm). Bounds: |x|,|y| <
+    2^24 after quantization, k ≤ 10^4 ⇒ every sum < 2^62.
+
+    Shape: one token-count groupBy (partial agg), a top-k window over
+    the (already tiny) distinct-token space, one single-row reduce.
+    """
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+    freq = toks.groupBy("t").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), F.col("t").asc())
+    top = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )
+    q = top.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = q.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+    )
+    denom = sums["k"] * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    num = sums["k"] * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    return sums.select(
+        "k",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.floor(num.cast("double") * 1000000 / denom.cast("double"))
+        .cast("long")
+        .alias("slope_ppm"),
     )
