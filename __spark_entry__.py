@@ -3203,6 +3203,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_rfm_segments"] = rel_rfm_segments
 
+    def mm_image_ahash(spark, sf):
+        """Perceptual average-hash over REAL generated PNGs
+        (multimodal.py: image_ahash): stdlib decode → 8×8 nearest
+        sample → mean threshold → packed 64-bit key. The oracle replays
+        the hash from the generative pixel definition (seed+x+y mod
+        256) — independent of the codec path."""
+        from graphrag_rs_spark.operators.multimodal import image_ahash, make_png
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                png_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return image_ahash(media)
+
+    q["mm_image_ahash"] = mm_image_ahash
+
     return q
 
 
@@ -7550,6 +7578,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT *, CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS segment
         FROM tiled
+    """
+
+    # mm_image_ahash: replay the hash from the generative pixel
+    # definition pixel(x,y) = (seed + x + y) % 256, W = 8 + id%8, H = 8,
+    # nearest grid sx = min(floor((i+0.5)·W/8), W−1) — no codec needed;
+    # the Spark side must agree through the REAL PNG encode+decode.
+    sql["mm_image_ahash"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        g AS (
+            SELECT doc_id, j, i,
+                   least(CAST(floor((i + 0.5) * (8 + doc_id % 8) / 8.0)
+                              AS INT),
+                         CAST(8 + doc_id % 8 - 1 AS INT)) AS sx,
+                   j AS sy
+            FROM d, unnest(generate_series(0, 7)) AS t1(j),
+                 unnest(generate_series(0, 7)) AS t2(i)
+        ),
+        px AS (SELECT doc_id, j, i, (doc_id + sx + sy) % 256 AS p FROM g),
+        m AS (SELECT doc_id, CAST(sum(p) // 64 AS BIGINT) AS mean
+              FROM px GROUP BY doc_id),
+        bits AS (
+            SELECT px.doc_id,
+                   sum(CASE WHEN px.p > m.mean
+                       THEN (1::HUGEINT << (63 - (px.j * 8 + px.i)))
+                       ELSE 0::HUGEINT END) AS h
+            FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END
+                    AS BIGINT) AS ahash,
+               'ok' AS decode_ok
+        FROM bits
     """
 
     return sql

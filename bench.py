@@ -295,6 +295,19 @@ def main() -> None:
 
     bench("code_chunking", q_code_chunking)
 
+    def q_exactsubstr():
+        # ExactSubstr dedup (Lee et al. 2022): corpus-wide duplicated
+        # 8-gram spans — the heaviest gram-shuffle in the dedup family
+        return entry_q["text_exactsubstr_spans"](spark, SF_DIR).count()
+
+    bench("text_exactsubstr_spans", q_exactsubstr)
+
+    def q_ann_pq():
+        # IVF-PQ ANN: joint integer Lloyd training + ADC bucket scoring
+        return entry_q["ann_pq_topk"](spark, SF_DIR).count()
+
+    bench("ann_pq_topk", q_ann_pq)
+
     total = round(sum(timings.values()), 3)
     kg_secs = timings["kg_pipeline_fixture"]
     triples_per_sec = round(fixture_state["triples_n"] / kg_secs, 1) if kg_secs else 0.0

@@ -340,3 +340,57 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
     return media.where(F.col("modality") == "image").mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+AHASH_SCHEMA = "media_id string, ahash long, decode_ok string"
+
+
+def image_ahash(media: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Average-hash perceptual fingerprint → (media_id, ahash,
+    decode_ok): decode the REAL PNG payload, nearest-neighbor sample a
+    ``grid``×``grid`` patch (kernel/media.py: resize_nearest — the
+    deterministic (i+0.5)·src/dst grid), threshold each sample against
+    the integer mean (floor(sum/n), strict >), pack bits row-major
+    MSB-first into a signed 64-bit value. The classic near-duplicate
+    image key (hamming distance over ahash buckets) — every step is
+    integer arithmetic, so an external oracle replays hashes from the
+    generative pixel definition without any codec.
+
+    Shape: Arrow-batched mapInPandas over (media_id, payload) only;
+    the hash is 8 bytes per image — the dedup join downstream never
+    touches pixels.
+    """
+    from graphrag_rs_spark.kernel.media import decode_png, resize_nearest
+
+    if grid * grid > 64:
+        raise ValueError("grid*grid must fit 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for payload in pdf["payload"]:
+                px = decode_png(payload)
+                if px is None:
+                    hashes.append(None)
+                    oks.append("decode_error")
+                    continue
+                g = resize_nearest(px, grid, grid).astype(np.int64)
+                mean = int(g.sum()) // (grid * grid)
+                h = 0
+                for b in (g > mean).flatten():
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+                oks.append("ok")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.Series(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
