@@ -3128,7 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_readability(spark, sf):
         """Flesch reading ease (textstats.py: readability_scores):
         vowel-group syllable approximation, punctuation-run sentences,
-        round-2 score."""
+        floor-quantized centi-point score (a round(,2) half-boundary at
+        sf0.1 — doc 1887, score −20.815 — split the engines)."""
         from graphrag_rs_spark.operators.textstats import readability_scores
 
         return readability_scores(_docs(spark, sf).select("doc_id", "text"))
@@ -7477,10 +7478,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_words AS BIGINT) AS n_words,
                CAST(n_sentences AS BIGINT) AS n_sentences,
                CAST(n_syllables AS BIGINT) AS n_syllables,
-               round(206.835
+               CAST(floor((206.835
                      - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
-                     - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2)
-                   AS flesch
+                     - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100)
+                   AS BIGINT) AS flesch_c100
         FROM t WHERE n_words > 0
     """
 

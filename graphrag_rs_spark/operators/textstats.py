@@ -554,14 +554,16 @@ def readability_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """Flesch reading-ease per doc → (doc_id, n_words, n_sentences,
-    n_syllables, flesch): 206.835 − 1.015·(words/sentences) −
-    84.6·(syllables/words), the standard corpus-quality readability
-    band filter. Syllables use the classic vowel-group approximation
-    (runs of [aeiouy] — groups cannot span consonants or whitespace, so
-    one whole-text regexp pass equals the per-word sum); sentence count
-    = punctuation runs [.!?]+ floored at 1. Pure map-only codegen —
-    zero shuffles, zero UDFs; docs with no words are dropped (the
-    score is undefined).
+    n_syllables, flesch_c100): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) in integer CENTI-POINTS (floor(score·100) —
+    half-boundary round() diverges between engines; floor of the same
+    double is bit-stable), the standard corpus-quality readability band
+    filter. Syllables use the classic vowel-group approximation (runs
+    of [aeiouy] — groups cannot span consonants or whitespace, so one
+    whole-text regexp pass equals the per-word sum); sentence count =
+    punctuation runs [.!?]+ floored at 1. Pure map-only codegen — zero
+    shuffles, zero UDFs; docs with no words are dropped (the score is
+    undefined).
     """
     words = token_count_col(F.col(text_col)).cast("long")
     syll = F.size(
@@ -582,13 +584,15 @@ def readability_scores(
         syll.alias("n_syllables"),
     ).where(F.col("n_words") > 0)
     return base.withColumn(
-        "flesch",
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
-            - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"),
-            2,
-        ),
+        "flesch_c100",
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+                - F.lit(84.6) * F.col("n_syllables") / F.col("n_words")
+            )
+            * 100
+        ).cast("long"),
     )
 
 
