@@ -3677,11 +3677,6 @@ def oracle_sql() -> dict[str, str]:
     from graphrag_rs_spark.operators.textstats import STOPWORDS as _sw
 
     _langs = {lang: " ".join(words) for lang, words in _sw.items()}
-    _score_exprs = ",\n               ".join(
-        f"CAST(len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words.split())}], t))) AS DOUBLE)"
-        f" / greatest(len(toks), 1) AS s_{lang}"
-        for lang, words in _langs.items()
-    )
     _codes_desc = sorted(_langs, reverse=True)
     _greatest = "greatest(" + ", ".join(f"s_{c}" for c in sorted(_langs)) + ")"
     _lang_case = (
@@ -3691,6 +3686,37 @@ def oracle_sql() -> dict[str, str]:
         )
         + f"\n                    ELSE '{_codes_desc[-1]}' END"
     )
+    # Stopword scoring as unnest + VALUES join + conditional agg, NOT 21
+    # per-language list_filter lambdas: the lambda form made the langid /
+    # curation ORACLES the slow side of the sweep (≈19 s single-threaded
+    # at sf0.1 vs 1.4 s for this join form; hit counts identical — the
+    # unnest emits duplicate tokens exactly as list_filter counts them).
+    _sw_cte = "sw(lang, w) AS (VALUES " + ", ".join(
+        f"('{lang}', {w!r})"
+        for lang, words in sorted(_langs.items())
+        for w in words.split()
+    ) + ")"
+
+    def _lang_scores_ctes(src: str) -> str:
+        per = ",\n                   ".join(
+            f"coalesce(max(CASE WHEN h.lang = '{c}' THEN h.h END), 0)::DOUBLE"
+            f" / s.n AS s_{c}"
+            for c in sorted(_langs)
+        )
+        return f"""lstok AS (SELECT doc_id, unnest(toks) AS t FROM {src}),
+        lshits AS (
+            SELECT k.doc_id, sw.lang, count(*) AS h
+            FROM lstok k JOIN sw ON sw.w = k.t
+            GROUP BY k.doc_id, sw.lang
+        ),
+        scores AS (
+            SELECT s.doc_id,
+                   {per}
+            FROM (SELECT doc_id, greatest(len(toks), 1) AS n FROM {src}) s
+            LEFT JOIN lshits h USING (doc_id)
+            GROUP BY s.doc_id, s.n
+        )"""
+
     sql["text_langid"] = f"""
         WITH toks AS (
             SELECT doc_id,
@@ -3698,11 +3724,8 @@ def oracle_sql() -> dict[str, str]:
                                t -> t != '') AS toks
             FROM documents
         ),
-        scores AS (
-            SELECT doc_id,
-               {_score_exprs}
-            FROM toks
-        )
+        {_sw_cte},
+        {_lang_scores_ctes("toks")}
         SELECT doc_id,
                {_lang_case} AS lang_pred
         FROM scores
@@ -4926,12 +4949,12 @@ def oracle_sql() -> dict[str, str]:
                                t -> t != '') AS toks
             FROM d
         ),
+        {_sw_cte},
+        {_lang_scores_ctes("tk")},
         lang AS (
             SELECT doc_id,
                    {_lang_case} AS lang_pred
-            FROM (SELECT doc_id,
-               {_score_exprs}
-                  FROM tk)
+            FROM scores
         ),
         qual AS (
             SELECT doc_id,
