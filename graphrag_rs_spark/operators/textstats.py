@@ -619,9 +619,18 @@ def zipf_slope(
     """
     toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
     freq = toks.groupBy("t").agg(F.count("*").alias("f"))
-    w = Window.orderBy(F.col("f").desc(), F.col("t").asc())
-    top = freq.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= top_k
+    # distributed top-k (TakeOrderedAndProject) FIRST, then rank the
+    # k-row result — an unpartitioned row_number window would funnel the
+    # whole vocabulary through one task
+    top = (
+        freq.orderBy(F.col("f").desc(), F.col("t").asc())
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), F.col("t").asc())
+            ),
+        )
     )
     q = top.select(
         F.floor(F.log(F.col("rank").cast("double")) * 1000000)
