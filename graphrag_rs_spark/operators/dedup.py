@@ -539,7 +539,10 @@ def duplicated_spans(
 
     Scale shape: one scan emits (gram_hash, id, pos) — hashes are
     portable 60-bit sha256 prefixes so the shuffle ships longs, not
-    strings, and the DuckDB oracle replays them bit-for-bit. One
+    strings, and the DuckDB oracle replays them bit-for-bit (birthday
+    bound: ~10^9 distinct grams ⇒ ~0.4 expected collisions corpus-wide,
+    each marking one extra ``length``-token span — negligible for dedup
+    purposes, widen the prefix if exactness at that scale matters). One
     partial-agg groupBy counts occurrences (hot grams are just big
     counts, never big groups), one shuffle join back to positions keeps
     only duplicated ones, and the span merge is a per-doc window over
