@@ -3254,6 +3254,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_ahash"] = mm_image_ahash
 
+    def text_cms_heavy_hitters(spark, sf):
+        """Count-Min point queries (sketches.py: cms_table +
+        cms_point_estimates) for the gazetteer tokens plus one absent
+        token, against true counts — the overestimate-only invariant is
+        visible in the output. Oracle replays the sha cell hashes, the
+        per-cell sums, and the min."""
+        from graphrag_rs_spark.operators.sketches import (
+            cms_point_estimates,
+            cms_table,
+        )
+        from graphrag_rs_spark.operators.textstats import _tokens
+
+        docs = _docs(spark, sf).select("text")
+        table = cms_table(docs)
+        probes = spark.createDataFrame(
+            [(w,) for w in GAZETTEER + ["zzz_absent"]], ["token"]
+        )
+        est = cms_point_estimates(table, probes)
+        true = (
+            docs.select(F.explode(_tokens(F.col("text"))).alias("t"))
+            .groupBy(F.col("t").alias("token"))
+            .agg(F.count("*").alias("true_count"))
+        )
+        return est.join(true, "token", "left").select(
+            "token",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_estimate",
+        )
+
+    q["text_cms_heavy_hitters"] = text_cms_heavy_hitters
+
+    def text_hll_distinct(spark, sf):
+        """HyperLogLog distinct-token estimate (sketches.py:
+        hll_registers + hll_estimate, m=64) next to the exact distinct
+        count. Register ranks use binary-string lengths (integer-exact);
+        the oracle replays registers and the closed-form estimate."""
+        from graphrag_rs_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+        from graphrag_rs_spark.operators.textstats import _tokens
+
+        toks = (
+            _docs(spark, sf)
+            .select(F.explode(_tokens(F.col("text"))).alias("t"))
+        )
+        est = hll_estimate(hll_registers(toks, "t"))
+        true = toks.agg(F.countDistinct("t").alias("true_distinct"))
+        return est.crossJoin(F.broadcast(true))
+
+    q["text_hll_distinct"] = text_hll_distinct
+
     return q
 
 
@@ -7657,6 +7709,94 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS ahash,
                'ok' AS decode_ok
         FROM bits
+    """
+
+    _cms_probe_vals = ", ".join(
+        f"({w!r})" for w in GAZETTEER + ["zzz_absent"]
+    )
+    sql["text_cms_heavy_hitters"] = f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS t
+            FROM documents
+        ),
+        cells AS (
+            SELECT r.row,
+                   ('0x' || substr(sha256('cms-v1' || chr(31) || r.row
+                        || chr(31) || toks.t), 1, 15))::BIGINT % 256 AS col,
+                   count(*) AS cnt
+            FROM toks, (SELECT unnest(generate_series(0, 3)) AS row) r
+            GROUP BY 1, 2
+        ),
+        probes(token) AS (VALUES {_cms_probe_vals}),
+        pcells AS (
+            SELECT p.token, r.row,
+                   ('0x' || substr(sha256('cms-v1' || chr(31) || r.row
+                        || chr(31) || p.token), 1, 15))::BIGINT % 256 AS col
+            FROM probes p, (SELECT unnest(generate_series(0, 3)) AS row) r
+        ),
+        est AS (
+            SELECT pc.token,
+                   CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+            FROM pcells pc LEFT JOIN cells c
+              ON c.row = pc.row AND c.col = pc.col
+            GROUP BY pc.token
+        ),
+        true_counts AS (
+            SELECT t AS token, CAST(count(*) AS BIGINT) AS true_count
+            FROM toks GROUP BY t
+        )
+        SELECT e.token, coalesce(tc.true_count, 0) AS true_count,
+               e.cms_estimate
+        FROM est e LEFT JOIN true_counts tc USING (token)
+    """
+
+    _hll_alpha_num = repr(0.709 * 64 * 64 * float(1 << 55))
+    sql["text_hll_distinct"] = f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS t
+            FROM documents
+        ),
+        hashed AS (
+            SELECT ('0x' || substr(sha256('hll-v1' || chr(31) || t), 1, 15)
+                   )::BIGINT AS h
+            FROM toks
+        ),
+        regs AS (
+            SELECT h % 64 AS bucket,
+                   max(CASE WHEN (h >> 6) <= 0 THEN 55
+                       ELSE 55 - length(bin(h >> 6)) END) AS register
+            FROM hashed GROUP BY 1
+        ),
+        agg AS (
+            SELECT count(*) AS n_buckets,
+                   CAST(sum(1::BIGINT << (55 - register)) AS BIGINT)
+                       AS hit_sum
+            FROM regs
+        ),
+        base AS (
+            SELECT CAST(64 AS INT) AS m,
+                   CAST(64 - n_buckets AS BIGINT) AS n_zero_buckets,
+                   CAST(hit_sum + (64 - n_buckets) * (1::BIGINT << 55)
+                        AS BIGINT) AS int_sum
+            FROM agg
+        ),
+        est AS (
+            SELECT m, n_zero_buckets, int_sum,
+                   {_hll_alpha_num} / CAST(int_sum AS DOUBLE) AS raw
+            FROM base
+        )
+        SELECT m, n_zero_buckets, int_sum,
+               CAST(floor(100 * CASE
+                   WHEN n_zero_buckets > 0 AND raw < 160.0
+                   THEN 64.0 * ln(64.0 / CAST(n_zero_buckets AS DOUBLE))
+                   ELSE raw END) AS BIGINT) AS estimate_c100,
+               (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM toks)
+                   AS true_distinct
+        FROM est
     """
 
     return sql

@@ -1,0 +1,176 @@
+"""Mergeable sketches over token streams — Count-Min and HyperLogLog.
+
+Standard distributed-analytics machinery the 100 TB tier runs instead of
+exact aggregation when memory is the constraint: a Count-Min table
+(Cormode & Muthukrishnan 2005) answers heavy-hitter point queries in
+depth×width cells regardless of vocabulary size; HyperLogLog (Flajolet
+et al. 2007) estimates distinct counts in m registers. Both are built
+here as ordinary partial-agg groupBys over DETERMINISTIC sha256-derived
+hashes (the portable 60-bit family every oracle replays) — so unlike
+`approx_count_distinct`, the sketch contents and the estimates are
+bit-reproducible on any engine, any partitioning, any cluster size.
+
+Spark shape: a sketch build is ONE explode + ONE partial-agg groupBy on
+(row, col) / (bucket) — the reduce side is bounded by the sketch size
+(depth×width / m cells), never by the corpus. Merging shards = the same
+groupBy; the sketches are trivially algebraic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.textstats import _tokens
+
+SEP = "\x1f"
+
+#: HLL hash-value bit budget after the bucket split: the portable hash
+#: is 60 bits, the bucket takes log2(m); 54 bits remain for m=64.
+_HLL_W_BITS = 54
+
+
+def _h60(col):
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def cms_table(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch of the corpus token stream → (row, col, cnt).
+
+    Each token occurrence increments one cell per row: col =
+    H(seed␟row␟token) mod width. Point query = min over rows of the
+    probed cells — an overestimate by construction (collisions only
+    ever add), within εN with probability 1−δ for width=e/ε, depth=
+    ln(1/δ).
+    """
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+    rows = toks.select(
+        "t",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        "row",
+        (
+            _h60(
+                F.concat_ws(
+                    SEP, F.lit(seed), F.col("row").cast("string"), F.col("t")
+                )
+            )
+            % width
+        ).alias("col"),
+    )
+    return rows.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimates(
+    table: DataFrame,
+    probes: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms-v1",
+    token_col: str = "token",
+) -> DataFrame:
+    """probes(token) × CMS table → (token, cms_estimate): min over the
+    depth probed cells (missing cell = 0). The probe side is tiny —
+    the join broadcasts it against the (bounded) sketch."""
+    cells = probes.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        "token",
+        "row",
+        (
+            _h60(
+                F.concat_ws(
+                    SEP, F.lit(seed), F.col("row").cast("string"), F.col("token")
+                )
+            )
+            % width
+        ).alias("col"),
+    )
+    joined = cells.join(table, ["row", "col"], "left").select(
+        "token", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("token").agg(F.min("cnt").alias("cms_estimate"))
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    *,
+    m: int = 64,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """HyperLogLog registers over a column's DISTINCT-insensitive stream
+    → (bucket, register): bucket = H mod m, register = max over stream
+    of (1 + leading-zero count of the remaining 54 hash bits).
+
+    Rank arithmetic is integer-exact: bit length via the BINARY STRING
+    length (``length(bin(w))``) — not floor(log2)+1, whose float
+    boundary can disagree across engines. Buckets never hit are simply
+    absent (register 0 — the caller's estimator fills them).
+    """
+    if m & (m - 1):
+        raise ValueError("m must be a power of two (bucket split is a shift)")
+    # w via SHIFT, not floor(h/m): h is 60 bits — double division would
+    # round above 2^53
+    h = _h60(F.concat_ws(SEP, F.lit(seed), F.col(col).cast("string")))
+    w = F.shiftright(h, m.bit_length() - 1)
+    bitlen = F.when(F.col("_w") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("_w")))
+    )
+    return (
+        df.select((h % m).alias("bucket"), w.alias("_w"))
+        .select("bucket", (F.lit(_HLL_W_BITS) - bitlen + 1).alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("int").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    m: int = 64,
+) -> DataFrame:
+    """registers → ONE row (m, n_zero_buckets, int_sum, estimate_c100).
+
+    The harmonic-mean sum Σ 2^(−M[j]) is computed as the INTEGER
+    Σ 2^(54+1−M[j]) (absent buckets contribute 2^55) — order-independent
+    exact arithmetic; the float enters only in the final closed form.
+    Small-range (linear counting) branch when zero registers exist and
+    the raw estimate is under 2.5m, exactly as the paper prescribes.
+    Estimate is floor-quantized to centi-units for engine parity.
+    """
+    alpha = 0.709  # alpha_64 (Flajolet et al. 2007, m >= 64)
+    agg = registers.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(_HLL_W_BITS + 1) - F.col("register")))
+            .cast("long")
+        ).alias("hit_sum"),
+    )
+    scale = 1 << (_HLL_W_BITS + 1)
+    out = agg.select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_buckets")).cast("long").alias("n_zero_buckets"),
+        (
+            F.col("hit_sum") + (F.lit(m) - F.col("n_buckets")) * F.lit(scale)
+        ).cast("long").alias("int_sum"),
+    )
+    raw = F.lit(alpha * m * m * float(scale)) / F.col("int_sum").cast("double")
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero_buckets").cast("double")
+    )
+    est = F.when(
+        (F.col("n_zero_buckets") > 0) & (raw < 2.5 * m), linear
+    ).otherwise(raw)
+    return out.withColumn(
+        "estimate_c100", F.floor(est * 100).cast("long")
+    )
