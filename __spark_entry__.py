@@ -3306,6 +3306,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hll_distinct"] = text_hll_distinct
 
+    def rel_rolling_window(spark, sf):
+        """Per-user 7-day rolling spend via a RANGE window frame
+        (rangeBetween(-6, 0) over day) — the time-based frame built-ins
+        the relational checklist hadn't exercised yet. One agg shuffle
+        + one window, both on user_id."""
+        e = _t(spark, sf, "events").select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "value",
+        )
+        daily = e.groupBy("user_id", "day").agg(
+            F.round(F.sum("value"), 2).alias("v")
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rangeBetween(-6, 0)
+        )
+        return daily.select(
+            "user_id",
+            "day",
+            "v",
+            F.round(F.sum("v").over(w), 2).alias("rolling_7d"),
+            F.count("*").over(w).alias("active_days_7d"),
+        )
+
+    q["rel_rolling_window"] = rel_rolling_window
+
+    def code_assortativity(spark, sf):
+        """Degree assortativity of the file dependency graph: Pearson
+        correlation of endpoint degrees over directed symmetrized edge
+        pairs, with every sum an exact integer (same quantized-
+        regression pattern as text_zipf_stats) — only the final r is a
+        float, floor-quantized to ppm. (The concept co-occurrence graph
+        is complete at this corpus — zero degree variance — so the code
+        graph is the meaningful input.)"""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("a"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("b"),
+        )
+        sym = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+        pairs = (
+            sym.join(deg.withColumnRenamed("a", "_x"), sym.a == F.col("_x"))
+            .select("a", "b", F.col("d").alias("x"))
+            .join(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("y")), "b"
+            )
+        )
+        sums = pairs.agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+            F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
+        )
+        num = sums["n"] * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+        vx = sums["n"] * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+        vy = sums["n"] * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")
+        return sums.select(
+            "n",
+            "sum_x",
+            "sum_y",
+            "sum_xy",
+            "sum_xx",
+            "sum_yy",
+            F.floor(
+                num.cast("double")
+                * 1000000
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+            )
+            .cast("long")
+            .alias("r_ppm"),
+        )
+
+    q["code_assortativity"] = code_assortativity
+
     return q
 
 
@@ -7797,6 +7880,53 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM toks)
                    AS true_distinct
         FROM est
+    """
+
+    sql["rel_rolling_window"] = """
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   round(sum(value), 2) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day, v,
+               round(sum(v) OVER w, 2) AS rolling_7d,
+               CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["code_assortativity"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS a,
+                   dst_repo || '@' || dst_path AS b
+            FROM edges
+        ),
+        sym AS (SELECT a, b FROM de UNION SELECT b, a FROM de),
+        deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        pairs AS (
+            SELECT dx.d AS x, dy.d AS y
+            FROM sym s
+            JOIN deg dx ON dx.a = s.a
+            JOIN deg dy ON dy.a = s.b
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy
+            FROM pairs
+        )
+        SELECT n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+               CAST(floor(CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                    * 1000000
+                    / sqrt(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+                           * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)))
+                    AS BIGINT) AS r_ppm
+        FROM sums
     """
 
     return sql
