@@ -3389,6 +3389,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_assortativity"] = code_assortativity
 
+    def text_feature_hashing(spark, sf):
+        """Signed feature hashing (sketches.py: feature_hash_vectors,
+        Weinberger et al. 2009): vocabulary-free ±1 token hashing into
+        64 integer buckets — a deterministic text embedding. Oracle
+        replays hashes, signs, sums, and the dense assembly."""
+        from graphrag_rs_spark.operators.sketches import feature_hash_vectors
+
+        return feature_hash_vectors(
+            _docs(spark, sf).select("doc_id", "text"), dim=64
+        )
+
+    q["text_feature_hashing"] = text_feature_hashing
+
     return q
 
 
@@ -7927,6 +7940,39 @@ def oracle_sql() -> dict[str, str]:
                            * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)))
                     AS BIGINT) AS r_ppm
         FROM sums
+    """
+
+    sql["text_feature_hashing"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS t
+            FROM documents
+        ),
+        contrib AS (
+            SELECT doc_id, h % 64 AS bucket,
+                   CASE WHEN (h >> 59) % 2 = 1 THEN 1 ELSE -1 END AS s
+            FROM (SELECT doc_id,
+                         ('0x' || substr(sha256('fh-v1' || chr(31) || t),
+                                         1, 15))::BIGINT AS h
+                  FROM toks)
+        ),
+        cells AS (
+            SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS v
+            FROM contrib GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT d.doc_id, s.i
+            FROM (SELECT DISTINCT doc_id FROM toks) d,
+                 (SELECT unnest(generate_series(0, 63)) AS i) s
+        ),
+        dense AS (
+            SELECT sp.doc_id, sp.i, coalesce(c.v, 0) AS v
+            FROM spine sp LEFT JOIN cells c
+              ON c.doc_id = sp.doc_id AND c.bucket = sp.i
+        )
+        SELECT doc_id, list(v ORDER BY i) AS fvec
+        FROM dense GROUP BY doc_id
     """
 
     return sql

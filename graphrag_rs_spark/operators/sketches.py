@@ -174,3 +174,57 @@ def hll_estimate(
     return out.withColumn(
         "estimate_c100", F.floor(est * 100).cast("long")
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: str = "fh-v1",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning") → (doc_id, fvec: array<long>):
+    each token occurrence adds ±1 at bucket H(seed␟token) mod dim, the
+    sign taken from the next hash bit (the signed variant that keeps
+    the inner product unbiased). The standard vocabulary-free text
+    featurizer — a deterministic integer embedding any of the ANN /
+    cosine-dedup operators can consume, with zero model state.
+
+    Shape: explode → (doc, bucket) partial-agg groupBy → dense array
+    assembly via map_from_entries + a sequence transform (no pivot, no
+    UDF). Two shuffles, both keyed by doc_id.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    )
+    h = _h60(F.concat_ws(SEP, F.lit(seed), F.col("t")))
+    contrib = toks.select(
+        "doc_id",
+        (h % dim).alias("bucket"),
+        F.when(F.shiftright(h, 59) % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("s"),
+    )
+    cells = contrib.groupBy("doc_id", "bucket").agg(F.sum("s").alias("v"))
+    assembled = (
+        cells.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("fvec"),
+        )
+    )
+    return assembled
