@@ -76,3 +76,27 @@ def test_hll_power_of_two_guard(spark):
     toks = _docs(spark, ["a"]).select(F.col("text").alias("t"))
     with pytest.raises(ValueError):
         hll_registers(toks, "t", m=48)
+
+
+def test_feature_hash_deterministic_and_additive(spark):
+    from graphrag_rs_spark.operators.sketches import feature_hash_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fvec"]
+           for r in feature_hash_vectors(docs, dim=16).collect()}
+    assert 3 not in out                       # empty doc emits nothing
+    assert len(out[1]) == 16
+    # additivity: doc1 = 2*alpha + 1*beta; subtracting doc2's beta
+    # leaves exactly the alpha-only doc times two
+    alpha_only = {r["doc_id"]: r["fvec"] for r in feature_hash_vectors(
+        spark.createDataFrame([(9, "alpha")], "doc_id long, text string"),
+        dim=16).collect()}[9]
+    diff = [a - b for a, b in zip(out[1], out[2])]
+    assert diff == [2 * v for v in alpha_only]
+    # repeat run identical
+    out2 = {r["doc_id"]: r["fvec"]
+            for r in feature_hash_vectors(docs, dim=16).collect()}
+    assert out == out2
