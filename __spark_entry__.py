@@ -3402,6 +3402,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_feature_hashing"] = text_feature_hashing
 
+    def kg_harmonic_centrality(spark, sf):
+        """Harmonic centrality (traversal.py: harmonic_centrality) for 9
+        hash-strided source files over the symmetrized dependency graph
+        — reciprocal distances as exact integers (Σ floor(1e6/d)).
+        Oracle: per-source recursive-CTE BFS over the arithmetic
+        edges."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.traversal import harmonic_centrality
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        srcs = (
+            _code_corpus(spark, sf)
+            .withColumn(
+                "_id",
+                F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+            )
+            .where(F.col("_id") % 61 == 0)
+            .select(F.concat_ws("@", "repo", "path").alias("id"))
+        )
+        return harmonic_centrality(e, srcs)
+
+    q["kg_harmonic_centrality"] = kg_harmonic_centrality
+
     return q
 
 
@@ -7973,6 +8000,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, list(v ORDER BY i) AS fvec
         FROM dense GROUP BY doc_id
+    """
+
+    sql["kg_harmonic_centrality"] = _code_edges_sql.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ).rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+        srcs AS (
+            SELECT repo || '@' || path AS id FROM code WHERE doc_id % 61 = 0
+        ),
+        walk(source, node, depth) AS (
+            SELECT id, id, 0 FROM srcs
+            UNION
+            SELECT w.source, s.dst, w.depth + 1
+            FROM walk w JOIN sym s ON w.node = s.src
+            WHERE w.depth < 64
+        ),
+        md AS (SELECT source, node, min(depth) AS d
+               FROM walk GROUP BY source, node)
+        SELECT source,
+               CAST(sum(CAST(floor(1000000 / d) AS BIGINT)) AS BIGINT)
+                   AS h_ppm,
+               CAST(count(*) AS BIGINT) AS n_reached
+        FROM md WHERE d > 0 GROUP BY source
     """
 
     return sql

@@ -197,6 +197,27 @@ def eccentricity(
     true eccentricity can't exceed its longest shortest path, so
     max_iter only trips on genuinely deeper graphs.
     """
+    visited = _multi_bfs(
+        edges, sources, directed=directed, max_iter=max_iter,
+        op_name="eccentricity",
+    )
+    return visited.groupBy("source").agg(
+        F.max("depth").cast("int").alias("eccentricity"),
+        F.count("*").alias("n_reached"),
+    )
+
+
+def _multi_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    directed: bool,
+    max_iter: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared multi-source BFS → (source, node, depth) at minimal depth,
+    every source advancing in ONE frontier per hop (the eccentricity /
+    harmonic-centrality engine). Raises on max_iter exhaustion."""
     e = edges.select("src", "dst")
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -208,7 +229,6 @@ def eccentricity(
         F.lit(0).alias("depth"),
     ).localCheckpoint(eager=True)
     visited = frontier
-
     for depth in range(1, max_iter + 1):
         fresh = (
             frontier.join(e.withColumnRenamed("src", "node"), "node")
@@ -218,14 +238,41 @@ def eccentricity(
             .localCheckpoint(eager=True)
         )
         if fresh.limit(1).count() == 0:
-            break
+            return visited
         visited = visited.unionByName(fresh).localCheckpoint(eager=True)
         frontier = fresh
-    else:
-        raise RuntimeError(
-            f"eccentricity did not exhaust frontiers within max_iter={max_iter}"
+    raise RuntimeError(
+        f"{op_name} did not exhaust frontiers within max_iter={max_iter}"
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    Centrality": Σ over reachable v of 1/d(u, v) — the disconnected-
+    safe closeness variant) for the given sources →
+    (source, h_ppm, n_reached). The reciprocal sum is accumulated as
+    Σ floor(10^6 / d) — exact integer arithmetic, replayable by any
+    engine, order-independent.
+
+    Same scale shape as :func:`eccentricity` (they share one
+    multi-source frontier); hash-sample sources for the estimator
+    form, pass all nodes for the exact form.
+    """
+    visited = _multi_bfs(
+        edges, sources, directed=directed, max_iter=max_iter,
+        op_name="harmonic_centrality",
+    )
+    return (
+        visited.where(F.col("depth") > 0)
+        .groupBy("source")
+        .agg(
+            F.sum(F.floor(1000000 / F.col("depth")).cast("long")).alias("h_ppm"),
+            F.count("*").alias("n_reached"),
         )
-    return visited.groupBy("source").agg(
-        F.max("depth").cast("int").alias("eccentricity"),
-        F.count("*").alias("n_reached"),
     )

@@ -72,3 +72,14 @@ def test_halstead_empty_content(spark):
     )
     r = halstead_metrics(files).first()
     assert (r["volume"], r["difficulty"]) == (0.0, 0.0)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from graphrag_rs_spark.operators.traversal import harmonic_centrality
+
+    # path a-b-c-d from a: d=1 (b), 2 (c), 3 (d)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = {r["source"]: (r["h_ppm"], r["n_reached"])
+           for r in harmonic_centrality(e, _nodes(spark, ["a", "b"])).collect()}
+    assert out["a"] == (1000000 + 500000 + 333333, 3)
+    assert out["b"] == (1000000 * 2 + 500000, 3)
