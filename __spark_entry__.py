@@ -3429,6 +3429,216 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_harmonic_centrality"] = kg_harmonic_centrality
 
+    def kg_closeness(spark, sf):
+        """Wasserman–Faust closeness (traversal.py: closeness_centrality)
+        for the same 9 hash-strided sources over the symmetrized
+        dependency graph — (r−1)²/(Σd·(n−1)) as exact integer ppm, n =
+        node count of the graph. Shares the multi-source BFS engine with
+        harmonic/eccentricity; oracle replays the recursive-CTE BFS plus
+        the node count."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.traversal import closeness_centrality
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        srcs = (
+            _code_corpus(spark, sf)
+            .withColumn(
+                "_id",
+                F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+            )
+            .where(F.col("_id") % 61 == 0)
+            .select(F.concat_ws("@", "repo", "path").alias("id"))
+        )
+        return closeness_centrality(e, srcs)
+
+    q["kg_closeness"] = kg_closeness
+
+    def kg_rich_club(spark, sf):
+        """Rich-club coefficients (analytics.py: rich_club) over the
+        symmetrized dependency graph at degree thresholds 0/1/2/3 —
+        do this codebase's hub files wire to each other? φ(k) as exact
+        integer ppm. Oracle replays degrees, induced-edge counts, and
+        the density formula over the arithmetic edges."""
+        from graphrag_rs_spark.operators.analytics import rich_club
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        return rich_club(e, ks=(0, 1, 2, 3))
+
+    q["kg_rich_club"] = kg_rich_club
+
+    def code_fan_metrics(spark, sf):
+        """Martin coupling metrics (code_graph.py: fan_metrics): per-file
+        fan-in/fan-out over the dependency graph and instability
+        Ce/(Ca+Ce) as exact integer per-mille — the stable-abstractions
+        audit. Oracle derives both directions from the arithmetic
+        edges."""
+        from graphrag_rs_spark.operators.code_graph import (
+            dependency_edges,
+            fan_metrics,
+        )
+
+        return fan_metrics(dependency_edges(_code_corpus(spark, sf)))
+
+    q["code_fan_metrics"] = code_fan_metrics
+
+    def code_lang_breakdown(spark, sf):
+        """Per-repo language census (the GitHub-linguist rollup a corpus
+        pipeline gates on): files, bytes, lines per (repo, lang) plus
+        each language's per-mille share of the repo's bytes — exact
+        integer arithmetic, one partial-agg groupBy plus a repo-total
+        broadcast join."""
+        files = _code_corpus(spark, sf)
+        per = files.groupBy("repo", "lang").agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.length("content")).alias("n_bytes"),
+            F.sum(F.size(F.split("content", "\n", -1))).alias("n_lines"),
+        )
+        tot = per.groupBy("repo").agg(F.sum("n_bytes").alias("_repo_bytes"))
+        return per.join(F.broadcast(tot), "repo").select(
+            "repo",
+            "lang",
+            "n_files",
+            "n_bytes",
+            "n_lines",
+            F.floor(1000 * F.col("n_bytes") / F.col("_repo_bytes"))
+            .cast("long")
+            .alias("share_pm"),
+        )
+
+    q["code_lang_breakdown"] = code_lang_breakdown
+
+    def text_semdedup(spark, sf):
+        """SemDedup (similarity.py: semdedup): integer-exact k-means
+        clustering (the IVF quantizer, replayed bit-for-bit by the
+        oracle) then within-cluster cosine pruning at τ=0.3 with the
+        deterministic first-id-kept rule — semantic near-dup removal,
+        the step after MinHash in a web-scale curation stack. The τ
+        boundary is the same documented 6.9e-5-margin pair set as
+        dedup_embedding, so the kept flag is engine-stable."""
+        from graphrag_rs_spark.operators.similarity import semdedup
+
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        return semdedup(
+            emb, n_centroids=8, n_iters=2, threshold=0.3
+        ).withColumnRenamed("id", "vec_id")
+
+    q["text_semdedup"] = text_semdedup
+
+    def text_bloom_filter(spark, sf):
+        """Bloom-filter membership (sketches.py: bloom_bits +
+        bloom_probe, m=2^16, k=4 portable sha hashes): the filter is
+        built from the eval slice's token vocabulary (doc_id % 97 = 0)
+        and probed with the held-out slice's vocabulary (doc_id % 89 =
+        0) next to exact membership — the one-sided guarantee (no false
+        negatives) and the measured false-positive rate are both visible
+        in the output. Oracle replays bit positions, the distinct bit
+        set, and the all-k-hit rule."""
+        from graphrag_rs_spark.operators.sketches import bloom_bits, bloom_probe
+        from graphrag_rs_spark.operators.textstats import _tokens
+
+        docs = _docs(spark, sf)
+        eval_toks = (
+            docs.where(F.col("doc_id") % 97 == 0)
+            .select(F.explode(_tokens(F.col("text"))).alias("key"))
+            .distinct()
+        )
+        probe_toks = (
+            docs.where(F.col("doc_id") % 89 == 0)
+            .select(F.explode(_tokens(F.col("text"))).alias("key"))
+            .distinct()
+        )
+        bits = bloom_bits(eval_toks, key_col="key")
+        probed = bloom_probe(probe_toks, bits, key_col="key")
+        truth = eval_toks.withColumn("_in", F.lit(True))
+        return probed.join(truth, "key", "left").select(
+            F.col("key").alias("token"),
+            "bloom_hit",
+            F.coalesce("_in", F.lit(False)).alias("true_hit"),
+        )
+
+    q["text_bloom_filter"] = text_bloom_filter
+
+    def rel_anomaly_mad(spark, sf):
+        """Robust outlier detection per event type: median/MAD computed
+        over integer micro-quantized values with the ×2/×4 scaling trick
+        so every intermediate is an exact integer (percentile() and
+        quantile_cont share the (n−1)·p rule; medians of ints are
+        half-integers, so 2·median and 2·median-of-2·deviations are
+        integers) — n_outliers counts |x−med| > 3·MAD. The z-score-free
+        robust screen monitoring pipelines run where means are hub-
+        poisoned. Exact percentile sorts within group; at 100 TB the
+        documented swap is approx_percentile, same downstream algebra."""
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
+        )
+        med = ev.groupBy("event_type").agg(
+            (F.expr("percentile(qv, 0.5)") * 2).cast("long").alias("med2"),
+            F.count("*").alias("n_events"),
+        )
+        dev = ev.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "n_events",
+            "med2",
+            F.abs(2 * F.col("qv") - F.col("med2")).alias("dev2"),
+        )
+        mad = dev.groupBy("event_type").agg(
+            (F.expr("percentile(dev2, 0.5)") * 2).cast("long").alias("mad4")
+        )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "n_events", "med2", "mad4")
+            .agg(
+                F.sum(
+                    (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long")
+                ).alias("n_outliers")
+            )
+        )
+
+    q["rel_anomaly_mad"] = rel_anomaly_mad
+
+    def mm_image_dhash(spark, sf):
+        """Difference-hash over the same REAL generated PNGs as
+        mm_image_ahash (multimodal.py: image_dhash): stdlib decode →
+        8×9 nearest sample → horizontal-gradient bits → packed 64-bit
+        key. Brightness-shift-robust near-dup key; the oracle replays
+        the hash from the generative pixel definition, codec-free."""
+        from graphrag_rs_spark.operators.multimodal import image_dhash, make_png
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                png_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return image_dhash(media)
+
+    q["mm_image_dhash"] = mm_image_dhash
+
     return q
 
 
@@ -4811,7 +5021,10 @@ def oracle_sql() -> dict[str, str]:
         )""")
         _prev_cent = f"cent{_i}"
 
-    sql["ann_ivf_topk"] = f"""
+    # shared quantizer-replay prefix (init + 2 unrolled Lloyd iterations
+    # + final assignment) — consumed by ann_ivf_topk (probes+re-rank) and
+    # text_semdedup (within-cluster pruning)
+    _ivf_member_prefix = f"""
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
                    list_transform(embedding::DOUBLE[],
@@ -4845,7 +5058,9 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY d ASC, j ASC) AS rn
             FROM finald
         ),
-        members AS (SELECT vec_id, j FROM rankedd WHERE rn = 1),
+        members AS (SELECT vec_id, j FROM rankedd WHERE rn = 1)"""
+
+    sql["ann_ivf_topk"] = f"""{_ivf_member_prefix},
         probes AS (SELECT vec_id, j FROM rankedd WHERE rn <= 2),
         cand AS (
             SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
@@ -8028,6 +8243,244 @@ def oracle_sql() -> dict[str, str]:
                    AS h_ppm,
                CAST(count(*) AS BIGINT) AS n_reached
         FROM md WHERE d > 0 GROUP BY source
+    """
+
+    # kg_closeness: same recursive-CTE BFS as harmonic, plus the
+    # symmetrized node count for the Wasserman–Faust normalization;
+    # every arithmetic step integer or engine-exact double division.
+    sql["kg_closeness"] = _code_edges_sql.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ).rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+        nn AS (SELECT count(DISTINCT src) AS n_nodes
+               FROM (SELECT src FROM sym UNION ALL SELECT dst FROM sym)),
+        srcs AS (
+            SELECT repo || '@' || path AS id FROM code WHERE doc_id % 61 = 0
+        ),
+        walk(source, node, depth) AS (
+            SELECT id, id, 0 FROM srcs
+            UNION
+            SELECT w.source, s.dst, w.depth + 1
+            FROM walk w JOIN sym s ON w.node = s.src
+            WHERE w.depth < 64
+        ),
+        md AS (SELECT source, node, min(depth) AS d
+               FROM walk GROUP BY source, node),
+        per AS (
+            SELECT source, CAST(sum(d) AS BIGINT) AS sum_dist,
+                   CAST(count(*) AS BIGINT) AS n_reached
+            FROM md GROUP BY source
+        )
+        SELECT source, sum_dist, n_reached,
+               CASE WHEN sum_dist > 0 AND nn.n_nodes > 1 THEN
+                   CAST(floor(1000000 * (n_reached - 1) * (n_reached - 1)
+                        / (sum_dist * (nn.n_nodes - 1))) AS BIGINT)
+               END AS closeness_ppm
+        FROM per, nn
+    """
+
+    # kg_rich_club: degrees over the symmetrized dependency graph, then
+    # per-threshold node and induced-edge counts — pure integer algebra.
+    sql["kg_rich_club"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de WHERE src != dst
+            UNION ALL SELECT dst, src FROM de WHERE src != dst
+        )),
+        deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+        ks(k) AS (VALUES (0), (1), (2), (3)),
+        nr AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+            FROM deg, ks WHERE deg > k GROUP BY k
+        ),
+        canon AS (SELECT src, dst FROM sym WHERE src < dst),
+        er AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+            FROM canon c
+            JOIN deg da ON da.id = c.src
+            JOIN deg db ON db.id = c.dst, ks
+            WHERE least(da.deg, db.deg) > k
+            GROUP BY k
+        )
+        SELECT CAST(nr.k AS INT) AS k, nr.n_rich,
+               coalesce(er.e_rich, 0) AS e_rich,
+               CASE WHEN nr.n_rich > 1 THEN
+                   CAST(floor(1000000 * 2 * coalesce(er.e_rich, 0)
+                        / (nr.n_rich * (nr.n_rich - 1))) AS BIGINT)
+               END AS phi_ppm
+        FROM nr LEFT JOIN er ON er.k = nr.k
+    """
+
+    # code_fan_metrics: both coupling directions from the arithmetic
+    # edges; instability = floor(1000·Ce/(Ca+Ce)).
+    sql["code_fan_metrics"] = _code_edges_sql.rstrip() + """,
+        pairs AS (
+            SELECT DISTINCT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        ce AS (SELECT src AS file, CAST(count(*) AS BIGINT) AS fan_out
+               FROM pairs GROUP BY src),
+        ca AS (SELECT dst AS file, CAST(count(*) AS BIGINT) AS fan_in
+               FROM pairs GROUP BY dst),
+        merged AS (
+            SELECT coalesce(ce.file, ca.file) AS file,
+                   coalesce(fan_in, 0) AS fan_in,
+                   coalesce(fan_out, 0) AS fan_out
+            FROM ce FULL OUTER JOIN ca ON ce.file = ca.file
+        )
+        SELECT split_part(file, '@', 1) AS repo,
+               split_part(file, '@', 2) AS path,
+               fan_in, fan_out,
+               CAST(floor(1000 * fan_out / (fan_in + fan_out)) AS BIGINT)
+                   AS instability_pm
+        FROM merged
+    """
+
+    # code_lang_breakdown: census over the replicated content; trailing
+    # empty line counted by both engines' split semantics.
+    sql["code_lang_breakdown"] = f"""
+        WITH {_code_content_cte},
+        per AS (
+            SELECT repo, lang, CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(length(content)) AS BIGINT) AS n_bytes,
+                   CAST(sum(len(string_split(content, chr(10)))) AS BIGINT)
+                       AS n_lines
+            FROM codec GROUP BY repo, lang
+        ),
+        tot AS (SELECT repo, sum(n_bytes) AS repo_bytes FROM per GROUP BY repo)
+        SELECT per.repo, lang, n_files, n_bytes, n_lines,
+               CAST(floor(1000 * n_bytes / repo_bytes) AS BIGINT) AS share_pm
+        FROM per JOIN tot ON per.repo = tot.repo
+    """
+
+    # text_semdedup: the full quantizer replay (shared prefix) + the
+    # within-cluster earlier-id max-cosine and the τ=0.3 kept rule.
+    sql["text_semdedup"] = f"""{_ivf_member_prefix},
+        prior AS (
+            SELECT hi.vec_id,
+                   max(list_cosine_similarity(qa.emb, qb.emb)) AS mx
+            FROM members lo
+            JOIN members hi ON lo.j = hi.j AND lo.vec_id < hi.vec_id
+            JOIN e qa ON qa.vec_id = lo.vec_id
+            JOIN e qb ON qb.vec_id = hi.vec_id
+            GROUP BY hi.vec_id
+        )
+        SELECT m.vec_id, CAST(m.j AS INT) AS cluster,
+               round(p.mx, 5) AS max_prior_cosine,
+               (p.mx IS NULL OR p.mx < 0.3) AS kept
+        FROM members m LEFT JOIN prior p ON p.vec_id = m.vec_id
+    """
+
+    # text_bloom_filter: replay bit positions H(seed␟i␟key) mod 2^16,
+    # the distinct set-bit relation, and the all-4-hit probe rule.
+    sql["text_bloom_filter"] = """
+        WITH ev AS (
+            SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS key
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        pr AS (
+            SELECT DISTINCT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> t != '')) AS key
+            FROM documents WHERE doc_id % 89 = 0
+        ),
+        hs(i) AS (VALUES (0), (1), (2), (3)),
+        bits AS (
+            SELECT DISTINCT ('0x' || substr(sha256('bloom-v1' || chr(31)
+                       || i || chr(31) || key), 1, 15))::BIGINT % 65536
+                   AS bit
+            FROM ev, hs
+        ),
+        probed AS (
+            SELECT pr.key, ('0x' || substr(sha256('bloom-v1' || chr(31)
+                       || i || chr(31) || key), 1, 15))::BIGINT % 65536
+                   AS bit
+            FROM pr, hs
+        ),
+        hits AS (
+            SELECT p.key,
+                   count(b.bit) = 4 AS bloom_hit
+            FROM probed p LEFT JOIN bits b ON b.bit = p.bit
+            GROUP BY p.key
+        )
+        SELECT h.key AS token, h.bloom_hit,
+               (ev.key IS NOT NULL) AS true_hit
+        FROM hits h LEFT JOIN ev ON ev.key = h.key
+    """
+
+    # rel_anomaly_mad: micro-quantized values, ×2/×4 integer medians
+    # (quantile_cont shares percentile()'s (n−1)·p rule), 3·MAD count.
+    sql["rel_anomaly_mad"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(value * 1000000) AS BIGINT) AS qv
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(quantile_cont(qv, 0.5) * 2 AS BIGINT) AS med2,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM ev GROUP BY event_type
+        ),
+        dev AS (
+            SELECT ev.event_type, n_events, med2,
+                   abs(2 * qv - med2) AS dev2
+            FROM ev JOIN med USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type, n_events, med2, mad4,
+               CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type, n_events, med2, mad4
+    """
+
+    # mm_image_dhash: replay from pixel(x,y) = (seed+x+y) % 256 with the
+    # 8×9 nearest grid; bit = left sample strictly brighter than right.
+    sql["mm_image_dhash"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        g AS (
+            SELECT doc_id, j, i,
+                   least(CAST(floor((i + 0.5) * (8 + doc_id % 8) / 9.0)
+                              AS INT),
+                         CAST(8 + doc_id % 8 - 1 AS INT)) AS sx,
+                   j AS sy
+            FROM d, unnest(generate_series(0, 7)) AS t1(j),
+                 unnest(generate_series(0, 8)) AS t2(i)
+        ),
+        px AS (SELECT doc_id, j, i, (doc_id + sx + sy) % 256 AS p FROM g),
+        bits AS (
+            SELECT a.doc_id,
+                   sum(CASE WHEN a.p > b.p
+                       THEN (1::HUGEINT << (63 - (a.j * 8 + a.i)))
+                       ELSE 0::HUGEINT END) AS h
+            FROM px a JOIN px b
+              ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+            WHERE a.i < 8
+            GROUP BY a.doc_id
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END
+                    AS BIGINT) AS dhash,
+               'ok' AS decode_ok
+        FROM bits
     """
 
     return sql

@@ -758,3 +758,64 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         f"k_truss did not converge within max_iter={max_iter} rounds; "
         "raise max_iter (rounds needed = the graph's peel depth)"
     )
+
+
+def rich_club(edges: DataFrame, *, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Rich-club coefficients φ(k) (Zhou & Mondragón 2004; Colizza et
+    al. 2006 define the normalized form — this is the raw φ, the
+    normalization baseline being a caller-side null model) →
+    (k, n_rich, e_rich, phi_ppm) for each threshold in ``ks``.
+
+    φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) where N_{>k} counts nodes of
+    degree > k and E_{>k} the undirected edges with BOTH endpoints of
+    degree > k — "do the hubs of this graph preferentially wire to each
+    other?", the density of the subgraph induced by the rich nodes.
+    Reported as ``phi_ppm = floor(10^6·2·E/(N·(N−1)))`` — exact integer
+    arithmetic; NULL when N_{>k} < 2.
+
+    Scale shape: one degree aggregation, two broadcast-backed joins to
+    tag edge endpoints with degrees, then ONE explode of the tiny
+    literal threshold array on the node and edge sides — per-k work is
+    a partial-agg count, never a per-k scan of the graph. Ships
+    (id, deg) and (min_end_deg) only.
+    """
+    if not ks:
+        raise ValueError("ks must name at least one degree threshold")
+    sym = _sym_unweighted(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    karr = F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    n_rich = (
+        deg.select("deg", F.explode(karr).alias("k"))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_rich"))
+    )
+    # canonical (a<b) edge list tagged with the SMALLER endpoint degree:
+    # both endpoints exceed k iff min(deg_a, deg_b) > k
+    canon = sym.where(F.col("src") < F.col("dst"))
+    tagged = (
+        canon.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("_da")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("_db")), "dst")
+        .select(F.least("_da", "_db").alias("min_deg"))
+    )
+    e_rich = (
+        tagged.select("min_deg", F.explode(karr).alias("k"))
+        .where(F.col("min_deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_rich"))
+    )
+    return (
+        n_rich.join(e_rich, "k", "left")
+        .select(
+            "k",
+            "n_rich",
+            F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+            F.when(
+                F.col("n_rich") > 1,
+                F.floor(
+                    1000000 * 2 * F.coalesce("e_rich", F.lit(0))
+                    / (F.col("n_rich") * (F.col("n_rich") - 1))
+                ).cast("long"),
+            ).alias("phi_ppm"),
+        )
+    )

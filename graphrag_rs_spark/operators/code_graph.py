@@ -318,6 +318,48 @@ def repo_rollup(edges: DataFrame) -> DataFrame:
     )
 
 
+def fan_metrics(edges: DataFrame) -> DataFrame:
+    """Per-file coupling metrics over the dependency graph →
+    (repo, path, fan_in, fan_out, instability_pm).
+
+    fan_out (Ce, efferent coupling) = distinct files this file depends
+    on; fan_in (Ca, afferent) = distinct files depending on it;
+    instability I = Ce/(Ca+Ce) (Martin 1994, "OO Design Quality
+    Metrics") reported as ``floor(1000·Ce/(Ca+Ce))`` per-mille — exact
+    integer arithmetic. I→1000 marks leaf glue code (easy to change,
+    nothing depends on it), I→0 marks load-bearing core modules; the
+    stable-abstractions audit every large refactor starts from.
+
+    Scale shape: the (src,dst) file-pair frame is deduped once, then
+    TWO partial-agg groupBys (one per direction) and a full outer merge
+    on the file key — ids only, no content, no window.
+    """
+    pairs = edges.select(
+        F.concat_ws("@", "src_repo", "src_path").alias("src"),
+        F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+    ).distinct()
+    ce = pairs.groupBy(F.col("src").alias("file")).agg(
+        F.count("*").alias("fan_out")
+    )
+    ca = pairs.groupBy(F.col("dst").alias("file")).agg(
+        F.count("*").alias("fan_in")
+    )
+    merged = ce.join(ca, "file", "full_outer").select(
+        "file",
+        F.coalesce("fan_in", F.lit(0)).alias("fan_in"),
+        F.coalesce("fan_out", F.lit(0)).alias("fan_out"),
+    )
+    return merged.select(
+        F.substring_index("file", "@", 1).alias("repo"),
+        F.substring_index("file", "@", -1).alias("path"),
+        "fan_in",
+        "fan_out",
+        F.floor(
+            1000 * F.col("fan_out") / (F.col("fan_in") + F.col("fan_out"))
+        ).cast("long").alias("instability_pm"),
+    )
+
+
 def code_triples(files: DataFrame) -> DataFrame:
     """Unified triple view of the code graph, in the engine's
     (subj, pred, obj) shape: file IMPORTS module, file DEFINES symbol,

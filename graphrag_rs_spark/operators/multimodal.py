@@ -394,3 +394,56 @@ def image_ahash(media: DataFrame, *, grid: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=AHASH_SCHEMA
     )
+
+
+DHASH_SCHEMA = "media_id string, dhash long, decode_ok string"
+
+
+def image_dhash(media: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Difference-hash perceptual fingerprint → (media_id, dhash,
+    decode_ok): decode the REAL PNG payload, nearest-neighbor sample a
+    ``grid``×``(grid+1)`` patch (kernel/media.py: resize_nearest), set
+    bit (row, col) iff the left sample is strictly brighter than its
+    right neighbor, pack row-major MSB-first into a signed 64-bit
+    value. The gradient-based sibling of :func:`image_ahash` — robust
+    to global brightness/contrast shifts that move aHash's mean, so
+    near-dup image pipelines bucket on BOTH keys. Pure integer
+    comparisons; an external oracle replays the hash from the
+    generative pixel definition with no codec.
+
+    Shape: identical to image_ahash — Arrow-batched mapInPandas over
+    (media_id, payload), 8 bytes out per image.
+    """
+    from graphrag_rs_spark.kernel.media import decode_png, resize_nearest
+
+    if grid * grid > 64:
+        raise ValueError("grid*grid must fit 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for payload in pdf["payload"]:
+                px = decode_png(payload)
+                if px is None:
+                    hashes.append(None)
+                    oks.append("decode_error")
+                    continue
+                g = resize_nearest(px, grid + 1, grid).astype(np.int64)
+                h = 0
+                for b in (g[:, :-1] > g[:, 1:]).flatten():
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+                oks.append("ok")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.Series(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )

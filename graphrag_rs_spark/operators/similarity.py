@@ -1010,3 +1010,76 @@ def cosine_topk_ivfpq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.3,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by clustering then within-cluster cosine pruning →
+    (id, cluster, max_prior_cosine, kept).
+
+    The published recipe: k-means the embedding space, and inside each
+    cluster drop every item whose cosine to another cluster member
+    exceeds ``threshold`` — near-duplicate *meaning*, not near-duplicate
+    bytes (the web-scale step AFTER MinHash: catches translations,
+    templated rewrites, boilerplate paraphrases). This implementation
+    keeps the FIRST member by id of every semantic group (deterministic
+    first-occurrence rule, same tie policy as the C4 span dedup
+    operator) rather than the paper's keep-farthest-from-centroid, and
+    reuses the integer-exact Lloyd's quantizer (train_ivf_centroids) so
+    an external SQL oracle replays clustering bit-for-bit.
+
+    Scale shape: assignment is one map-only pass (K×dim literal
+    distance fold, no shuffle); the pair stage shuffles on cluster id
+    and is O(Σ c_i²) — the SemDedup cost model, bounded by picking
+    n_centroids ∝ corpus/target-cluster-size (the paper runs 50k
+    clusters for LAION-440M; cluster size, not corpus size, is the
+    knob). Cosine pairs are scored with the Arrow-batched kernel that
+    is bit-identical to the SQL fold (_cosine_pair_expr).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            n_iters=n_iters,
+        )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        F.array_min(_centroid_dists(_int_vec(F.col(vec_col)), centroids))[
+            "j"
+        ].alias("cluster"),
+    )
+    lo = assigned.select(
+        "cluster", F.col("id").alias("_id_lo"), F.col("emb").alias("_emb_lo")
+    )
+    hi = assigned.select(
+        "cluster", F.col("id").alias("id"), F.col("emb").alias("_emb_hi")
+    )
+    pairs = hi.join(lo, "cluster").where(F.col("_id_lo") < F.col("id"))
+    scored = pairs.withColumn(
+        "_cos", _cosine_pair_expr(pairs, "_emb_lo", "_emb_hi")
+    )
+    prior = scored.groupBy("id").agg(F.max("_cos").alias("max_prior_cosine"))
+    return (
+        assigned.join(prior, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.round("max_prior_cosine", 5).alias("max_prior_cosine"),
+            (
+                F.col("max_prior_cosine").isNull()
+                | (F.col("max_prior_cosine") < F.lit(float(threshold)))
+            ).alias("kept"),
+        )
+    )

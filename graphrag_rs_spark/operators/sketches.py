@@ -228,3 +228,75 @@ def feature_hash_vectors(
         )
     )
     return assembled
+
+
+def bloom_bits(
+    keys: DataFrame,
+    *,
+    key_col: str = "key",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Bloom filter build (Bloom 1970) → (bit,) — the distinct set bit
+    positions, each key setting ``k_hashes`` positions
+    H(seed␟i␟key) mod m. Like the CMS/HLL sketches this uses the
+    portable sha256-derived 60-bit family, so the filter CONTENT (not
+    just the answers) is bit-reproducible on any engine and any
+    partitioning.
+
+    Scale shape: one explode(×k) + one distinct bounded by m_bits —
+    the reduce side is filter-sized, never corpus-sized; shard filters
+    union to the same distinct (trivially mergeable). The dense bitmap
+    form is a driver-side afterthought at m=2^16..2^32; the relational
+    (bit,) form is what the probe join below wants anyway.
+    """
+    key = F.col(key_col)
+    return (
+        keys.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+            key.alias("_k"),
+        )
+        .select(
+            (
+                _h60(F.concat_ws(SEP, F.lit(seed), F.col("i").cast("string"), F.col("_k")))
+                % m_bits
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    *,
+    key_col: str = "key",
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    seed: str = "bloom-v1",
+) -> DataFrame:
+    """Membership probe against a built filter → probes + ``bloom_hit``:
+    true iff ALL ``k_hashes`` probed positions are set (the one-sided
+    guarantee: misses are certain, hits may be false positives at rate
+    ≈ (1−e^{−kn/m})^k). Implemented as explode(×k) → left join on the
+    bit key → per-probe count == k; the join side is the m-bounded bit
+    set, broadcastable for any practical filter.
+    """
+    key = F.col(key_col)
+    probed = probes.select(
+        key.alias(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i"),
+    ).select(
+        key_col,
+        (
+            _h60(F.concat_ws(SEP, F.lit(seed), F.col("i").cast("string"), key))
+            % m_bits
+        ).alias("bit"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg((F.count("_set") == k_hashes).alias("bloom_hit"))
+    )
+    return probes.join(hits, key_col, "left")

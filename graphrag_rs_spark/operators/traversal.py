@@ -276,3 +276,58 @@ def harmonic_centrality(
             F.count("*").alias("n_reached"),
         )
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    directed: bool = False,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Wasserman–Faust closeness for the given sources →
+    (source, sum_dist, n_reached, closeness_ppm).
+
+    The disconnected-safe normalization
+    ``((r−1)/(n−1)) · ((r−1)/Σd)`` (r = reachable incl. the source,
+    n = nodes in the graph, Σd = sum of shortest-path distances) scales
+    plain closeness by the reachable fraction, so sources in small
+    components don't score as central as hub nodes. Reported as
+    ``closeness_ppm = floor(10^6 · (r−1)² / (Σd · (n−1)))`` — exact
+    integer arithmetic over the BFS depths, replayable by any engine.
+    Sources that reach nothing (Σd = 0) emit NULL closeness.
+
+    Same scale shape as :func:`harmonic_centrality` — all sources share
+    ONE multi-source frontier (`_multi_bfs`), each hop an equi-join +
+    left_anti, lineage cut per hop; n is one count over the
+    symmetrized node set, broadcast onto the k-row aggregate.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count("*").alias("n_nodes"))
+    visited = _multi_bfs(
+        edges, sources, directed=directed, max_iter=max_iter,
+        op_name="closeness_centrality",
+    )
+    per_src = visited.groupBy("source").agg(
+        F.sum("depth").cast("long").alias("sum_dist"),
+        F.count("*").alias("n_reached"),
+    )
+    return per_src.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "sum_dist",
+        "n_reached",
+        F.when(
+            (F.col("sum_dist") > 0) & (F.col("n_nodes") > 1),
+            F.floor(
+                1000000
+                * (F.col("n_reached") - 1)
+                * (F.col("n_reached") - 1)
+                / (F.col("sum_dist") * (F.col("n_nodes") - 1))
+            ).cast("long"),
+        ).alias("closeness_ppm"),
+    )
