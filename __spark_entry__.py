@@ -3639,6 +3639,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_dhash"] = mm_image_dhash
 
+    def kg_weighted_sssp(spark, sf):
+        """Bounded Bellman-Ford weighted shortest paths (traversal.py:
+        weighted_sssp) from the 9 hash-strided source files over the
+        symmetrized dependency graph, edge weight 1 + H(least␟greatest)
+        mod 9 (portable sha — symmetric, engine-replayable). 8 rounds
+        defines the result as min-cost-within-8-hops, so the oracle is
+        8 unrolled relax-rounds of pure relational algebra — no
+        recursive CTE path explosion on weighted cycles."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.sketches import SEP, _h60
+        from graphrag_rs_spark.operators.traversal import weighted_sssp
+
+        ed = dependency_edges(_code_corpus(spark, sf)).select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        weighted = ed.where(F.col("src") != F.col("dst")).select(
+            "src",
+            "dst",
+            (
+                1
+                + _h60(
+                    F.concat_ws(
+                        SEP, F.least("src", "dst"), F.greatest("src", "dst")
+                    )
+                )
+                % 9
+            ).alias("w"),
+        )
+        srcs = (
+            _code_corpus(spark, sf)
+            .withColumn(
+                "_id",
+                F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+            )
+            .where(F.col("_id") % 61 == 0)
+            .select(F.concat_ws("@", "repo", "path").alias("id"))
+        )
+        return weighted_sssp(weighted, srcs, n_rounds=8)
+
+    q["kg_weighted_sssp"] = kg_weighted_sssp
+
+    def mm_audio_dhash(spark, sf):
+        """Frame-energy difference-hash fingerprints (multimodal.py:
+        audio_dhash) over REAL generated 8-bit WAVs — RIFF decode →
+        65 near-equal frames → integer envelope energies → 64
+        louder-than-next bits. The oracle replays the hash from the
+        generative sample definition ((i·7) mod 256), codec-free and
+        integer-exact end to end."""
+        from graphrag_rs_spark.operators.multimodal import audio_dhash, make_wav
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def wav_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_wav(40 + int(d) % 50, 8000) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                wav_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return audio_dhash(media)
+
+    q["mm_audio_dhash"] = mm_audio_dhash
+
+    def rel_interval_overlap(spark, sf):
+        """Interval-containment join without the range-join cartesian
+        trap (asof.py: interval_overlap_join): each signup event opens a
+        2-hour half-open window; count error events (any user) landing
+        inside it, via hour-bucket explode + EQUI-join + exact predicate
+        — each pair produced exactly once, no dedupe. Value totals kept
+        as exact integer cents. Zero-overlap windows survive through the
+        left re-join (n_errors 0)."""
+        from graphrag_rs_spark.operators.asof import interval_overlap_join
+
+        ev = _t(spark, sf, "events")
+        HOUR_US = 3600 * 1000000
+        # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (same
+        # idiom as rel_events_asof)
+        ep = F.unix_micros(F.col("ts").cast("timestamp"))
+        iv = ev.where(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("signup_user"),
+            ep.alias("start_us"),
+            (ep + 2 * HOUR_US).alias("end_us"),
+        )
+        pt = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("err_us"),
+            F.floor(F.col("value") * 100).cast("long").alias("err_cents"),
+        )
+        pairs = interval_overlap_join(
+            iv,
+            pt,
+            start_col="start_us",
+            end_col="end_us",
+            time_col="err_us",
+            bucket_width=HOUR_US,
+        )
+        counts = pairs.groupBy("signup_id").agg(
+            F.count("*").alias("n_errors"),
+            F.sum("err_cents").alias("err_cents"),
+        )
+        return iv.join(counts, "signup_id", "left").select(
+            "signup_id",
+            "signup_user",
+            "start_us",
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            F.coalesce("err_cents", F.lit(0)).alias("err_cents"),
+        )
+
+    q["rel_interval_overlap"] = rel_interval_overlap
+
     return q
 
 
@@ -8481,6 +8600,165 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS dhash,
                'ok' AS decode_ok
         FROM bits
+    """
+
+    # kg_weighted_sssp: 8 unrolled Bellman-Ford relax rounds over the
+    # sha-weighted symmetrized dependency graph — same bounded-rounds
+    # semantics as the operator, pure relational algebra (no recursive
+    # CTE path explosion on weighted cycles).
+    sql["kg_weighted_sssp"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        wsym AS (
+            SELECT src, dst, min(w) AS w FROM (
+                SELECT src, dst,
+                       1 + ('0x' || substr(sha256(least(src, dst) || chr(31)
+                           || greatest(src, dst)), 1, 15))::BIGINT % 9 AS w
+                FROM de WHERE src != dst
+                UNION ALL
+                SELECT dst AS src, src AS dst,
+                       1 + ('0x' || substr(sha256(least(src, dst) || chr(31)
+                           || greatest(src, dst)), 1, 15))::BIGINT % 9 AS w
+                FROM de WHERE src != dst
+            ) GROUP BY src, dst
+        ),
+        srcs AS (
+            SELECT repo || '@' || path AS id FROM code WHERE doc_id % 61 = 0
+        ),
+        d0 AS (
+            SELECT id AS source, id AS node, CAST(0 AS BIGINT) AS dist
+            FROM srcs
+        ),
+        d1 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d0
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d0 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d2 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d1
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d1 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d3 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d2
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d2 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d4 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d3
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d3 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d5 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d4
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d4 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d6 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d5
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d5 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d7 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d6
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d6 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        ),
+        d8 AS (
+            SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d7
+                UNION ALL
+                SELECT p.source, e.dst AS node, p.dist + e.w AS dist
+                FROM d7 p JOIN wsym e ON e.src = p.node
+            ) GROUP BY source, node
+        )
+        SELECT source, node, CAST(dist AS BIGINT) AS dist FROM d8
+    """
+
+    # mm_audio_dhash: replay the fingerprint from the generative WAV
+    # definition (sample i byte = (i*7) mod 256, n = 8*(40 + doc_id%50))
+    # -- frame(i) = i*65 // n, integer envelope energies, 64
+    # louder-than-next bits packed MSB-first, HUGEINT -> signed BIGINT.
+    sql["mm_audio_dhash"] = """
+        WITH d AS (
+            SELECT doc_id, 8 * (40 + doc_id % 50) AS n
+            FROM documents WHERE doc_id < 100
+        ),
+        s AS (
+            SELECT doc_id,
+                   abs(((i * 7) % 256) - 128) AS mag,
+                   (i * 65) // n AS frame
+            FROM d, unnest(generate_series(0, n - 1)) AS t(i)
+        ),
+        e AS (
+            SELECT doc_id, frame, CAST(sum(mag) AS BIGINT) AS energy
+            FROM s GROUP BY doc_id, frame
+        ),
+        b AS (
+            SELECT doc_id, frame, energy,
+                   lead(energy) OVER (PARTITION BY doc_id ORDER BY frame)
+                       AS nxt
+            FROM e
+        ),
+        h AS (
+            SELECT doc_id,
+                   sum(CASE WHEN energy > nxt
+                       THEN (1::HUGEINT << CAST(63 - frame AS INT))
+                       ELSE 0::HUGEINT END) AS h
+            FROM b WHERE frame < 64 GROUP BY doc_id
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN h - 18446744073709551616::HUGEINT ELSE h END
+                    AS BIGINT) AS adhash,
+               'ok' AS decode_ok
+        FROM h
+    """
+
+    # rel_interval_overlap: the ground-truth inequality join the
+    # bucketized Spark plan re-expresses.
+    sql["rel_interval_overlap"] = """
+        WITH iv AS (
+            SELECT event_id AS signup_id, user_id AS signup_user,
+                   epoch_us(ts) AS start_us,
+                   epoch_us(ts) + 7200000000 AS end_us
+            FROM events WHERE event_type = 'signup'
+        ),
+        pt AS (
+            SELECT epoch_us(ts) AS err_us,
+                   CAST(floor(value * 100) AS BIGINT) AS err_cents
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT i.signup_id, i.signup_user, i.start_us,
+               CAST(count(p.err_us) AS BIGINT) AS n_errors,
+               CAST(coalesce(sum(p.err_cents), 0) AS BIGINT) AS err_cents
+        FROM iv i LEFT JOIN pt p
+            ON p.err_us >= i.start_us AND p.err_us < i.end_us
+        GROUP BY i.signup_id, i.signup_user, i.start_us
     """
 
     return sql

@@ -96,3 +96,48 @@ def asof_join(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"_m.{c}").alias(out_names[c]) for c in r_payload_cols],
     )
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    time_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-containment join without a range-join blowup → every
+    (interval row ⨝ point row) pair with ``start ≤ time < end``,
+    all columns from both sides (callers pre-alias collisions).
+
+    The naive plan for ``ON p.t >= i.start AND p.t < i.end`` is a
+    broadcast-nested-loop / cartesian filter — O(n·m) per overlap, the
+    classic Spark range-join trap. This is the standard bucketization
+    re-expression: explode each interval into the ``bucket_width``-unit
+    buckets it covers (``floor(start/w) .. floor((end-1)/w)``), map each
+    point to its single bucket, EQUI-join on the bucket id, then apply
+    the exact predicate. Each qualifying pair is produced exactly once
+    (a point lives in exactly one bucket), so no dedupe pass.
+
+    All time values must be integers in one shared unit (epoch seconds /
+    micros / days). Pick ``bucket_width`` near the TYPICAL interval
+    length: cost is Σ ceil(len/w) interval replicas + one shuffle on a
+    key whose cardinality the width controls — the same tuning knob as
+    Databricks' range-join bin hint. Degenerate (end ≤ start) intervals
+    cover no bucket and drop out, matching the empty half-open range.
+    """
+    s, e, t = F.col(start_col), F.col(end_col), F.col(time_col)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+    iv = intervals.where(e > s).withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(s / w), F.floor((e - 1) / w))),
+    )
+    pt = points.withColumn("_bucket", F.floor(t / w))
+    return (
+        iv.join(pt, "_bucket")
+        .where((t >= s) & (t < e))
+        .drop("_bucket")
+    )

@@ -447,3 +447,74 @@ def image_dhash(media: DataFrame, *, grid: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=DHASH_SCHEMA
     )
+
+
+ADHASH_SCHEMA = "media_id string, adhash long, decode_ok string"
+
+
+def audio_dhash(media: DataFrame, *, n_frames: int = 65) -> DataFrame:
+    """Frame-energy difference-hash audio fingerprint → (media_id,
+    adhash, decode_ok): decode the REAL WAV payload (kernel/media.py:
+    decode_wav — RIFF walk, PCM 8/16-bit), split the sample stream into
+    ``n_frames`` near-equal frames by ``frame(i) = floor(i·F/n)``, sum
+    each frame's integer amplitude magnitude (8-bit PCM decodes to
+    k/128 floats, so ``|s|·128`` is exactly the original |byte−128| —
+    every energy is an exact integer), set bit j iff frame j is
+    strictly louder than frame j+1, pack MSB-first into a signed
+    64-bit key.
+
+    The audio sibling of :func:`image_dhash`: the energy-ENVELOPE
+    gradient is invariant to uniform gain, so near-dup audio pipelines
+    bucket re-encoded/re-amplified copies together (the Haitsma-Kalker
+    2002 fingerprint family, minus the spectral transform — envelope
+    only, which keeps the oracle codec-free and integer-exact).
+    Streams shorter than ``n_frames`` samples report
+    decode_ok='too_short' (a 64-bit envelope needs 65 frames).
+
+    Shape: Arrow-batched mapInPandas over (media_id, payload) — 8
+    bytes out per clip, the projection explicit so a parquet scan
+    never reads sibling columns.
+    """
+    from graphrag_rs_spark.kernel.media import decode_wav
+
+    if n_frames - 1 > 64:
+        raise ValueError("n_frames-1 bits must fit 64")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, oks = [], []
+            for payload in pdf["payload"]:
+                dec = decode_wav(payload)
+                if dec is None:
+                    hashes.append(None)
+                    oks.append("decode_error")
+                    continue
+                _rate, samples = dec
+                n = len(samples)
+                if n < n_frames:
+                    hashes.append(None)
+                    oks.append("too_short")
+                    continue
+                mag = np.rint(np.abs(samples) * 128.0).astype(np.int64)
+                frame = (np.arange(n, dtype=np.int64) * n_frames) // n
+                energy = np.bincount(frame, weights=mag, minlength=n_frames)
+                energy = np.rint(energy).astype(np.int64)
+                h = 0
+                for b in energy[:-1] > energy[1:]:
+                    h = (h << 1) | int(b)
+                h <<= 64 - (n_frames - 1)  # MSB-align like image_dhash
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+                oks.append("ok")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "adhash": pd.Series(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=ADHASH_SCHEMA
+    )

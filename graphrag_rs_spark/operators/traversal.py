@@ -331,3 +331,65 @@ def closeness_centrality(
             ).cast("long"),
         ).alias("closeness_ppm"),
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    n_rounds: int,
+    directed: bool = False,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: multi-source weighted shortest distances
+    using at most ``n_rounds`` hops → (source, node, dist).
+
+    Semantics are DEFINED as the n-round relaxation fixpoint prefix —
+    dist_r(s,v) = min(dist_{r-1}(s,v), min over edges (u,v) of
+    dist_{r-1}(s,u) + w(u,v)) — so the result is exact true-SSSP
+    whenever ``n_rounds`` ≥ the weighted-path hop diameter, and is
+    bit-replayable by ``n_rounds`` unrolled relational rounds on any
+    engine (the oracle's form). Integer weights in, integer distances
+    out; unreached (source, node) pairs are absent, the source itself
+    reports dist 0.
+
+    Scale shape: the dist frame (≤ |sources|·|nodes| rows of three
+    ids/longs) is the only state; each round is ONE equi-join on the
+    relax key plus ONE partial-agg min — no global ordering, no
+    per-path state, lineage cut per round. This is the Pregel/GraphX
+    SSSP recurrence expressed as DataFrame algebra; at 100 TB the
+    rounds shuffle on node id and AQE handles the frontier skew.
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        e = e.union(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+
+    dist = sources.select(
+        F.col("id").alias("source"),
+        F.col("id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(e.withColumnRenamed("src", "node"), "node")
+            .select(
+                "source",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
