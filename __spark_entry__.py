@@ -3758,6 +3758,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_interval_overlap"] = rel_interval_overlap
 
+    def kg_mis(spark, sf):
+        """Luby's parallel maximal-independent-set rounds (analytics.py:
+        luby_mis) over the symmetrized dependency graph — deterministic
+        sha priorities with id tiebreak, semantics = the state after
+        exactly 12 rounds, so the oracle is 12 unrolled rounds of pure
+        relational algebra. The classic parallel-graph building block
+        (coloring/matching/scheduling)."""
+        from graphrag_rs_spark.operators.analytics import luby_mis
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        return luby_mis(e, n_rounds=12)
+
+    q["kg_mis"] = kg_mis
+
+    def rel_zorder_key(spark, sf):
+        """Morton/Z-order clustering keys (layout.py: zorder_key) over
+        two quantized event dimensions — the Delta/Iceberg OPTIMIZE
+        ZORDER primitive as a pure codegen column; sorting by the key
+        gives parquet min/max pruning on BOTH dimensions at once. Pure
+        shift/mask integer algebra, bit-replayed by the oracle."""
+        from graphrag_rs_spark.operators.layout import zorder_key
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            (F.col("user_id") % 65536).alias("x"),
+            (F.floor(F.col("value") * 100).cast("long") % 65536).alias("y"),
+        )
+        return ev.select(
+            "event_id", "x", "y",
+            zorder_key(["x", "y"], bits=16).alias("zkey"),
+        )
+
+    q["rel_zorder_key"] = rel_zorder_key
+
+    def rel_scd2_history(spark, sf):
+        """Kimball SCD2 version intervals (temporal.py: scd2_history)
+        from the purchase change stream: ONE window + lead per key —
+        half-open [valid_from, valid_to), NULL-open current version.
+        The incremental-maintenance companion to snapshot_at; oracle is
+        the same lead window in SQL."""
+        from graphrag_rs_spark.operators.temporal import scd2_history
+
+        ch = (
+            _t(spark, sf, "events")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        return scd2_history(ch, key_cols=["user_id"], time_col="ts_us")
+
+    q["rel_scd2_history"] = rel_scd2_history
+
     return q
 
 
@@ -8759,6 +8820,454 @@ def oracle_sql() -> dict[str, str]:
         FROM iv i LEFT JOIN pt p
             ON p.err_us >= i.start_us AND p.err_us < i.end_us
         GROUP BY i.signup_id, i.signup_user, i.start_us
+    """
+
+    # kg_mis: 12 unrolled Luby rounds — sha priorities + id tiebreak,
+    # struct_pack comparisons mirror Spark's positional struct ordering.
+    sql["kg_mis"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de WHERE src != dst
+            UNION ALL SELECT dst, src FROM de WHERE src != dst
+        )),
+        pri AS MATERIALIZED (
+            SELECT node,
+                   ('0x' || substr(sha256('mis-v1' || chr(31) || node),
+                        1, 15))::BIGINT AS p
+            FROM (SELECT DISTINCT src AS node FROM sym)
+        ),
+        we AS MATERIALIZED (
+            SELECT s.src, s.dst, pd.p AS p_dst
+            FROM sym s JOIN pri pd ON pd.node = s.dst
+        ),
+        a0 AS MATERIALIZED (SELECT node, p FROM pri),
+        ea1 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a0 s ON s.node = e.src
+            JOIN a0 d ON d.node = e.dst
+        ),
+        nm1 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea1 GROUP BY src
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT a.node FROM a0 a LEFT JOIN nm1 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem1 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea1 ea JOIN sel1 s ON s.node = ea.src
+        ),
+        dec1 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 1 AS round FROM sel1
+            UNION ALL
+            SELECT node, 'removed' AS status, 1 AS round FROM rem1
+        ),
+        a1 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a0 a
+            ANTI JOIN dec1 d ON d.node = a.node
+        ),
+        ea2 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a1 s ON s.node = e.src
+            JOIN a1 d ON d.node = e.dst
+        ),
+        nm2 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea2 GROUP BY src
+        ),
+        sel2 AS MATERIALIZED (
+            SELECT a.node FROM a1 a LEFT JOIN nm2 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem2 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea2 ea JOIN sel2 s ON s.node = ea.src
+        ),
+        dec2 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 2 AS round FROM sel2
+            UNION ALL
+            SELECT node, 'removed' AS status, 2 AS round FROM rem2
+        ),
+        a2 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a1 a
+            ANTI JOIN dec2 d ON d.node = a.node
+        ),
+        ea3 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a2 s ON s.node = e.src
+            JOIN a2 d ON d.node = e.dst
+        ),
+        nm3 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea3 GROUP BY src
+        ),
+        sel3 AS MATERIALIZED (
+            SELECT a.node FROM a2 a LEFT JOIN nm3 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem3 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea3 ea JOIN sel3 s ON s.node = ea.src
+        ),
+        dec3 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 3 AS round FROM sel3
+            UNION ALL
+            SELECT node, 'removed' AS status, 3 AS round FROM rem3
+        ),
+        a3 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a2 a
+            ANTI JOIN dec3 d ON d.node = a.node
+        ),
+        ea4 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a3 s ON s.node = e.src
+            JOIN a3 d ON d.node = e.dst
+        ),
+        nm4 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea4 GROUP BY src
+        ),
+        sel4 AS MATERIALIZED (
+            SELECT a.node FROM a3 a LEFT JOIN nm4 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem4 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea4 ea JOIN sel4 s ON s.node = ea.src
+        ),
+        dec4 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 4 AS round FROM sel4
+            UNION ALL
+            SELECT node, 'removed' AS status, 4 AS round FROM rem4
+        ),
+        a4 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a3 a
+            ANTI JOIN dec4 d ON d.node = a.node
+        ),
+        ea5 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a4 s ON s.node = e.src
+            JOIN a4 d ON d.node = e.dst
+        ),
+        nm5 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea5 GROUP BY src
+        ),
+        sel5 AS MATERIALIZED (
+            SELECT a.node FROM a4 a LEFT JOIN nm5 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem5 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea5 ea JOIN sel5 s ON s.node = ea.src
+        ),
+        dec5 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 5 AS round FROM sel5
+            UNION ALL
+            SELECT node, 'removed' AS status, 5 AS round FROM rem5
+        ),
+        a5 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a4 a
+            ANTI JOIN dec5 d ON d.node = a.node
+        ),
+        ea6 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a5 s ON s.node = e.src
+            JOIN a5 d ON d.node = e.dst
+        ),
+        nm6 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea6 GROUP BY src
+        ),
+        sel6 AS MATERIALIZED (
+            SELECT a.node FROM a5 a LEFT JOIN nm6 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem6 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea6 ea JOIN sel6 s ON s.node = ea.src
+        ),
+        dec6 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 6 AS round FROM sel6
+            UNION ALL
+            SELECT node, 'removed' AS status, 6 AS round FROM rem6
+        ),
+        a6 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a5 a
+            ANTI JOIN dec6 d ON d.node = a.node
+        ),
+        ea7 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a6 s ON s.node = e.src
+            JOIN a6 d ON d.node = e.dst
+        ),
+        nm7 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea7 GROUP BY src
+        ),
+        sel7 AS MATERIALIZED (
+            SELECT a.node FROM a6 a LEFT JOIN nm7 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem7 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea7 ea JOIN sel7 s ON s.node = ea.src
+        ),
+        dec7 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 7 AS round FROM sel7
+            UNION ALL
+            SELECT node, 'removed' AS status, 7 AS round FROM rem7
+        ),
+        a7 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a6 a
+            ANTI JOIN dec7 d ON d.node = a.node
+        ),
+        ea8 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a7 s ON s.node = e.src
+            JOIN a7 d ON d.node = e.dst
+        ),
+        nm8 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea8 GROUP BY src
+        ),
+        sel8 AS MATERIALIZED (
+            SELECT a.node FROM a7 a LEFT JOIN nm8 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem8 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea8 ea JOIN sel8 s ON s.node = ea.src
+        ),
+        dec8 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 8 AS round FROM sel8
+            UNION ALL
+            SELECT node, 'removed' AS status, 8 AS round FROM rem8
+        ),
+        a8 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a7 a
+            ANTI JOIN dec8 d ON d.node = a.node
+        ),
+        ea9 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a8 s ON s.node = e.src
+            JOIN a8 d ON d.node = e.dst
+        ),
+        nm9 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea9 GROUP BY src
+        ),
+        sel9 AS MATERIALIZED (
+            SELECT a.node FROM a8 a LEFT JOIN nm9 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem9 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea9 ea JOIN sel9 s ON s.node = ea.src
+        ),
+        dec9 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 9 AS round FROM sel9
+            UNION ALL
+            SELECT node, 'removed' AS status, 9 AS round FROM rem9
+        ),
+        a9 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a8 a
+            ANTI JOIN dec9 d ON d.node = a.node
+        ),
+        ea10 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a9 s ON s.node = e.src
+            JOIN a9 d ON d.node = e.dst
+        ),
+        nm10 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea10 GROUP BY src
+        ),
+        sel10 AS MATERIALIZED (
+            SELECT a.node FROM a9 a LEFT JOIN nm10 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem10 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea10 ea JOIN sel10 s ON s.node = ea.src
+        ),
+        dec10 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 10 AS round FROM sel10
+            UNION ALL
+            SELECT node, 'removed' AS status, 10 AS round FROM rem10
+        ),
+        a10 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a9 a
+            ANTI JOIN dec10 d ON d.node = a.node
+        ),
+        ea11 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a10 s ON s.node = e.src
+            JOIN a10 d ON d.node = e.dst
+        ),
+        nm11 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea11 GROUP BY src
+        ),
+        sel11 AS MATERIALIZED (
+            SELECT a.node FROM a10 a LEFT JOIN nm11 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem11 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea11 ea JOIN sel11 s ON s.node = ea.src
+        ),
+        dec11 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 11 AS round FROM sel11
+            UNION ALL
+            SELECT node, 'removed' AS status, 11 AS round FROM rem11
+        ),
+        a11 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a10 a
+            ANTI JOIN dec11 d ON d.node = a.node
+        ),
+        ea12 AS MATERIALIZED (
+            SELECT e.src, e.dst, e.p_dst FROM we e
+            JOIN a11 s ON s.node = e.src
+            JOIN a11 d ON d.node = e.dst
+        ),
+        nm12 AS MATERIALIZED (
+            SELECT src AS node,
+                   min(struct_pack(p := p_dst, node := dst)) AS m
+            FROM ea12 GROUP BY src
+        ),
+        sel12 AS MATERIALIZED (
+            SELECT a.node FROM a11 a LEFT JOIN nm12 n ON n.node = a.node
+            WHERE n.m IS NULL
+               OR struct_pack(p := a.p, node := a.node) < n.m
+        ),
+        rem12 AS MATERIALIZED (
+            SELECT DISTINCT ea.dst AS node
+            FROM ea12 ea JOIN sel12 s ON s.node = ea.src
+        ),
+        dec12 AS MATERIALIZED (
+            SELECT node, 'in_mis' AS status, 12 AS round FROM sel12
+            UNION ALL
+            SELECT node, 'removed' AS status, 12 AS round FROM rem12
+        ),
+        a12 AS MATERIALIZED (
+            SELECT a.node, a.p FROM a11 a
+            ANTI JOIN dec12 d ON d.node = a.node
+        )
+        SELECT node, status, CAST(round AS INT) AS round FROM (
+            SELECT node, status, round FROM dec1
+            UNION ALL
+            SELECT node, status, round FROM dec2
+            UNION ALL
+            SELECT node, status, round FROM dec3
+            UNION ALL
+            SELECT node, status, round FROM dec4
+            UNION ALL
+            SELECT node, status, round FROM dec5
+            UNION ALL
+            SELECT node, status, round FROM dec6
+            UNION ALL
+            SELECT node, status, round FROM dec7
+            UNION ALL
+            SELECT node, status, round FROM dec8
+            UNION ALL
+            SELECT node, status, round FROM dec9
+            UNION ALL
+            SELECT node, status, round FROM dec10
+            UNION ALL
+            SELECT node, status, round FROM dec11
+            UNION ALL
+            SELECT node, status, round FROM dec12
+            UNION ALL
+            SELECT node, 'active' AS status, NULL AS round FROM a12
+        )
+    """
+
+    # rel_zorder_key: the Morton interleave as an explicit bit sum.
+    sql["rel_zorder_key"] = """
+        WITH ev AS (
+            SELECT event_id,
+                   user_id % 65536 AS x,
+                   CAST(floor(value * 100) AS BIGINT) % 65536 AS y
+            FROM events
+        )
+        SELECT event_id, x, y,
+               CAST((((x >> 0) & 1) << 1)
+                 + (((y >> 0) & 1) << 0)
+                 + (((x >> 1) & 1) << 3)
+                 + (((y >> 1) & 1) << 2)
+                 + (((x >> 2) & 1) << 5)
+                 + (((y >> 2) & 1) << 4)
+                 + (((x >> 3) & 1) << 7)
+                 + (((y >> 3) & 1) << 6)
+                 + (((x >> 4) & 1) << 9)
+                 + (((y >> 4) & 1) << 8)
+                 + (((x >> 5) & 1) << 11)
+                 + (((y >> 5) & 1) << 10)
+                 + (((x >> 6) & 1) << 13)
+                 + (((y >> 6) & 1) << 12)
+                 + (((x >> 7) & 1) << 15)
+                 + (((y >> 7) & 1) << 14)
+                 + (((x >> 8) & 1) << 17)
+                 + (((y >> 8) & 1) << 16)
+                 + (((x >> 9) & 1) << 19)
+                 + (((y >> 9) & 1) << 18)
+                 + (((x >> 10) & 1) << 21)
+                 + (((y >> 10) & 1) << 20)
+                 + (((x >> 11) & 1) << 23)
+                 + (((y >> 11) & 1) << 22)
+                 + (((x >> 12) & 1) << 25)
+                 + (((y >> 12) & 1) << 24)
+                 + (((x >> 13) & 1) << 27)
+                 + (((y >> 13) & 1) << 26)
+                 + (((x >> 14) & 1) << 29)
+                 + (((y >> 14) & 1) << 28)
+                 + (((x >> 15) & 1) << 31)
+                 + (((y >> 15) & 1) << 30) AS BIGINT) AS zkey
+        FROM ev
+    """
+
+    # rel_scd2_history: the same lead window.
+    sql["rel_scd2_history"] = """
+        WITH ch AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, ts_us, event_id, cents,
+               ts_us AS valid_from,
+               lead(ts_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id, cents) AS valid_to,
+               lead(ts_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id, cents) IS NULL AS is_current
+        FROM ch
     """
 
     return sql

@@ -819,3 +819,98 @@ def rich_club(edges: DataFrame, *, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFr
             ).alias("phi_ppm"),
         )
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    *,
+    n_rounds: int = 12,
+    seed: str = "mis-v1",
+) -> DataFrame:
+    """Luby's maximal-independent-set rounds (Luby 1986, the canonical
+    O(log n)-round parallel MIS) with DETERMINISTIC priorities →
+    (node, status, round): status ``in_mis`` (selected as a local
+    priority minimum in that round), ``removed`` (a neighbor was
+    selected), or ``active`` (undecided after ``n_rounds``, round
+    NULL).
+
+    Priorities are the portable sha-derived 60-bit family
+    H(seed␟node) with the node id as total-order tiebreak, so the
+    OUTPUT — not just the invariants — is bit-reproducible on any
+    engine and any partitioning; semantics are defined as the state
+    after exactly ``n_rounds`` rounds (the oracle's unrolled form). The
+    selected set is an independent set by construction (strict local
+    minima of a total order are never adjacent); it is maximal over
+    the decided region, and ``active`` is empty whenever ``n_rounds``
+    ≥ the instance's convergence depth — O(log n) w.h.p., so the
+    default 12 covers graphs to ~millions of nodes in practice.
+
+    Scale shape per round: one semi-join of the edge list against the
+    active set per endpoint, one partial-agg min of the (priority, id)
+    struct per node, one left join to test local minimality — ids and
+    one long only, lineage cut per round. MIS is the classic building
+    block for parallel graph coloring / matching / scheduling.
+    """
+    from graphrag_rs_spark.operators.sketches import SEP, _h60
+
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    pri = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("p", _h60(F.concat_ws(SEP, F.lit(seed), F.col("node"))))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        sym.join(pri.select(F.col("node").alias("src"), F.col("p").alias("p_dst")).withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst", "p_dst")
+        .localCheckpoint(eager=True)
+    )
+
+    active = pri
+    decided = None
+    for rnd in range(1, n_rounds + 1):
+        act_ids = active.select("node")
+        e_act = (
+            e.join(act_ids.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(act_ids.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        nbr_min = e_act.groupBy(F.col("src").alias("node")).agg(
+            F.min(F.struct(F.col("p_dst").alias("p"), F.col("dst").alias("node"))).alias("_m")
+        )
+        tagged = active.join(nbr_min, "node", "left")
+        selected = tagged.where(
+            F.col("_m").isNull()
+            | (F.struct(F.col("p"), F.col("node")) < F.col("_m"))
+        ).select("node")
+        removed = (
+            e_act.join(selected.withColumnRenamed("node", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        batch = (
+            selected.select("node", F.lit("in_mis").alias("status"), F.lit(rnd).alias("round"))
+            .unionByName(
+                removed.select("node", F.lit("removed").alias("status"), F.lit(rnd).alias("round"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        decided = batch if decided is None else decided.unionByName(batch)
+        active = (
+            active.join(batch.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if active.limit(1).count() == 0:
+            break
+
+    out = active.select(
+        "node",
+        F.lit("active").alias("status"),
+        F.lit(None).cast("int").alias("round"),
+    )
+    if decided is not None:
+        out = decided.unionByName(out)
+    return out

@@ -159,3 +159,40 @@ def entity_temporal_bounds(mentions: DataFrame) -> DataFrame:
         F.min(ordinal).alias("first_mentioned"),
         F.max(ordinal).alias("last_mentioned"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    time_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals (Kimball's SCD2 — the
+    warehouse-standard history table) from a change stream → every
+    input column plus ``valid_from``, ``valid_to``, ``is_current``:
+    each change row becomes a version valid from its own timestamp
+    until the key's NEXT change (half-open ``[from, to)``), the latest
+    version per key carrying ``valid_to`` NULL and ``is_current``
+    true.
+
+    ONE window (partition by key, order by time) and one ``lead`` —
+    single shuffle on the key, no self-join, no groupBy-max second
+    pass. Ties on (key, time) are ordered by all remaining columns so
+    the versioning is total and deterministic. This is the incremental-
+    maintenance companion to snapshot_at/snapshot_range above: apply a
+    day's change feed, and point-in-time queries become a BETWEEN on
+    (valid_from, valid_to).
+    """
+    from pyspark.sql import Window
+
+    order_cols = [time_col] + [
+        c for c in changes.columns if c not in key_cols and c != time_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    t = F.col(time_col)
+    nxt = F.lead(t).over(w)
+    return (
+        changes.withColumn("valid_from", t)
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
