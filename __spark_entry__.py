@@ -3819,6 +3819,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_scd2_history"] = rel_scd2_history
 
+    def kg_seeded_labels(spark, sf):
+        """Semi-supervised label spreading (lpa.py:
+        seeded_label_propagation): gazetteer-style seeds (every 13th
+        file, labeled with its language) propagate over the symmetrized
+        dependency graph, freeze-once with a count-desc/label-asc
+        adoption tie-break — the KG type-inference primitive. Oracle =
+        5 unrolled frontier rounds (MATERIALIZED)."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.lpa import seeded_label_propagation
+
+        corpus = _code_corpus(spark, sf)
+        ed = dependency_edges(corpus)
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        seeds = (
+            corpus.withColumn(
+                "_id",
+                F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+            )
+            .where(F.col("_id") % 13 == 0)
+            .select(
+                F.concat_ws("@", "repo", "path").alias("id"),
+                F.col("lang").alias("label"),
+            )
+        )
+        return seeded_label_propagation(e, seeds, n_rounds=5)
+
+    q["kg_seeded_labels"] = kg_seeded_labels
+
+    def kg_wl_labels(spark, sf):
+        """Weisfeiler-Lehman color refinement (analytics.py: wl_labels),
+        3 rounds from degree seeds over the symmetrized dependency
+        graph — the structural-role buckets (WL kernel / GIN bound)
+        with portable sha colors, so the oracle replays the exact
+        64-bit colors, not just the partition."""
+        from graphrag_rs_spark.operators.analytics import wl_labels
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        return wl_labels(e, n_rounds=3)
+
+    q["kg_wl_labels"] = kg_wl_labels
+
+    def mm_image_patches(spark, sf):
+        """ViT-style patch tokenization (multimodal.py: image_patches)
+        over the same REAL generated PNGs as the perceptual hashes: 4×4
+        near-equal tiling, exact integer intensity sums, centi-point
+        means — 1 → 16 row fan-out, the patch-embedding input shape
+        with the linear projection left as the provider slot. Oracle
+        replays every patch from the generative pixel definition."""
+        from graphrag_rs_spark.operators.multimodal import image_patches, make_png
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                png_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return image_patches(media, grid=4)
+
+    q["mm_image_patches"] = mm_image_patches
+
     return q
 
 
@@ -9268,6 +9346,200 @@ def oracle_sql() -> dict[str, str]:
                lead(ts_us) OVER (PARTITION BY user_id
                    ORDER BY ts_us, event_id, cents) IS NULL AS is_current
         FROM ch
+    """
+
+    # kg_seeded_labels: 5 unrolled freeze-once majority-adoption rounds;
+    # frontier voting == all-labeled voting (any node with an
+    # earlier-labeled neighbor was already labeled).
+    sql["kg_seeded_labels"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de WHERE src != dst
+            UNION ALL SELECT dst, src FROM de WHERE src != dst
+        )),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        l0 AS MATERIALIZED (
+            SELECT repo || '@' || path AS node, lang AS label, 0 AS round
+            FROM code WHERE doc_id % 13 = 0
+        ),
+        f0 AS MATERIALIZED (SELECT node, label FROM l0),
+        ad1 AS MATERIALIZED (
+            SELECT node, label, 1 AS round FROM (
+                SELECT v.node, v.label,
+                       row_number() OVER (PARTITION BY v.node
+                           ORDER BY v.n DESC, v.label ASC) AS rn
+                FROM (
+                    SELECT s.dst AS node, f.label, count(*) AS n
+                    FROM f0 f JOIN sym s ON s.src = f.node
+                    ANTI JOIN l0 lab ON lab.node = s.dst
+                    GROUP BY s.dst, f.label
+                ) v
+            ) WHERE rn = 1
+        ),
+        l1 AS MATERIALIZED (
+            SELECT node, label, round FROM l0
+            UNION ALL SELECT node, label, round FROM ad1
+        ),
+        f1 AS MATERIALIZED (SELECT node, label FROM ad1),
+        ad2 AS MATERIALIZED (
+            SELECT node, label, 2 AS round FROM (
+                SELECT v.node, v.label,
+                       row_number() OVER (PARTITION BY v.node
+                           ORDER BY v.n DESC, v.label ASC) AS rn
+                FROM (
+                    SELECT s.dst AS node, f.label, count(*) AS n
+                    FROM f1 f JOIN sym s ON s.src = f.node
+                    ANTI JOIN l1 lab ON lab.node = s.dst
+                    GROUP BY s.dst, f.label
+                ) v
+            ) WHERE rn = 1
+        ),
+        l2 AS MATERIALIZED (
+            SELECT node, label, round FROM l1
+            UNION ALL SELECT node, label, round FROM ad2
+        ),
+        f2 AS MATERIALIZED (SELECT node, label FROM ad2),
+        ad3 AS MATERIALIZED (
+            SELECT node, label, 3 AS round FROM (
+                SELECT v.node, v.label,
+                       row_number() OVER (PARTITION BY v.node
+                           ORDER BY v.n DESC, v.label ASC) AS rn
+                FROM (
+                    SELECT s.dst AS node, f.label, count(*) AS n
+                    FROM f2 f JOIN sym s ON s.src = f.node
+                    ANTI JOIN l2 lab ON lab.node = s.dst
+                    GROUP BY s.dst, f.label
+                ) v
+            ) WHERE rn = 1
+        ),
+        l3 AS MATERIALIZED (
+            SELECT node, label, round FROM l2
+            UNION ALL SELECT node, label, round FROM ad3
+        ),
+        f3 AS MATERIALIZED (SELECT node, label FROM ad3),
+        ad4 AS MATERIALIZED (
+            SELECT node, label, 4 AS round FROM (
+                SELECT v.node, v.label,
+                       row_number() OVER (PARTITION BY v.node
+                           ORDER BY v.n DESC, v.label ASC) AS rn
+                FROM (
+                    SELECT s.dst AS node, f.label, count(*) AS n
+                    FROM f3 f JOIN sym s ON s.src = f.node
+                    ANTI JOIN l3 lab ON lab.node = s.dst
+                    GROUP BY s.dst, f.label
+                ) v
+            ) WHERE rn = 1
+        ),
+        l4 AS MATERIALIZED (
+            SELECT node, label, round FROM l3
+            UNION ALL SELECT node, label, round FROM ad4
+        ),
+        f4 AS MATERIALIZED (SELECT node, label FROM ad4),
+        ad5 AS MATERIALIZED (
+            SELECT node, label, 5 AS round FROM (
+                SELECT v.node, v.label,
+                       row_number() OVER (PARTITION BY v.node
+                           ORDER BY v.n DESC, v.label ASC) AS rn
+                FROM (
+                    SELECT s.dst AS node, f.label, count(*) AS n
+                    FROM f4 f JOIN sym s ON s.src = f.node
+                    ANTI JOIN l4 lab ON lab.node = s.dst
+                    GROUP BY s.dst, f.label
+                ) v
+            ) WHERE rn = 1
+        ),
+        l5 AS MATERIALIZED (
+            SELECT node, label, round FROM l4
+            UNION ALL SELECT node, label, round FROM ad5
+        ),
+        f5 AS MATERIALIZED (SELECT node, label FROM ad5)
+        SELECT n.node, l.label, CAST(l.round AS INT) AS round
+        FROM nodes n LEFT JOIN l5 l ON l.node = n.node
+    """
+
+    # kg_wl_labels: 3 unrolled 1-WL refinement rounds from degree seeds.
+    sql["kg_wl_labels"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de WHERE src != dst
+            UNION ALL SELECT dst, src FROM de WHERE src != dst
+        )),
+        w0 AS MATERIALIZED (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS l
+            FROM sym GROUP BY src
+        ),
+        w1 AS MATERIALIZED (
+            SELECT l.node,
+                   ('0x' || substr(sha256(CAST(l.l AS VARCHAR) || chr(31)
+                        || sig.s), 1, 15))::BIGINT AS l
+            FROM w0 l JOIN (
+                SELECT s.src AS node,
+                       string_agg(CAST(n.l AS VARCHAR), '|'
+                           ORDER BY CAST(n.l AS VARCHAR)) AS s
+                FROM sym s JOIN w0 n ON n.node = s.dst
+                GROUP BY s.src
+            ) sig ON sig.node = l.node
+        ),
+        w2 AS MATERIALIZED (
+            SELECT l.node,
+                   ('0x' || substr(sha256(CAST(l.l AS VARCHAR) || chr(31)
+                        || sig.s), 1, 15))::BIGINT AS l
+            FROM w1 l JOIN (
+                SELECT s.src AS node,
+                       string_agg(CAST(n.l AS VARCHAR), '|'
+                           ORDER BY CAST(n.l AS VARCHAR)) AS s
+                FROM sym s JOIN w1 n ON n.node = s.dst
+                GROUP BY s.src
+            ) sig ON sig.node = l.node
+        ),
+        w3 AS MATERIALIZED (
+            SELECT l.node,
+                   ('0x' || substr(sha256(CAST(l.l AS VARCHAR) || chr(31)
+                        || sig.s), 1, 15))::BIGINT AS l
+            FROM w2 l JOIN (
+                SELECT s.src AS node,
+                       string_agg(CAST(n.l AS VARCHAR), '|'
+                           ORDER BY CAST(n.l AS VARCHAR)) AS s
+                FROM sym s JOIN w2 n ON n.node = s.dst
+                GROUP BY s.src
+            ) sig ON sig.node = l.node
+        )
+        SELECT node, l AS wl_label,
+               (SELECT CAST(count(DISTINCT l) AS BIGINT) FROM w3)
+                   AS n_colors
+        FROM w3
+    """
+
+    # mm_image_patches: replay every 4x4 patch from the generative
+    # pixel definition (doc + x + y) % 256, boundary rule floor(i*g/n).
+    sql["mm_image_patches"] = """
+        WITH d AS (
+            SELECT doc_id, 8 + doc_id % 8 AS w, 8 AS h
+            FROM documents WHERE doc_id < 100
+        ),
+        px AS (
+            SELECT doc_id,
+                   (y * 4) // h AS py,
+                   (x * 4) // w AS px,
+                   (doc_id + x + y) % 256 AS p
+            FROM d,
+                 unnest(generate_series(0, h - 1)) AS ty(y),
+                 unnest(generate_series(0, w - 1)) AS tx(x)
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(p) AS BIGINT) AS sum_i,
+               CAST((100 * sum(p)) // count(*) AS BIGINT) AS mean_cpm
+        FROM px GROUP BY doc_id, py, px
     """
 
     return sql

@@ -92,3 +92,76 @@ def lpa_round_ctes(
             ) WHERE rn = 1
         )""")
     return ",\n".join(parts)
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Semi-supervised label spreading (the seeded LPA of Zhu &
+    Ghahramani 2002's hard-clamp family): propagate KNOWN labels from
+    ``seeds(id, label)`` outward over the undirected graph →
+    (node, label, round) — round = the hop at which the node was
+    labeled (0 for seeds), NULL label/round for nodes never reached
+    within ``n_rounds``.
+
+    The KG-construction use: type inference — a gazetteer labels a few
+    thousand entities, the co-occurrence graph labels the rest.
+    Freeze-once semantics (a node's first-assigned label is permanent;
+    seeds are clamped) with a total tie-break per adoption — majority
+    of labeled neighbors, count desc then label asc — make every round
+    a pure function of the previous state, so the DuckDB oracle
+    replays rounds as unrolled CTEs and matches bit-for-bit. Unlike
+    :func:`label_propagation` above (unsupervised, every node mutable)
+    the labeled set only GROWS, so the per-round work is frontier ×
+    edges, not graph × edges.
+
+    Scale shape per round: one equi-join of the last frontier against
+    the edge list, one partial-agg count per (node, label), one
+    max_by-style min(struct) to pick the winner — ids and counts only,
+    lineage cut per round.
+    """
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+
+    labeled = seeds.select(
+        F.col("id").alias("node"),
+        F.col("label"),
+        F.lit(0).alias("round"),
+    ).localCheckpoint(eager=True)
+    frontier = labeled
+    for rnd in range(1, n_rounds + 1):
+        votes = (
+            frontier.join(
+                sym.withColumnRenamed("src", "node"), "node"
+            )
+            .select(F.col("dst").alias("node"), "label")
+            .join(labeled.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        adopted = (
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), F.col("label"))).alias("_w"))
+            .select(
+                "node",
+                F.col("_w.label").alias("label"),
+                F.lit(rnd).alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if adopted.limit(1).count() == 0:
+            break
+        labeled = labeled.unionByName(adopted).localCheckpoint(eager=True)
+        frontier = adopted
+
+    return nodes.join(labeled, "node", "left").select(
+        "node", "label", F.col("round").cast("int").alias("round")
+    )

@@ -518,3 +518,68 @@ def audio_dhash(media: DataFrame, *, n_frames: int = 65) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=ADHASH_SCHEMA
     )
+
+
+PATCH_SCHEMA = (
+    "media_id string, py int, px int, n_px long, sum_i long, mean_cpm long"
+)
+
+
+def image_patches(media: DataFrame, *, grid: int = 4) -> DataFrame:
+    """ViT-style patch tokenization → one row per (media_id, py, px)
+    patch: decode the REAL PNG payload, tile it into a ``grid``×``grid``
+    partition with the near-equal boundary rule ``cell(i) =
+    floor(i·grid/n)`` on each axis, and emit per-patch pixel count,
+    exact integer intensity sum, and mean intensity in centi-points
+    (``floor(100·sum/n_px)``) — the patch-embedding input shape of a
+    vision-transformer data pipeline, with the model's linear
+    projection left as the provider slot (same boundary as the text
+    embedding slots). Undecodable payloads emit a single
+    (py, px) = (−1, −1) sentinel row so corrupt media stay countable
+    downstream.
+
+    Shape: Arrow-batched mapInPandas over (media_id, payload), 1 → g²
+    row fan-out; pure integer arithmetic, replayable by an external
+    oracle from the generative pixel definition.
+    """
+    from graphrag_rs_spark.kernel.media import decode_png
+
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "py", "px", "n_px", "sum_i", "mean_cpm")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(payload)
+                if px is None or px.shape[0] < 1 or px.shape[1] < 1:
+                    out["media_id"].append(media_id)
+                    out["py"].append(-1)
+                    out["px"].append(-1)
+                    out["n_px"].append(0)
+                    out["sum_i"].append(0)
+                    out["mean_cpm"].append(0)
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                g = np.asarray(px, dtype=np.int64)
+                if g.ndim == 3:
+                    g = g.sum(axis=2) // g.shape[2]
+                ry = (np.arange(h, dtype=np.int64) * grid) // h
+                rx = (np.arange(w, dtype=np.int64) * grid) // w
+                for j in range(grid):
+                    for i in range(grid):
+                        block = g[ry == j][:, rx == i]
+                        n = int(block.size)
+                        s = int(block.sum())
+                        out["media_id"].append(media_id)
+                        out["py"].append(j)
+                        out["px"].append(i)
+                        out["n_px"].append(n)
+                        out["sum_i"].append(s)
+                        out["mean_cpm"].append(100 * s // n if n else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PATCH_SCHEMA
+    )
