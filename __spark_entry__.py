@@ -3897,6 +3897,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_patches"] = mm_image_patches
 
+    def kg_matching(spark, sf):
+        """Deterministic parallel maximal matching (analytics.py:
+        maximal_matching) over the symmetrized dependency graph —
+        mutual-best handshake rounds on sha edge priorities, the
+        coarsening primitive multilevel partitioners contract on.
+        Semantics = matched pairs after 12 rounds; oracle = 12 unrolled
+        handshake rounds (MATERIALIZED)."""
+        from graphrag_rs_spark.operators.analytics import maximal_matching
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+
+        ed = dependency_edges(_code_corpus(spark, sf))
+        e = ed.select(
+            F.concat_ws("@", "src_repo", "src_path").alias("src"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
+        )
+        return maximal_matching(e, n_rounds=12)
+
+    q["kg_matching"] = kg_matching
+
     return q
 
 
@@ -9540,6 +9559,315 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(p) AS BIGINT) AS sum_i,
                CAST((100 * sum(p)) // count(*) AS BIGINT) AS mean_cpm
         FROM px GROUP BY doc_id, py, px
+    """
+
+    # kg_matching: 12 unrolled mutual-best handshake rounds on sha
+    # edge priorities.
+    sql["kg_matching"] = _code_edges_sql.rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS src,
+                   dst_repo || '@' || dst_path AS dst
+            FROM edges
+        ),
+        act0 AS MATERIALIZED (
+            SELECT a, b,
+                   ('0x' || substr(sha256('match-v1' || chr(31) || a
+                        || chr(31) || b), 1, 15))::BIGINT AS ek
+            FROM (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM de WHERE src != dst
+            )
+        ),
+        best1 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act0
+                UNION ALL SELECT b AS node, ek, a, b FROM act0
+            ) GROUP BY node
+        ),
+        won1 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   1 AS round
+            FROM (SELECT m, count(*) AS c FROM best1 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone1 AS MATERIALIZED (
+            SELECT a AS node FROM won1
+            UNION ALL SELECT b AS node FROM won1
+        ),
+        act1 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act0 t
+            ANTI JOIN gone1 g1 ON g1.node = t.a
+            ANTI JOIN gone1 g2 ON g2.node = t.b
+        ),
+        best2 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act1
+                UNION ALL SELECT b AS node, ek, a, b FROM act1
+            ) GROUP BY node
+        ),
+        won2 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   2 AS round
+            FROM (SELECT m, count(*) AS c FROM best2 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone2 AS MATERIALIZED (
+            SELECT a AS node FROM won2
+            UNION ALL SELECT b AS node FROM won2
+        ),
+        act2 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act1 t
+            ANTI JOIN gone2 g1 ON g1.node = t.a
+            ANTI JOIN gone2 g2 ON g2.node = t.b
+        ),
+        best3 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act2
+                UNION ALL SELECT b AS node, ek, a, b FROM act2
+            ) GROUP BY node
+        ),
+        won3 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   3 AS round
+            FROM (SELECT m, count(*) AS c FROM best3 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone3 AS MATERIALIZED (
+            SELECT a AS node FROM won3
+            UNION ALL SELECT b AS node FROM won3
+        ),
+        act3 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act2 t
+            ANTI JOIN gone3 g1 ON g1.node = t.a
+            ANTI JOIN gone3 g2 ON g2.node = t.b
+        ),
+        best4 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act3
+                UNION ALL SELECT b AS node, ek, a, b FROM act3
+            ) GROUP BY node
+        ),
+        won4 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   4 AS round
+            FROM (SELECT m, count(*) AS c FROM best4 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone4 AS MATERIALIZED (
+            SELECT a AS node FROM won4
+            UNION ALL SELECT b AS node FROM won4
+        ),
+        act4 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act3 t
+            ANTI JOIN gone4 g1 ON g1.node = t.a
+            ANTI JOIN gone4 g2 ON g2.node = t.b
+        ),
+        best5 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act4
+                UNION ALL SELECT b AS node, ek, a, b FROM act4
+            ) GROUP BY node
+        ),
+        won5 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   5 AS round
+            FROM (SELECT m, count(*) AS c FROM best5 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone5 AS MATERIALIZED (
+            SELECT a AS node FROM won5
+            UNION ALL SELECT b AS node FROM won5
+        ),
+        act5 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act4 t
+            ANTI JOIN gone5 g1 ON g1.node = t.a
+            ANTI JOIN gone5 g2 ON g2.node = t.b
+        ),
+        best6 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act5
+                UNION ALL SELECT b AS node, ek, a, b FROM act5
+            ) GROUP BY node
+        ),
+        won6 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   6 AS round
+            FROM (SELECT m, count(*) AS c FROM best6 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone6 AS MATERIALIZED (
+            SELECT a AS node FROM won6
+            UNION ALL SELECT b AS node FROM won6
+        ),
+        act6 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act5 t
+            ANTI JOIN gone6 g1 ON g1.node = t.a
+            ANTI JOIN gone6 g2 ON g2.node = t.b
+        ),
+        best7 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act6
+                UNION ALL SELECT b AS node, ek, a, b FROM act6
+            ) GROUP BY node
+        ),
+        won7 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   7 AS round
+            FROM (SELECT m, count(*) AS c FROM best7 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone7 AS MATERIALIZED (
+            SELECT a AS node FROM won7
+            UNION ALL SELECT b AS node FROM won7
+        ),
+        act7 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act6 t
+            ANTI JOIN gone7 g1 ON g1.node = t.a
+            ANTI JOIN gone7 g2 ON g2.node = t.b
+        ),
+        best8 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act7
+                UNION ALL SELECT b AS node, ek, a, b FROM act7
+            ) GROUP BY node
+        ),
+        won8 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   8 AS round
+            FROM (SELECT m, count(*) AS c FROM best8 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone8 AS MATERIALIZED (
+            SELECT a AS node FROM won8
+            UNION ALL SELECT b AS node FROM won8
+        ),
+        act8 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act7 t
+            ANTI JOIN gone8 g1 ON g1.node = t.a
+            ANTI JOIN gone8 g2 ON g2.node = t.b
+        ),
+        best9 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act8
+                UNION ALL SELECT b AS node, ek, a, b FROM act8
+            ) GROUP BY node
+        ),
+        won9 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   9 AS round
+            FROM (SELECT m, count(*) AS c FROM best9 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone9 AS MATERIALIZED (
+            SELECT a AS node FROM won9
+            UNION ALL SELECT b AS node FROM won9
+        ),
+        act9 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act8 t
+            ANTI JOIN gone9 g1 ON g1.node = t.a
+            ANTI JOIN gone9 g2 ON g2.node = t.b
+        ),
+        best10 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act9
+                UNION ALL SELECT b AS node, ek, a, b FROM act9
+            ) GROUP BY node
+        ),
+        won10 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   10 AS round
+            FROM (SELECT m, count(*) AS c FROM best10 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone10 AS MATERIALIZED (
+            SELECT a AS node FROM won10
+            UNION ALL SELECT b AS node FROM won10
+        ),
+        act10 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act9 t
+            ANTI JOIN gone10 g1 ON g1.node = t.a
+            ANTI JOIN gone10 g2 ON g2.node = t.b
+        ),
+        best11 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act10
+                UNION ALL SELECT b AS node, ek, a, b FROM act10
+            ) GROUP BY node
+        ),
+        won11 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   11 AS round
+            FROM (SELECT m, count(*) AS c FROM best11 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone11 AS MATERIALIZED (
+            SELECT a AS node FROM won11
+            UNION ALL SELECT b AS node FROM won11
+        ),
+        act11 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act10 t
+            ANTI JOIN gone11 g1 ON g1.node = t.a
+            ANTI JOIN gone11 g2 ON g2.node = t.b
+        ),
+        best12 AS MATERIALIZED (
+            SELECT node, min(struct_pack(ek := ek, a := a, b := b)) AS m
+            FROM (
+                SELECT a AS node, ek, a, b FROM act11
+                UNION ALL SELECT b AS node, ek, a, b FROM act11
+            ) GROUP BY node
+        ),
+        won12 AS MATERIALIZED (
+            SELECT struct_extract(m, 'a') AS a,
+                   struct_extract(m, 'b') AS b,
+                   12 AS round
+            FROM (SELECT m, count(*) AS c FROM best12 GROUP BY m)
+            WHERE c = 2
+        ),
+        gone12 AS MATERIALIZED (
+            SELECT a AS node FROM won12
+            UNION ALL SELECT b AS node FROM won12
+        ),
+        act12 AS MATERIALIZED (
+            SELECT t.a, t.b, t.ek FROM act11 t
+            ANTI JOIN gone12 g1 ON g1.node = t.a
+            ANTI JOIN gone12 g2 ON g2.node = t.b
+        )
+        SELECT a, b, CAST(round AS INT) AS round FROM (
+            SELECT a, b, round FROM won1
+            UNION ALL SELECT a, b, round FROM won2
+            UNION ALL SELECT a, b, round FROM won3
+            UNION ALL SELECT a, b, round FROM won4
+            UNION ALL SELECT a, b, round FROM won5
+            UNION ALL SELECT a, b, round FROM won6
+            UNION ALL SELECT a, b, round FROM won7
+            UNION ALL SELECT a, b, round FROM won8
+            UNION ALL SELECT a, b, round FROM won9
+            UNION ALL SELECT a, b, round FROM won10
+            UNION ALL SELECT a, b, round FROM won11
+            UNION ALL SELECT a, b, round FROM won12
+        )
     """
 
     return sql

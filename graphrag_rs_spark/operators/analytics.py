@@ -987,3 +987,92 @@ def wl_labels(
     return labels.crossJoin(F.broadcast(colors)).select(
         "node", F.col("l").alias("wl_label"), "n_colors"
     )
+
+
+def maximal_matching(
+    edges: DataFrame,
+    *,
+    n_rounds: int = 12,
+    seed: str = "match-v1",
+) -> DataFrame:
+    """Deterministic parallel maximal matching (the handshake/proposal
+    rounds of Israeli-Itai 1986, derandomized with portable sha edge
+    priorities) → (a, b, round): the matched pairs (a < b) and the
+    round each pair locked in.
+
+    Per round every unmatched node points at its best unmatched
+    neighbor — minimal (H(seed␟least␟greatest), least, greatest) edge
+    key, a total order — and an edge joins the matching iff BOTH
+    endpoints point at each other (mutual-best handshake). Matched
+    nodes leave; repeat. Strict total order makes every round a pure
+    function of the previous state, so the oracle unrolls rounds and
+    matches bit-for-bit; the result is maximal whenever ``n_rounds``
+    suffices (expected O(log n); the round column exposes the actual
+    depth). Maximal matching is THE coarsening primitive — multilevel
+    partitioners and graph coarseners collapse matched pairs level by
+    level (the same contraction step operators/communities.py's
+    multilevel path applies to community merges).
+
+    Scale shape per round: one min-struct partial agg per node (best
+    incident edge), one self-join on the reversed pointer (the
+    handshake), two anti-joins to retire matched endpoints — ids and
+    one long only, lineage cut per round.
+    """
+    from graphrag_rs_spark.operators.sketches import SEP, _h60
+
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    canon = (
+        e0.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .withColumn(
+            "ek",
+            _h60(F.concat_ws(SEP, F.lit(seed), F.col("a"), F.col("b"))),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    matched = None
+    active = canon
+    for rnd in range(1, n_rounds + 1):
+        inc = active.select(
+            F.col("a").alias("node"), F.struct("ek", "a", "b").alias("edge")
+        ).unionByName(
+            active.select(
+                F.col("b").alias("node"), F.struct("ek", "a", "b").alias("edge")
+            )
+        )
+        best = inc.groupBy("node").agg(F.min("edge").alias("edge"))
+        # handshake: an edge wins iff it is BOTH endpoints' best edge
+        won = (
+            best.groupBy("edge")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == 2)
+            .select(
+                F.col("edge.a").alias("a"),
+                F.col("edge.b").alias("b"),
+                F.lit(rnd).alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if won.limit(1).count() == 0:
+            break
+        matched = won if matched is None else matched.unionByName(won)
+        gone = won.select(F.col("a").alias("node")).unionByName(
+            won.select(F.col("b").alias("node"))
+        )
+        active = (
+            active.join(gone.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(gone.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b", "ek")
+            .localCheckpoint(eager=True)
+        )
+        if active.limit(1).count() == 0:
+            break
+
+    if matched is None:
+        return canon.sparkSession.createDataFrame(
+            [], "a string, b string, round int"
+        )
+    return matched.select("a", "b", F.col("round").cast("int").alias("round"))
