@@ -2553,6 +2553,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias("dst"),
         )
 
+    def _dag_skip_edges(spark, sf):
+        """Layered DAG on the same 8-groups: idx→idx+1 and idx→idx+2 —
+        per full group the path counts from the unique source follow
+        Fibonacci (1,1,2,3,5,8,13,21); group 0 (custkey starts at 1) is
+        the truncated-source edge case."""
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        pairs = a.join(b, "g").where(
+            (F.col("ib") == F.col("ia") + 1) | (F.col("ib") == F.col("ia") + 2)
+        )
+        return pairs.select(
+            F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias("dst"),
+        )
+
     def kg_triangles(spark, sf):
         from graphrag_rs_spark.operators.analytics import triangle_counts
 
@@ -3915,6 +3935,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return maximal_matching(e, n_rounds=12)
 
     q["kg_matching"] = kg_matching
+
+    def kg_conductance(spark, sf):
+        """Partition conductance (analytics.py: partition_conductance) on
+        the clique+chain graph, each 8-group split {0..3}|{4..7} — exact
+        integer cut/volume/denom plus floor-division micro ratio (no
+        float summation anywhere); the oracle replays the same
+        endpoint-contribution aggregation in SQL."""
+        from graphrag_rs_spark.operators.analytics import (
+            partition_conductance,
+        )
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120)
+        labels = c.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "id"
+            ),
+            F.concat(
+                F.lit("G"),
+                (F.col("c_custkey") - F.col("c_custkey") % 8).cast("string"),
+                F.when(F.col("c_custkey") % 8 < 4, F.lit("a")).otherwise(
+                    F.lit("b")
+                ),
+            ).alias("label"),
+        )
+        return partition_conductance(_clique_chain_edges(spark, sf), labels)
+
+    q["kg_conductance"] = kg_conductance
+
+    def kg_path_counts(spark, sf):
+        """DAG path-count dynamic program (scc.py: dag_path_counts) over
+        the per-group layered DAG idx→idx+1, idx→idx+2 — wave-scheduled
+        joins, one wave per topological layer, only counts travel. The
+        oracle ENUMERATES every path in a recursive CTE and counts
+        arrivals (tiny at fixture scale; the DP itself never
+        enumerates)."""
+        from graphrag_rs_spark.operators.scc import dag_path_counts
+
+        return dag_path_counts(_dag_skip_edges(spark, sf))
+
+    q["kg_path_counts"] = kg_path_counts
+
+    def code_dead_exports(spark, sf):
+        """Corpus-wide dead-symbol sweep (code_graph.py: dead_exports):
+        defs that no call site anywhere names — every class/struct (the
+        corpus never constructs them) plus the fn_/process_ defs whose
+        arithmetic callers fall outside the corpus or past the mod-1000
+        wrap. Oracle derives the call vocabulary from the k1/k2 closed
+        form — independent ground truth for the regex extractors."""
+        from graphrag_rs_spark.operators.code_graph import dead_exports
+
+        return dead_exports(_code_corpus(spark, sf))
+
+    q["code_dead_exports"] = code_dead_exports
 
     return q
 
@@ -9868,6 +9941,109 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT a, b, round FROM won11
             UNION ALL SELECT a, b, round FROM won12
         )
+    """
+
+    # kg_conductance: replay the endpoint-contribution aggregation —
+    # every edge contributes one (label, is_cut) row per endpoint, so
+    # volume = COUNT(*), cut = SUM(is_cut); 2m from the deduped edge
+    # list; the micro ratio is integer floor division on both engines.
+    sql["kg_conductance"] = f"""
+        WITH {_cc_edges_cte},
+        lab AS (
+            SELECT 'C' || c_custkey AS id,
+                   'G' || (c_custkey - c_custkey % 8)
+                       || CASE WHEN c_custkey % 8 < 4 THEN 'a' ELSE 'b' END
+                       AS label
+            FROM customer WHERE c_custkey < 120
+        ),
+        d AS (SELECT DISTINCT src, dst FROM e),
+        m AS (SELECT 2 * COUNT(*) AS two_m FROM d),
+        j AS (
+            SELECT ls.label AS sl, ld.label AS dl
+            FROM d JOIN lab ls ON d.src = ls.id
+                   JOIN lab ld ON d.dst = ld.id
+        ),
+        contrib AS (
+            SELECT sl AS label,
+                   CASE WHEN sl <> dl THEN 1 ELSE 0 END AS is_cut FROM j
+            UNION ALL
+            SELECT dl, CASE WHEN sl <> dl THEN 1 ELSE 0 END FROM j
+        ),
+        agg AS (
+            SELECT label, CAST(SUM(is_cut) AS BIGINT) AS cut_edges,
+                   CAST(COUNT(*) AS BIGINT) AS volume
+            FROM contrib GROUP BY label
+        )
+        SELECT label, cut_edges, volume,
+               CAST(LEAST(volume, (SELECT two_m FROM m) - volume) AS BIGINT)
+                   AS denom,
+               CASE WHEN LEAST(volume, (SELECT two_m FROM m) - volume) > 0
+                    THEN (1000000 * cut_edges)
+                         // LEAST(volume, (SELECT two_m FROM m) - volume)
+               END AS conductance_micro
+        FROM agg
+    """
+
+    # kg_path_counts: enumerate every source→node path with a recursive
+    # CTE (UNION ALL keeps one row per distinct path) and count arrivals
+    # — ground truth by enumeration, vs the Spark side's wave DP that
+    # only ever ships counts.
+    sql["kg_path_counts"] = """
+        WITH RECURSIVE
+        c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        e AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE b.idx = a.idx + 1 OR b.idx = a.idx + 2
+        ),
+        srcs AS (
+            SELECT DISTINCT src AS id FROM e
+            WHERE src NOT IN (SELECT dst FROM e)
+        ),
+        p(node) AS (
+            SELECT id FROM srcs
+            UNION ALL
+            SELECT e.dst FROM p JOIN e ON e.src = p.node
+        )
+        SELECT node AS id, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM p GROUP BY node
+    """
+
+    # code_dead_exports: the call vocabulary comes from the k1/k2 closed
+    # form (k1 = (id+6) mod 1000 same-lang, k2 = (13·id+5) mod 1000
+    # cross-lang), NOT from re-running the call regex; defs are the
+    # m-series arithmetic. A def is dead iff nothing names it.
+    sql["code_dead_exports"] = f"""
+        WITH {code_cte},
+        calls AS (
+            SELECT CASE WHEN lang = 'python' THEN 'fn_' ELSE 'process_' END
+                       || ((doc_id + 6) % 1000) AS called
+            FROM code
+            UNION ALL
+            SELECT CASE WHEN lang = 'python' THEN 'process_' ELSE 'fn_' END
+                       || ((doc_id * 13 + 5) % 1000)
+            FROM code
+        ),
+        defs AS (
+            SELECT repo, path, lang, 'function' AS kind,
+                   'fn_' || doc_id AS symbol
+            FROM code WHERE lang = 'python'
+            UNION ALL
+            SELECT repo, path, lang, 'class', 'Cls_' || doc_id
+            FROM code WHERE lang = 'python'
+            UNION ALL
+            SELECT repo, path, lang, 'function', 'process_' || doc_id
+            FROM code WHERE lang = 'rust'
+            UNION ALL
+            SELECT repo, path, lang, 'struct', 'Record_' || doc_id
+            FROM code WHERE lang = 'rust'
+        )
+        SELECT repo, path, lang, kind, symbol FROM defs
+        WHERE symbol NOT IN (SELECT called FROM calls)
     """
 
     return sql

@@ -1076,3 +1076,71 @@ def maximal_matching(
             [], "a string, b string, round int"
         )
     return matched.select("a", "b", F.col("round").cast("int").alias("round"))
+
+
+def partition_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S))
+    over an undirected graph — the standard partition-quality score
+    (Leiden/Louvain validation; community pruning before summarization).
+
+    Exact-integer contract: emits ``cut_edges``, ``volume`` and ``denom``
+    as BIGINTs plus ``conductance_micro`` = floor(1e6·cut/denom) via
+    integer division, so any engine reproduces it bit-for-bit (no float
+    summation order anywhere).  ``denom`` = 0 (a community holding every
+    edge endpoint) yields NULL micro.
+
+    Shape at scale: dedup the edge list, ONE join per endpoint against
+    the (id → label) frame (broadcast when labels are small, shuffle
+    otherwise — left to AQE), then a single partial-aggregated groupBy
+    on label: each edge contributes one row per endpoint (volume) with
+    an is-cut flag.  2m rides in as a 1-row broadcast.  No per-community
+    loop, no window, no collect.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    j = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("label").alias("sl")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("dl")), "dst")
+        .select("sl", "dl", (F.col("sl") != F.col("dl")).cast("long").alias("is_cut"))
+    )
+    contrib = j.select(F.col("sl").alias("label"), "is_cut").unionAll(
+        j.select(F.col("dl").alias("label"), "is_cut")
+    )
+    two_m = e.select((F.count("*") * 2).alias("two_m"))
+    per = (
+        contrib.groupBy("label")
+        .agg(
+            F.sum("is_cut").cast("long").alias("cut_edges"),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .crossJoin(F.broadcast(two_m))
+    )
+    return per.select(
+        "label",
+        "cut_edges",
+        "volume",
+        F.least(F.col("volume"), F.col("two_m") - F.col("volume"))
+        .cast("long")
+        .alias("denom"),
+    ).select(
+        "label",
+        "cut_edges",
+        "volume",
+        "denom",
+        F.when(
+            F.col("denom") > 0,
+            F.expr("(1000000 * cut_edges) div denom"),
+        ).alias("conductance_micro"),
+    )

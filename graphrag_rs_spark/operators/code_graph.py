@@ -582,3 +582,37 @@ def api_cooccurrence(
             "(co_baskets * n_baskets * 1000000) div (support_a * support_b)"
         ).alias("lift_ppm"),
     )
+
+
+def dead_exports(
+    files: DataFrame,
+    defs: DataFrame | None = None,
+    calls: DataFrame | None = None,
+) -> DataFrame:
+    """Defined symbols never referenced by any call site in the corpus —
+    the repo-scale dead-code sweep (tree-shaking candidates).
+
+    Liveness here is corpus-wide and textual: a def survives if ANY other
+    file (any repo, any language) has a call site with that name.  This is
+    deliberately broader than ``call_edges``' repo-scoped resolution — a
+    dead-export report must not flag a symbol that a vendored copy or a
+    cross-repo script still names, so the reference set errs inclusive.
+    Recursive self-calls do NOT keep a symbol alive (``extract_calls``
+    subtracts the file's own defs), matching how exporters reason about
+    public surface: "does anyone ELSE use this?".
+
+    Shape at scale: ``calls`` distincts to the corpus call-vocabulary
+    (bounded by distinct identifiers, far smaller than call sites after
+    the per-file partial aggregation in ``array_distinct``) and the kill
+    test is ONE left_anti shuffle join on ``symbol`` — no skew risk beyond
+    the vocabulary's natural Zipf, which the anti-join tolerates (hot
+    symbols just drop more def rows).
+    """
+    if defs is None:
+        defs = extract_defs(files)
+    if calls is None:
+        calls = extract_calls(files)
+    referenced = calls.select(F.col("called").alias("symbol")).distinct()
+    return defs.join(referenced, "symbol", "left_anti").select(
+        "repo", "path", "lang", "kind", "symbol"
+    )

@@ -478,3 +478,65 @@ def build_layers(
     return scc.join(
         lay.select(F.col("id").alias("scc_id"), "layer"), "scc_id"
     ).select("id", "scc_id", "layer")
+
+
+def dag_path_counts(
+    dag_edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 200,
+) -> DataFrame:
+    """(id, n_paths): distinct source→id path counts in a DAG — the
+    build-fanout / provenance-multiplicity measure ("through how many
+    dependency chains can a change in a root reach this module?").
+    Sources are the zero-in-degree nodes; each counts its own empty path,
+    so n_paths(source) = 1 and n_paths(v) = Σ over u→v of n_paths(u).
+
+    Classic DAG dynamic program expressed as wave-scheduled joins:
+    ``topological_layers`` gives every node's longest-path layer; all
+    predecessors of a layer-k node sit in layers < k, so wave k finalizes
+    layer-k nodes with ONE counts⋈edges join + ONE partial-aggregated
+    sum.  Each edge is pre-tagged with its head's layer and participates
+    in exactly one wave — total shuffled volume is O(E), Spark jobs are
+    O(depth), and only COUNTS travel (path multiplicities grow
+    combinatorially; rows never do — no enumeration anywhere).
+
+    Raises (via topological_layers) if the input has a cycle.
+    """
+    e = (
+        dag_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = topological_layers(e, max_iterations=max_iterations)
+    depth_row = layers.agg(F.max("layer").alias("d")).collect()[0]
+    depth = depth_row["d"] if depth_row["d"] is not None else 0
+    # tag each edge with the wave that finalizes its head
+    e_tagged = cut_lineage(
+        e.join(
+            layers.select(F.col("id").alias("dst"), F.col("layer").alias("_wave")),
+            "dst",
+        ),
+        "pathcount-edges",
+    )
+    counts = cut_lineage(
+        layers.where(F.col("layer") == 0).select(
+            "id", F.lit(1).cast("long").alias("n_paths")
+        ),
+        "pathcount-0",
+    )
+    for wave in range(1, depth + 1):
+        new = (
+            e_tagged.where(F.col("_wave") == wave)
+            .join(
+                counts.select(F.col("id").alias("src"), F.col("n_paths").alias("_n")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("_n").alias("n_paths"))
+            .select(F.col("dst").alias("id"), "n_paths")
+        )
+        counts = cut_lineage(counts.unionAll(new), f"pathcount-{wave}")
+    return counts
