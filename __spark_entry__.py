@@ -3989,6 +3989,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_dead_exports"] = code_dead_exports
 
+    def kg_local_clustering(spark, sf):
+        """Per-node local clustering coefficient (analytics.py:
+        clustering_coefficients) on the clique+chain fixture — wedge
+        self-join closed against the symmetric edge set, so `triangles`
+        counts ORDERED closed wedges (2× triangle count) and
+        coefficient = closed/(k·(k−1)) is the standard local CC.  The
+        oracle recomputes the same three joins independently in SQL."""
+        from graphrag_rs_spark.operators.analytics import (
+            clustering_coefficients,
+        )
+
+        edges = _clique_chain_edges(spark, sf).withColumn(
+            "weight", F.lit(1.0)
+        )
+        cc = clustering_coefficients(edges)
+        return cc.select(
+            "id",
+            "k",
+            "triangles",
+            F.round("coefficient", 6).alias("coefficient"),
+        )
+
+    q["kg_local_clustering"] = kg_local_clustering
+
+    def kg_betweenness(spark, sf):
+        """Board row for the k-source Brandes–Pich estimator
+        (analytics.py: sampled_centrality) run at k ≥ n, where it equals
+        the exact suite's output.  Fixture: per-8-group binary tree
+        (child idx → parent (idx−1)//2), so every shortest path is THE
+        unique simple path and the oracle — a recursive-CTE path
+        enumeration that never sees the frontier-relaxation machinery —
+        is independent ground truth for betweenness, closeness and
+        degree together."""
+        from graphrag_rs_spark.operators.analytics import sampled_centrality
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        edges = (
+            a.join(b, "g")
+            .where(
+                (F.col("ia") >= 1)
+                & (F.col("ib") == F.floor((F.col("ia") - 1) / 2))
+            )
+            .select(
+                F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias(
+                    "dst"
+                ),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+        cen = sampled_centrality(edges, k=200)
+        return cen.select(
+            "id",
+            F.round("degree", 6).alias("degree"),
+            F.round("betweenness", 6).alias("betweenness"),
+            F.round("closeness", 6).alias("closeness"),
+        )
+
+    q["kg_betweenness"] = kg_betweenness
+
     return q
 
 
@@ -10044,6 +10112,86 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT repo, path, lang, kind, symbol FROM defs
         WHERE symbol NOT IN (SELECT called FROM calls)
+    """
+
+    # kg_local_clustering: independent recomputation — symmetric edge
+    # set, degree, ordered-closed-wedge count via two self-joins, then
+    # the closed/(k·(k−1)) ratio; k<2 nodes excluded as in the operator.
+    sql["kg_local_clustering"] = f"""
+        WITH {_cc_edges_cte},
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        ),
+        deg AS (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
+        tri AS (
+            SELECT a.src AS id, count(*) AS triangles
+            FROM sym a
+                 JOIN sym b ON a.src = b.src AND a.dst <> b.dst
+                 JOIN sym c ON c.src = a.dst AND c.dst = b.dst
+            GROUP BY a.src
+        )
+        SELECT d.id, d.k, coalesce(t.triangles, 0) AS triangles,
+               round(CAST(coalesce(t.triangles, 0) AS DOUBLE)
+                     / (d.k * (d.k - 1)), 6) AS coefficient
+        FROM deg d LEFT JOIN tri t USING (id)
+        WHERE d.k >= 2
+    """
+
+    # kg_betweenness: the tree has exactly ONE simple path per node
+    # pair, so a recursive walk that forbids revisits enumerates THE
+    # shortest path for every ordered pair — interiors count toward
+    # betweenness, path lengths toward closeness; the Brandes–Pich
+    # frontier machinery is never replayed.
+    sql["kg_betweenness"] = """
+        WITH RECURSIVE te AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM (SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                         c_custkey % 8 AS idx
+                  FROM customer WHERE c_custkey < 120) a
+                 JOIN (SELECT c_custkey AS ck,
+                              c_custkey - (c_custkey % 8) AS g,
+                              c_custkey % 8 AS idx
+                       FROM customer WHERE c_custkey < 120) b
+                   ON a.g = b.g
+            WHERE a.idx >= 1 AND b.idx = (a.idx - 1) // 2
+        ),
+        sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te)
+        ),
+        nn AS (SELECT count(DISTINCT src) AS n FROM sym),
+        walk(s, cur, path) AS (
+            SELECT src, src, [src] FROM (SELECT DISTINCT src FROM sym)
+            UNION ALL
+            SELECT w.s, sy.dst, list_append(w.path, sy.dst)
+            FROM walk w JOIN sym sy ON sy.src = w.cur
+            WHERE NOT list_contains(w.path, sy.dst)
+        ),
+        paths AS (SELECT s, cur AS t, path FROM walk WHERE cur <> s),
+        inter AS (
+            SELECT unnest(path[2:length(path) - 1]) AS id FROM paths
+        ),
+        bet AS (
+            SELECT id,
+                   count(*) / ((nn.n - 1) * (nn.n - 2) / 2.0) AS betweenness
+            FROM inter, nn GROUP BY id, nn.n
+        ),
+        clo AS (
+            SELECT t AS id,
+                   count(*) / CAST(sum(length(path) - 1) AS DOUBLE)
+                       AS closeness
+            FROM paths GROUP BY t
+        ),
+        deg AS (
+            SELECT src AS id,
+                   count(*) / CAST(nn.n - 1 AS DOUBLE) AS degree
+            FROM sym, nn GROUP BY src, nn.n
+        )
+        SELECT deg.id, round(deg.degree, 6) AS degree,
+               round(coalesce(bet.betweenness, 0.0), 6) AS betweenness,
+               round(coalesce(clo.closeness, 0.0), 6) AS closeness
+        FROM deg LEFT JOIN bet USING (id) LEFT JOIN clo USING (id)
     """
 
     return sql
