@@ -4057,6 +4057,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_betweenness"] = kg_betweenness
 
+    def ann_mmr_topk(spark, sf):
+        """Diversity rerank (operators/mmr.py: mmr_rerank) — the MMR
+        stage that slots after any ann_*/BM25 retrieval: 5 query
+        vectors × 40 candidates, fixed-point floor(x·1e6) vectors, all
+        picks int64-exact (objective = 7·rel − 3·max-sim-to-selected,
+        λ = 0.7), one applyInPandas group per query.  The oracle
+        unrolls the same greedy argmax as 8 chained SQL steps."""
+        from graphrag_rs_spark.operators.mmr import mmr_rerank
+        from graphrag_rs_spark.operators.similarity import _int_vec
+
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            _int_vec(F.col("embedding")).alias("qv"),
+        )
+        ds = emb.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 140)
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            _int_vec(F.col("embedding")).alias("vec"),
+        )
+        cand = (
+            qs.crossJoin(F.broadcast(ds))
+            .withColumn(
+                "rel",
+                F.aggregate(
+                    F.zip_with("qv", "vec", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .select("query_id", "doc_id", "rel", "vec")
+        )
+        return mmr_rerank(cand, k=8, lambda_num=7, lambda_den=10)
+
+    q["ann_mmr_topk"] = ann_mmr_topk
+
     return q
 
 
@@ -10193,5 +10230,86 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(clo.closeness, 0.0), 6) AS closeness
         FROM deg LEFT JOIN bet USING (id) LEFT JOIN clo USING (id)
     """
+
+    # ann_mmr_topk: unroll the greedy MMR loop — step t computes each
+    # remaining candidate's max int-dot against the t−1 picks, scores
+    # 7·rel − 3·maxsim, and row_number picks the argmax (ties → smaller
+    # doc_id, matching the operator's first-max-on-sorted-ids).  Integer
+    # dots stay < 2^53 so the list_sum double path is exact.
+    _mmr_steps = []
+    for _t_ in range(2, 9):
+        _p = _t_ - 1
+        _mmr_steps.append(f"""
+        m{_t_} AS (
+            SELECT r.query_id, r.doc_id,
+                   max(CAST(list_sum(list_transform(
+                       list_zip(r.dv, s.dv), x -> x[1] * x[2]))
+                       AS BIGINT)) AS ms
+            FROM r{_p} r JOIN sel{_p} s ON s.query_id = r.query_id
+            GROUP BY r.query_id, r.doc_id
+        ),
+        p{_t_} AS (
+            SELECT r.query_id, r.doc_id,
+                   7 * r.rel - 3 * m{_t_}.ms AS objective, r.dv,
+                   row_number() OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY 7 * r.rel - 3 * m{_t_}.ms DESC, r.doc_id
+                   ) AS rn
+            FROM r{_p} r JOIN m{_t_} USING (query_id, doc_id)
+        ),
+        s{_t_} AS (SELECT query_id, doc_id, {_t_} AS rank, objective, dv
+                   FROM p{_t_} WHERE rn = 1),
+        sel{_t_} AS MATERIALIZED (
+            SELECT * FROM sel{_p} UNION ALL SELECT * FROM s{_t_}),
+        r{_t_} AS MATERIALIZED (
+            SELECT c.* FROM cand c
+            LEFT JOIN sel{_t_} s
+              ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+            WHERE s.doc_id IS NULL
+        )""")
+    sql["ann_mmr_topk"] = (
+        """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        d AS (
+            SELECT vec_id AS doc_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS dv
+            FROM embeddings WHERE vec_id >= 100 AND vec_id < 140
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, doc_id,
+                   CAST(list_sum(list_transform(list_zip(qv, dv),
+                        x -> x[1] * x[2])) AS BIGINT) AS rel, dv
+            FROM q, d
+        ),
+        p1 AS (
+            SELECT query_id, doc_id, 7 * rel AS objective, dv,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY 7 * rel DESC, doc_id) AS rn
+            FROM cand
+        ),
+        s1 AS (SELECT query_id, doc_id, 1 AS rank, objective, dv
+               FROM p1 WHERE rn = 1),
+        sel1 AS MATERIALIZED (SELECT * FROM s1),
+        r1 AS MATERIALIZED (
+            SELECT c.* FROM cand c
+            LEFT JOIN sel1 s
+              ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+            WHERE s.doc_id IS NULL
+        ),"""
+        + ",".join(_mmr_steps)
+        + """
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id, objective
+        FROM sel8
+    """
+    )
 
     return sql
