@@ -4094,6 +4094,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_mmr_topk"] = ann_mmr_topk
 
+    def mm_video_frames(spark, sf):
+        """Video frame-sampling plumbing (multimodal.py:
+        sample_video_frames): frame positions computed JVM-side from
+        duration metadata (explode over a sequence — no payload touch),
+        the per-frame payload slice is the documented decode stub.
+        Payloads here are deterministic ASCII containers, so the byte
+        slice lo = idx·16 mod len is replayed by the oracle with
+        substr arithmetic — the Spark side still moves real binary
+        through the Arrow batch path."""
+        from graphrag_rs_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        base = _docs(spark, sf).where(F.col("doc_id") < 60)
+        media = base.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("video").alias("modality"),
+            F.lit("rawv").alias("format"),
+            F.encode(
+                F.repeat(
+                    F.concat(
+                        F.lit("V"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                    ),
+                    40,
+                ),
+                "utf-8",
+            ).alias("payload"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            (F.lit(1000) + (F.col("doc_id") % 10) * 700)
+            .cast("long")
+            .alias("duration_ms"),
+        )
+        frames = sample_video_frames(media, every_ms=1000, max_frames=16)
+        return frames.select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            F.decode("frame_payload", "UTF-8").alias("frame"),
+        )
+
+    q["mm_video_frames"] = mm_video_frames
+
+    def kg_mst(spark, sf):
+        """Minimum spanning forest via distributed Borůvka rounds
+        (operators/mst.py: boruvka_msf) — per round one min-outgoing-
+        edge aggregation + a CC contraction over the component graph,
+        O(log V) rounds.  Edge weights (idx_a·8+idx_b)·37 mod 64 are a
+        bijection on the per-group index pairs, so weights are DISTINCT
+        within every component and the forest is unique: the oracle
+        replays PRIM (7 unrolled grow steps per group) and must land on
+        the identical edge set without ever seeing a Borůvka round."""
+        from graphrag_rs_spark.operators.mst import boruvka_msf
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        edges = (
+            a.join(b, "g")
+            .where(
+                (
+                    (F.col("ia") < 5)
+                    & (F.col("ib") < 5)
+                    & (F.col("ia") < F.col("ib"))
+                )
+                | ((F.col("ia") >= 4) & (F.col("ib") == F.col("ia") + 1))
+                | ((F.col("ia") == 0) & (F.col("ib") == 5))
+            )
+            .select(
+                F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias(
+                    "dst"
+                ),
+                (
+                    ((F.col("ia") * 8 + F.col("ib")) * 37) % 64
+                ).cast("long").alias("weight"),
+            )
+        )
+        return boruvka_msf(edges)
+
+    q["kg_mst"] = kg_mst
+
+    def kg_coloring(spark, sf):
+        """Jones–Plassmann parallel coloring (operators/coloring.py) on
+        the clique+chain fixture — per round, uncolored local-priority-
+        maxima take the mex of their colored neighbourhood; adjacent
+        wins are impossible so rounds never conflict.  Priorities are
+        the portable sha256 60-bit family, so the oracle unrolls the
+        same synchronous rounds in SQL and must match color AND round
+        per vertex."""
+        from graphrag_rs_spark.operators.coloring import (
+            jones_plassmann_coloring,
+        )
+
+        return jones_plassmann_coloring(_clique_chain_edges(spark, sf))
+
+    q["kg_coloring"] = kg_coloring
+
     return q
 
 
@@ -10311,5 +10417,532 @@ def oracle_sql() -> dict[str, str]:
         FROM sel8
     """
     )
+
+    # mm_video_frames: frame positions from the duration arithmetic
+    # (inclusive sequence 0..min(dur//1000, 15)), frame bytes from the
+    # stub's slice rule lo = idx*16 mod len — ASCII payloads make
+    # substr arithmetic the exact replay.
+    sql["mm_video_frames"] = """
+        WITH v AS (
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   repeat('V' || doc_id || '|', 40) AS s,
+                   1000 + (doc_id % 10) * 700 AS dur
+            FROM documents WHERE doc_id < 60
+        ),
+        fr AS (
+            SELECT media_id, s,
+                   unnest(generate_series(0, least(dur // 1000, 15)))
+                       AS frame_idx
+            FROM v
+        )
+        SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,
+               substr(s, (frame_idx * 16 % length(s)) + 1, 16) AS frame
+        FROM fr
+    """
+
+    # kg_coloring: unroll the synchronous JP rounds — per round the
+    # local-priority maxima among uncolored vertices take the mex of
+    # their colored neighbourhood; same sha256 priorities, so color and
+    # round must both match.
+    sql["kg_coloring"] = (
+        "WITH "
+        + _cc_edges_cte
+        + """,
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        ),
+        unc0 AS MATERIALIZED (
+            SELECT DISTINCT src AS id,
+                   ('0x' || substr(sha256('jp' || chr(31) || src), 1, 15))
+                       ::BIGINT AS prio
+            FROM sym
+        ),
+        col0 AS (SELECT NULL::VARCHAR AS id, NULL::INT AS color,
+                        NULL::INT AS round WHERE false),
+        win1 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc0 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc0 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used1 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win1 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col0 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc1 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used1)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new1 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   1 AS round
+            FROM win1 w LEFT JOIN mexc1 m ON m.id = w.id
+        ),
+        col1 AS MATERIALIZED (
+            SELECT id, color, round FROM col0
+            UNION ALL SELECT id, color, round FROM new1
+        ),
+        unc1 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc0 u
+            WHERE NOT EXISTS (SELECT 1 FROM new1 n WHERE n.id = u.id)
+        ),
+        win2 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc1 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc1 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used2 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win2 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col1 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc2 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used2)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new2 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   2 AS round
+            FROM win2 w LEFT JOIN mexc2 m ON m.id = w.id
+        ),
+        col2 AS MATERIALIZED (
+            SELECT id, color, round FROM col1
+            UNION ALL SELECT id, color, round FROM new2
+        ),
+        unc2 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc1 u
+            WHERE NOT EXISTS (SELECT 1 FROM new2 n WHERE n.id = u.id)
+        ),
+        win3 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc2 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc2 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used3 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win3 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col2 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc3 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used3)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new3 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   3 AS round
+            FROM win3 w LEFT JOIN mexc3 m ON m.id = w.id
+        ),
+        col3 AS MATERIALIZED (
+            SELECT id, color, round FROM col2
+            UNION ALL SELECT id, color, round FROM new3
+        ),
+        unc3 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc2 u
+            WHERE NOT EXISTS (SELECT 1 FROM new3 n WHERE n.id = u.id)
+        ),
+        win4 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc3 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc3 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used4 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win4 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col3 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc4 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used4)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new4 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   4 AS round
+            FROM win4 w LEFT JOIN mexc4 m ON m.id = w.id
+        ),
+        col4 AS MATERIALIZED (
+            SELECT id, color, round FROM col3
+            UNION ALL SELECT id, color, round FROM new4
+        ),
+        unc4 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc3 u
+            WHERE NOT EXISTS (SELECT 1 FROM new4 n WHERE n.id = u.id)
+        ),
+        win5 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc4 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc4 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used5 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win5 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col4 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc5 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used5)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new5 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   5 AS round
+            FROM win5 w LEFT JOIN mexc5 m ON m.id = w.id
+        ),
+        col5 AS MATERIALIZED (
+            SELECT id, color, round FROM col4
+            UNION ALL SELECT id, color, round FROM new5
+        ),
+        unc5 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc4 u
+            WHERE NOT EXISTS (SELECT 1 FROM new5 n WHERE n.id = u.id)
+        ),
+        win6 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc5 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc5 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used6 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win6 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col5 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc6 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used6)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new6 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   6 AS round
+            FROM win6 w LEFT JOIN mexc6 m ON m.id = w.id
+        ),
+        col6 AS MATERIALIZED (
+            SELECT id, color, round FROM col5
+            UNION ALL SELECT id, color, round FROM new6
+        ),
+        unc6 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc5 u
+            WHERE NOT EXISTS (SELECT 1 FROM new6 n WHERE n.id = u.id)
+        ),
+        win7 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc6 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc6 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used7 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win7 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col6 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc7 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used7)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new7 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   7 AS round
+            FROM win7 w LEFT JOIN mexc7 m ON m.id = w.id
+        ),
+        col7 AS MATERIALIZED (
+            SELECT id, color, round FROM col6
+            UNION ALL SELECT id, color, round FROM new7
+        ),
+        unc7 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc6 u
+            WHERE NOT EXISTS (SELECT 1 FROM new7 n WHERE n.id = u.id)
+        ),
+        win8 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc7 u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN unc7 v ON v.id = s.dst
+                WHERE s.src = u.id
+                  AND (v.prio > u.prio
+                       OR (v.prio = u.prio AND v.id > u.id))
+            )
+        ),
+        used8 AS (
+            SELECT w.id, list_sort(list_distinct(list(c.color))) AS cs
+            FROM win8 w
+                 JOIN sym s ON s.src = w.id
+                 JOIN col7 c ON c.id = s.dst
+            GROUP BY w.id
+        ),
+        mexc8 AS (
+            SELECT id, min(x) AS color FROM (
+                SELECT id, cs,
+                       unnest(generate_series(0, length(cs))) AS x
+                FROM used8)
+            WHERE NOT list_contains(cs, x) GROUP BY id
+        ),
+        new8 AS MATERIALIZED (
+            SELECT w.id, CAST(coalesce(m.color, 0) AS INT) AS color,
+                   8 AS round
+            FROM win8 w LEFT JOIN mexc8 m ON m.id = w.id
+        ),
+        col8 AS MATERIALIZED (
+            SELECT id, color, round FROM col7
+            UNION ALL SELECT id, color, round FROM new8
+        ),
+        unc8 AS MATERIALIZED (
+            SELECT u.id, u.prio FROM unc7 u
+            WHERE NOT EXISTS (SELECT 1 FROM new8 n WHERE n.id = u.id)
+        )
+        SELECT id, color, round FROM col8
+    """
+    )
+
+    # kg_mst: PRIM replay — grow each group's tree from its min node,
+    # 7 unrolled steps, each picking the min-key crossing edge; weights
+    # are distinct within a group so this is THE unique MSF and must
+    # equal the Borwka result edge-for-edge.
+    sql["kg_mst"] = """
+        WITH c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        e AS MATERIALIZED (
+            SELECT a.g, a.ck AS ca, b.ck AS cb,
+                   ((a.idx * 8 + b.idx) * 37) % 64 AS w
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE (a.idx < 5 AND b.idx < 5 AND a.idx < b.idx)
+               OR (a.idx >= 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 0 AND b.idx = 5)
+        ),
+        nodes AS (
+            SELECT DISTINCT g, ca AS node FROM e
+            UNION SELECT DISTINCT g, cb FROM e
+        ),
+        t0 AS MATERIALIZED (
+            SELECT g, min(node) AS node FROM nodes GROUP BY g
+        ),
+        cr1 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t0 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t0 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t0 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t0 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s1 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr1) WHERE rn = 1
+        ),
+        t1 AS MATERIALIZED (
+            SELECT g, node FROM t0
+            UNION ALL SELECT g, nn FROM s1
+        ),
+        cr2 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t1 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t1 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t1 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t1 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s2 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr2) WHERE rn = 1
+        ),
+        t2 AS MATERIALIZED (
+            SELECT g, node FROM t1
+            UNION ALL SELECT g, nn FROM s2
+        ),
+        cr3 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t2 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t2 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t2 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t2 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s3 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr3) WHERE rn = 1
+        ),
+        t3 AS MATERIALIZED (
+            SELECT g, node FROM t2
+            UNION ALL SELECT g, nn FROM s3
+        ),
+        cr4 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t3 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t3 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t3 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t3 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s4 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr4) WHERE rn = 1
+        ),
+        t4 AS MATERIALIZED (
+            SELECT g, node FROM t3
+            UNION ALL SELECT g, nn FROM s4
+        ),
+        cr5 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t4 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t4 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t4 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t4 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s5 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr5) WHERE rn = 1
+        ),
+        t5 AS MATERIALIZED (
+            SELECT g, node FROM t4
+            UNION ALL SELECT g, nn FROM s5
+        ),
+        cr6 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t5 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t5 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t5 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t5 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s6 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr6) WHERE rn = 1
+        ),
+        t6 AS MATERIALIZED (
+            SELECT g, node FROM t5
+            UNION ALL SELECT g, nn FROM s6
+        ),
+        cr7 AS (
+            SELECT e.g, e.ca, e.cb, e.w, e.cb AS nn
+            FROM e JOIN t6 ta ON ta.g = e.g AND ta.node = e.ca
+            WHERE NOT EXISTS (SELECT 1 FROM t6 tb
+                              WHERE tb.g = e.g AND tb.node = e.cb)
+            UNION ALL
+            SELECT e.g, e.ca, e.cb, e.w, e.ca
+            FROM e JOIN t6 tb ON tb.g = e.g AND tb.node = e.cb
+            WHERE NOT EXISTS (SELECT 1 FROM t6 ta
+                              WHERE ta.g = e.g AND ta.node = e.ca)
+        ),
+        s7 AS MATERIALIZED (
+            SELECT g, ca, cb, w, nn FROM (
+                SELECT g, ca, cb, w, nn,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY w, ca, cb) AS rn
+                FROM cr7) WHERE rn = 1
+        ),
+        t7 AS MATERIALIZED (
+            SELECT g, node FROM t6
+            UNION ALL SELECT g, nn FROM s7
+        )
+        SELECT least('C' || ca, 'C' || cb) AS src,
+               greatest('C' || ca, 'C' || cb) AS dst,
+               CAST(w AS BIGINT) AS weight
+        FROM (
+            SELECT g, ca, cb, w FROM s1
+            UNION ALL SELECT g, ca, cb, w FROM s2
+            UNION ALL SELECT g, ca, cb, w FROM s3
+            UNION ALL SELECT g, ca, cb, w FROM s4
+            UNION ALL SELECT g, ca, cb, w FROM s5
+            UNION ALL SELECT g, ca, cb, w FROM s6
+            UNION ALL SELECT g, ca, cb, w FROM s7
+        )
+    """
 
     return sql
