@@ -4200,6 +4200,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_coloring"] = kg_coloring
 
+    def kg_densest(spark, sf):
+        """Densest-subgraph peeling (operators/densest.py) at ε = 0 on
+        the clique+chain fixture: chains peel first, then the truncated
+        group-0 clique, leaving the 14 full 5-cliques as the best
+        round (density exactly 2).  Every peel test and the density
+        argmax are integer cross-multiplications, so the oracle unrolls
+        the same rounds and picks the same round without floats."""
+        from graphrag_rs_spark.operators.densest import densest_subgraph
+
+        return densest_subgraph(
+            _clique_chain_edges(spark, sf), factor_num=1, factor_den=1
+        )
+
+    q["kg_densest"] = kg_densest
+
     return q
 
 
@@ -10749,6 +10764,131 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM new8 n WHERE n.id = u.id)
         )
         SELECT id, color, round FROM col8
+    """
+    )
+
+    # kg_densest: unroll the Bahmani peel rounds — per round one
+    # degree aggregation, the integer peel test deg*V > 2E, and an
+    # edge semi-join; the best round is the integer cross-multiplied
+    # density argmax (ties -> earliest round).
+    sql["kg_densest"] = (
+        "WITH "
+        + _cc_edges_cte
+        + """,
+        live1 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        ),
+        st1 AS MATERIALIZED (
+            SELECT 1 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live1
+        ),
+        dg1 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live1 GROUP BY src
+        ),
+        keep1 AS (
+            SELECT d.id FROM dg1 d, st1 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live2 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live1 l
+                 JOIN keep1 a ON a.id = l.src
+                 JOIN keep1 b ON b.id = l.dst
+        ),
+        st2 AS MATERIALIZED (
+            SELECT 2 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live2
+        ),
+        dg2 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live2 GROUP BY src
+        ),
+        keep2 AS (
+            SELECT d.id FROM dg2 d, st2 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live3 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live2 l
+                 JOIN keep2 a ON a.id = l.src
+                 JOIN keep2 b ON b.id = l.dst
+        ),
+        st3 AS MATERIALIZED (
+            SELECT 3 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live3
+        ),
+        dg3 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live3 GROUP BY src
+        ),
+        keep3 AS (
+            SELECT d.id FROM dg3 d, st3 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live4 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live3 l
+                 JOIN keep3 a ON a.id = l.src
+                 JOIN keep3 b ON b.id = l.dst
+        ),
+        st4 AS MATERIALIZED (
+            SELECT 4 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live4
+        ),
+        dg4 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live4 GROUP BY src
+        ),
+        keep4 AS (
+            SELECT d.id FROM dg4 d, st4 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live5 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live4 l
+                 JOIN keep4 a ON a.id = l.src
+                 JOIN keep4 b ON b.id = l.dst
+        ),
+        st5 AS MATERIALIZED (
+            SELECT 5 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live5
+        ),
+        dg5 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live5 GROUP BY src
+        ),
+        keep5 AS (
+            SELECT d.id FROM dg5 d, st5 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live6 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live5 l
+                 JOIN keep5 a ON a.id = l.src
+                 JOIN keep5 b ON b.id = l.dst
+        ),
+        st6 AS MATERIALIZED (
+            SELECT 6 AS r, count(*) // 2 AS e, count(DISTINCT src) AS v
+            FROM live6
+        ),
+        dg6 AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM live6 GROUP BY src
+        ),
+        keep6 AS (
+            SELECT d.id FROM dg6 d, st6 s WHERE d.deg * s.v > 2 * s.e
+        ),
+        live7 AS MATERIALIZED (
+            SELECT l.src, l.dst FROM live6 l
+                 JOIN keep6 a ON a.id = l.src
+                 JOIN keep6 b ON b.id = l.dst
+        ),
+        stats AS MATERIALIZED (
+            SELECT * FROM (SELECT * FROM st1 UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3 UNION ALL SELECT * FROM st4 UNION ALL SELECT * FROM st5 UNION ALL SELECT * FROM st6) WHERE v > 0
+        ),
+        best AS (
+            SELECT s.* FROM stats s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM stats t
+                WHERE t.e * s.v > s.e * t.v
+                   OR (t.e * s.v = s.e * t.v AND t.r < s.r))
+        ),
+        mem AS (SELECT 1 AS r, id FROM dg1
+            UNION ALL SELECT 2 AS r, id FROM dg2
+            UNION ALL SELECT 3 AS r, id FROM dg3
+            UNION ALL SELECT 4 AS r, id FROM dg4
+            UNION ALL SELECT 5 AS r, id FROM dg5
+            UNION ALL SELECT 6 AS r, id FROM dg6)
+        SELECT mem.id, CAST(best.e AS BIGINT) AS best_edges,
+               CAST(best.v AS BIGINT) AS best_nodes,
+               CAST(best.r AS INT) AS best_round
+        FROM mem JOIN best ON mem.r = best.r
     """
     )
 
