@@ -4215,6 +4215,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_densest"] = kg_densest
 
+    def rel_attribution(spark, sf):
+        """Multi-touch attribution (operators/attribution.py): every
+        click/view is segmented to the user's next purchase by one
+        forward-looking window pass, then first/last/linear credits in
+        exact integer micro-units (per-conversion credits sum to
+        exactly 1 000 000 in all three models).  Two window passes,
+        both partitioned by user — no self-join anywhere."""
+        from graphrag_rs_spark.operators.attribution import (
+            multi_touch_attribution,
+        )
+
+        return multi_touch_attribution(_t(spark, sf, "events"))
+
+    q["rel_attribution"] = rel_attribution
+
     return q
 
 
@@ -10766,6 +10781,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # rel_attribution: same forward-looking IGNORE NULLS window and the
+    # same integer credit arithmetic (unit // n, remainder to the last
+    # touch) -- strict (ts, event_id) order makes segmentation unique.
+    sql["rel_attribution"] = """
+        WITH seg AS (
+            SELECT event_id, ts, user_id, event_type,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING)
+                       AS conv_event_id
+            FROM events
+        ),
+        touches AS (
+            SELECT user_id, conv_event_id, event_id AS touch_event_id,
+                   event_type AS touch_type,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id, conv_event_id
+                       ORDER BY ts, event_id) AS INT) AS touch_index,
+                   count(*) OVER (
+                       PARTITION BY user_id, conv_event_id) AS n_touches
+            FROM seg
+            WHERE event_type IN ('click', 'view')
+              AND conv_event_id IS NOT NULL
+        )
+        SELECT user_id, conv_event_id, touch_event_id, touch_type,
+               touch_index, n_touches,
+               CAST(CASE WHEN touch_index = 1 THEN 1000000 ELSE 0 END
+                    AS BIGINT) AS first_credit,
+               CAST(CASE WHEN touch_index = n_touches THEN 1000000 ELSE 0
+                    END AS BIGINT) AS last_credit,
+               CAST(CASE WHEN touch_index = n_touches
+                         THEN 1000000 - (n_touches - 1)
+                                        * (1000000 // n_touches)
+                         ELSE 1000000 // n_touches END
+                    AS BIGINT) AS linear_credit
+        FROM touches
+    """
 
     # kg_densest: unroll the Bahmani peel rounds — per round one
     # degree aggregation, the integer peel test deg*V > 2E, and an
