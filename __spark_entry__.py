@@ -4230,6 +4230,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_attribution"] = rel_attribution
 
+    def kg_temporal_reach(spark, sf):
+        """Earliest-arrival temporal reachability (operators/
+        temporal_reach.py) over a per-group temporal DAG (step edges
+        i→i+1 at t=(7i+3) mod 10, skip edges i→i+2 at t=(5i+1) mod 10)
+        from each group's idx-0 source — the mod-10 times block some
+        step chains so foremost paths genuinely differ from BFS.  The
+        oracle enumerates every time-respecting walk in a recursive
+        CTE and takes the (arrival, hops) minimum, never replaying the
+        frontier relaxation."""
+        from graphrag_rs_spark.operators.temporal_reach import (
+            temporal_reachability,
+        )
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        edges = (
+            a.join(b, "g")
+            .where(
+                (F.col("ib") == F.col("ia") + 1)
+                | (F.col("ib") == F.col("ia") + 2)
+            )
+            .select(
+                F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias(
+                    "dst"
+                ),
+                F.when(
+                    F.col("ib") == F.col("ia") + 1,
+                    (F.col("ia") * 7 + 3) % 10,
+                )
+                .otherwise((F.col("ia") * 5 + 1) % 10)
+                .cast("long")
+                .alias("t"),
+            )
+        )
+        sources = c.where(F.col("idx") == 0).select(
+            F.concat(F.lit("C"), F.col("ck").cast("string")).alias("id")
+        )
+        return temporal_reachability(edges, sources)
+
+    q["kg_temporal_reach"] = kg_temporal_reach
+
+    def code_api_diff(spark, sf):
+        """Repo-level API breaking-change sweep (code_graph.py:
+        api_diff): snapshot B deletes files id%13==2 (their defs are
+        the breaking 'removed' rows) and appends a _v2 function to
+        files id%7==1 (the non-breaking 'added' rows).  The oracle
+        derives both sets from the corpus closed form — it never runs
+        the def extractors."""
+        from graphrag_rs_spark.operators.code_graph import api_diff
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        old = base.select("repo", "path", "lang", "content")
+        new = base.where(did % 13 != 2).select(
+            "repo",
+            "path",
+            "lang",
+            F.when(
+                did % 7 == 1,
+                F.concat(
+                    F.col("content"),
+                    F.when(
+                        F.col("lang") == "python",
+                        F.concat(
+                            F.lit("\ndef fn_"),
+                            did.cast("string"),
+                            F.lit("_v2(x):\n    return x\n"),
+                        ),
+                    ).otherwise(
+                        F.concat(
+                            F.lit("\npub fn process_"),
+                            did.cast("string"),
+                            F.lit("_v2(x: u64) -> u64 { x }\n"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return api_diff(old, new)
+
+    q["code_api_diff"] = code_api_diff
+
     return q
 
 
@@ -10781,6 +10876,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # code_api_diff: both change sets fall out of the corpus closed
+    # form -- removed = the two defs of every deleted (id%13==2) file,
+    # added = the _v2 function of every surviving id%7==1 file.
+    sql["code_api_diff"] = f"""
+        WITH {code_cte}
+        SELECT repo, 'function' AS kind, 'fn_' || doc_id AS symbol,
+               'removed' AS change
+        FROM code WHERE doc_id % 13 = 2 AND lang = 'python'
+        UNION ALL
+        SELECT repo, 'class', 'Cls_' || doc_id, 'removed'
+        FROM code WHERE doc_id % 13 = 2 AND lang = 'python'
+        UNION ALL
+        SELECT repo, 'function', 'process_' || doc_id, 'removed'
+        FROM code WHERE doc_id % 13 = 2 AND lang = 'rust'
+        UNION ALL
+        SELECT repo, 'struct', 'Record_' || doc_id, 'removed'
+        FROM code WHERE doc_id % 13 = 2 AND lang = 'rust'
+        UNION ALL
+        SELECT repo, 'function', 'fn_' || doc_id || '_v2', 'added'
+        FROM code WHERE doc_id % 7 = 1 AND doc_id % 13 <> 2
+                    AND lang = 'python'
+        UNION ALL
+        SELECT repo, 'function', 'process_' || doc_id || '_v2', 'added'
+        FROM code WHERE doc_id % 7 = 1 AND doc_id % 13 <> 2
+                    AND lang = 'rust'
+    """
+
+    # kg_temporal_reach: enumerate every time-respecting walk over the
+    # temporal DAG (finite: hops strictly increase along idx), then the
+    # (arrival, hops) minimum per (source, node).
+    sql["kg_temporal_reach"] = """
+        WITH RECURSIVE c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        te AS (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst,
+                   CASE WHEN b.idx = a.idx + 1 THEN (a.idx * 7 + 3) % 10
+                        ELSE (a.idx * 5 + 1) % 10 END AS t
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE b.idx = a.idx + 1 OR b.idx = a.idx + 2
+        ),
+        s AS (SELECT 'C' || ck AS id FROM c WHERE idx = 0),
+        walk(source, id, arrival, hops) AS (
+            SELECT id, id, CAST(0 AS BIGINT), 0 FROM s
+            UNION ALL
+            SELECT w.source, te.dst, CAST(te.t AS BIGINT), w.hops + 1
+            FROM walk w JOIN te ON te.src = w.id AND te.t >= w.arrival
+        )
+        SELECT source, id, arrival, CAST(hops AS INT) AS hops FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source, id ORDER BY arrival, hops) AS rn
+            FROM walk)
+        WHERE rn = 1
+    """
 
     # rel_attribution: same forward-looking IGNORE NULLS window and the
     # same integer credit arithmetic (unit // n, remainder to the last

@@ -616,3 +616,29 @@ def dead_exports(
     return defs.join(referenced, "symbol", "left_anti").select(
         "repo", "path", "lang", "kind", "symbol"
     )
+
+
+def api_diff(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
+    """Repo-level API diff between two corpus snapshots →
+    (repo, kind, symbol, change), change ∈ {'removed', 'added'}.
+
+    'removed' is the breaking direction: a symbol the old snapshot
+    defined anywhere in the repo that no file of the new snapshot
+    defines (file moves within a repo are NOT breaking — the key is
+    (repo, kind, symbol), not the path).  Two def extractions + two
+    anti-joins; symbol sets are tiny relative to content, so the
+    shuffles move ids only.
+    """
+    old_api = (
+        extract_defs(old_files).select("repo", "kind", "symbol").distinct()
+    )
+    new_api = (
+        extract_defs(new_files).select("repo", "kind", "symbol").distinct()
+    )
+    removed = old_api.join(
+        new_api, ["repo", "kind", "symbol"], "left_anti"
+    ).withColumn("change", F.lit("removed"))
+    added = new_api.join(
+        old_api, ["repo", "kind", "symbol"], "left_anti"
+    ).withColumn("change", F.lit("added"))
+    return removed.unionByName(added)
