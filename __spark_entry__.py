@@ -4325,6 +4325,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_api_diff"] = code_api_diff
 
+    def kg_coreness(spark, sf):
+        """Full coreness decomposition (operators/coreness.py) on the
+        clique+chain fixture.  The oracle is CLOSED FORM, derived by
+        hand-peeling the fixture once: chain tails (idx 6, 7) fall at
+        k=2 → shell 1, idx 5 survives to k=3 → shell 2, the 5-clique
+        (idx 0–4) falls only at k=5 → shell 4 — fully independent of
+        the peeling implementation."""
+        from graphrag_rs_spark.operators.coreness import core_decomposition
+
+        return core_decomposition(_clique_chain_edges(spark, sf))
+
+    q["kg_coreness"] = kg_coreness
+
     return q
 
 
@@ -10876,6 +10889,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # kg_coreness: hand-derived closed form of the fixture's shells --
+    # no peeling replay anywhere.
+    sql["kg_coreness"] = """
+        SELECT 'C' || c_custkey AS id,
+               CAST(CASE c_custkey % 8
+                    WHEN 7 THEN 1 WHEN 6 THEN 1 WHEN 5 THEN 2
+                    ELSE 4 END AS INT) AS coreness
+        FROM customer WHERE c_custkey < 120
+    """
 
     # code_api_diff: both change sets fall out of the corpus closed
     # form -- removed = the two defs of every deleted (id%13==2) file,
