@@ -4338,6 +4338,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_coreness"] = kg_coreness
 
+    def kg_simrank(spark, sf):
+        """Fixed-point integer SimRank (operators/simrank.py), 3
+        iterations at C = 0.8 on the per-group layered DAG — every
+        iterate is micro-unit floor arithmetic, so the oracle's
+        unrolled SQL must reproduce every score exactly.  The wedge
+        join is driven from the nonzero pair frame (two equi-joins,
+        no edge×edge product)."""
+        from graphrag_rs_spark.operators.simrank import simrank
+
+        return simrank(_dag_skip_edges(spark, sf), iterations=3)
+
+    q["kg_simrank"] = kg_simrank
+
     return q
 
 
@@ -10889,6 +10902,91 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # kg_simrank: unroll the 3 micro-unit floor iterations -- the
+    # diagonal is pinned at 1e6, zero scores are dropped on both sides,
+    # and the division is integer floor so no float ever appears.
+    sql["kg_simrank"] = """
+        WITH c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        de AS MATERIALIZED (
+            SELECT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE b.idx = a.idx + 1 OR b.idx = a.idx + 2
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS id FROM de UNION SELECT dst FROM de
+        ),
+        ind AS MATERIALIZED (
+            SELECT dst AS id, count(*) AS d FROM de GROUP BY dst
+        ),
+        s0 AS (
+            SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+            FROM nodes
+        ),
+        sm1 AS MATERIALIZED (
+            SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS num
+            FROM s0 p
+                 JOIN de e1 ON e1.src = p.a
+                 JOIN de e2 ON e2.src = p.b
+            WHERE e1.dst <> e2.dst
+            GROUP BY e1.dst, e2.dst
+        ),
+        s1 AS MATERIALIZED (
+            SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+            FROM nodes
+            UNION ALL
+            SELECT m.a, m.b,
+                   CAST((8 * m.num) // (10 * da.d * db.d) AS BIGINT) AS s
+            FROM sm1 m
+                 JOIN ind da ON da.id = m.a
+                 JOIN ind db ON db.id = m.b
+            WHERE (8 * m.num) // (10 * da.d * db.d) > 0
+        ),
+        sm2 AS MATERIALIZED (
+            SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS num
+            FROM s1 p
+                 JOIN de e1 ON e1.src = p.a
+                 JOIN de e2 ON e2.src = p.b
+            WHERE e1.dst <> e2.dst
+            GROUP BY e1.dst, e2.dst
+        ),
+        s2 AS MATERIALIZED (
+            SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+            FROM nodes
+            UNION ALL
+            SELECT m.a, m.b,
+                   CAST((8 * m.num) // (10 * da.d * db.d) AS BIGINT) AS s
+            FROM sm2 m
+                 JOIN ind da ON da.id = m.a
+                 JOIN ind db ON db.id = m.b
+            WHERE (8 * m.num) // (10 * da.d * db.d) > 0
+        ),
+        sm3 AS MATERIALIZED (
+            SELECT e1.dst AS a, e2.dst AS b, sum(p.s) AS num
+            FROM s2 p
+                 JOIN de e1 ON e1.src = p.a
+                 JOIN de e2 ON e2.src = p.b
+            WHERE e1.dst <> e2.dst
+            GROUP BY e1.dst, e2.dst
+        ),
+        s3 AS MATERIALIZED (
+            SELECT id AS a, id AS b, CAST(1000000 AS BIGINT) AS s
+            FROM nodes
+            UNION ALL
+            SELECT m.a, m.b,
+                   CAST((8 * m.num) // (10 * da.d * db.d) AS BIGINT) AS s
+            FROM sm3 m
+                 JOIN ind da ON da.id = m.a
+                 JOIN ind db ON db.id = m.b
+            WHERE (8 * m.num) // (10 * da.d * db.d) > 0
+        )
+        SELECT a AS id_a, b AS id_b, s AS simrank_micro
+        FROM s3 WHERE a < b
+    """
 
     # kg_coreness: hand-derived closed form of the fixture's shells --
     # no peeling replay anywhere.
