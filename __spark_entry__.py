@@ -4351,6 +4351,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_simrank"] = kg_simrank
 
+    def mm_image_mse(spark, sf):
+        """Pairwise image SSE over REAL PNG decodes (multimodal.py:
+        image_pair_mse): pair doc d with doc d+50, both rendered by the
+        stdlib encoder at different widths, aligned by the deterministic
+        nearest-neighbor 8×8 sample.  The oracle replays the samples
+        from the generative pixel law (seed+x+y mod 256) and the
+        (i+0.5)·w/8 sampling arithmetic — codec-independent ground
+        truth for the decode path."""
+        from graphrag_rs_spark.operators.multimodal import (
+            image_pair_mse,
+            make_png,
+        )
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
+
+        pairs = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 50)
+            .select(
+                F.col("doc_id").cast("string").alias("pair_id"),
+                png_bytes(F.col("doc_id")).alias("payload_a"),
+                png_bytes(F.col("doc_id") + 50).alias("payload_b"),
+            )
+        )
+        return image_pair_mse(pairs)
+
+    q["mm_image_mse"] = mm_image_mse
+
     return q
 
 
@@ -10902,6 +10936,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # mm_image_mse: replay both images' 8x8 nearest samples from the
+    # generative pixel law and the same sampling arithmetic as the
+    # ahash oracle, then the integer squared-difference sum.
+    sql["mm_image_mse"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        g AS (
+            SELECT doc_id, j, i,
+                   least(CAST(floor((i + 0.5) * (8 + doc_id % 8) / 8.0)
+                              AS INT),
+                         CAST(8 + doc_id % 8 - 1 AS INT)) AS sxa,
+                   least(CAST(floor((i + 0.5) * (8 + (doc_id + 50) % 8)
+                                    / 8.0) AS INT),
+                         CAST(8 + (doc_id + 50) % 8 - 1 AS INT)) AS sxb
+            FROM d, unnest(generate_series(0, 7)) AS t1(j),
+                 unnest(generate_series(0, 7)) AS t2(i)
+        ),
+        px AS (
+            SELECT doc_id,
+                   (doc_id + sxa + j) % 256 AS pa,
+                   ((doc_id + 50) + sxb + j) % 256 AS pb
+            FROM g
+        )
+        SELECT doc_id::VARCHAR AS pair_id,
+               CAST(sum((pa - pb) * (pa - pb)) AS BIGINT) AS sse,
+               CAST(64 AS INT) AS n_px,
+               'ok' AS decode_ok
+        FROM px GROUP BY doc_id
+    """
 
     # kg_simrank: unroll the 3 micro-unit floor iterations -- the
     # diagonal is pinned at 1e6, zero scores are dropped on both sides,

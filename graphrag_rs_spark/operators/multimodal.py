@@ -583,3 +583,48 @@ def image_patches(media: DataFrame, *, grid: int = 4) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=PATCH_SCHEMA
     )
+
+
+MSE_SCHEMA = "pair_id string, sse long, n_px int, decode_ok string"
+
+
+def image_pair_mse(pairs: DataFrame, *, grid: int = 8) -> DataFrame:
+    """(pair_id, payload_a, payload_b) → (pair_id, sse, n_px, decode_ok):
+    decode BOTH real PNG payloads, nearest-neighbor sample each to the
+    same ``grid``×``grid`` patch (kernel/media.py: resize_nearest), and
+    report the integer sum of squared differences over the n_px = grid²
+    aligned samples (mse = sse / n_px, left to the caller so the row
+    stays integer-exact).  The standard cheap visual-similarity score
+    once near-dup candidates are bucketed by ahash/dhash.
+
+    Shape: Arrow-batched mapInPandas over the pair frame; 12 bytes of
+    output per pair — pixels never reach a shuffle.
+    """
+    from graphrag_rs_spark.kernel.media import decode_png, resize_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sses, oks = [], []
+            for pa, pb in zip(pdf["payload_a"], pdf["payload_b"]):
+                xa = decode_png(pa)
+                xb = decode_png(pb)
+                if xa is None or xb is None:
+                    sses.append(None)
+                    oks.append("decode_error")
+                    continue
+                ga = resize_nearest(xa, grid, grid).astype(np.int64)
+                gb = resize_nearest(xb, grid, grid).astype(np.int64)
+                sses.append(int(((ga - gb) ** 2).sum()))
+                oks.append("ok")
+            yield pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"],
+                    "sse": pd.Series(sses, dtype="Int64"),
+                    "n_px": np.full(len(pdf), grid * grid, dtype=np.int32),
+                    "decode_ok": oks,
+                }
+            )
+
+    return pairs.select("pair_id", "payload_a", "payload_b").mapInPandas(
+        run, schema=MSE_SCHEMA
+    )
