@@ -4385,6 +4385,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_mse"] = mm_image_mse
 
+    def rel_cusum(spark, sf):
+        """Exact one-sided CUSUM changepoints (operators/cusum.py) over
+        per-user event values in integer cents — the sequential-looking
+        recurrence computed by the prefix-min identity with two window
+        passes, zero UDFs.  Drift 1200 cents, alarm at 5000."""
+        from graphrag_rs_spark.operators.cusum import cusum_scores
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        return cusum_scores(
+            ev, drift=1200, threshold=5000
+        ).select("event_id", "user_id", "x", "cusum", "alarm")
+
+    q["rel_cusum"] = rel_cusum
+
     return q
 
 
@@ -10936,6 +10955,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # rel_cusum: replay the prefix-min identity directly in SQL window
+    # frames -- same (ts, event_id) order, same integer cents.
+    sql["rel_cusum"] = """
+        WITH ev AS (
+            SELECT event_id, ts, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        pfx AS (
+            SELECT event_id, ts, user_id, x,
+                   sum(x - 1200) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS p
+            FROM ev
+        )
+        SELECT event_id, user_id, x,
+               CAST(p - least(0, min(p) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS BIGINT) AS cusum,
+               CAST(CASE WHEN p - least(0, min(p) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   > 5000 THEN 1 ELSE 0 END AS INT) AS alarm
+        FROM pfx
+    """
 
     # mm_image_mse: replay both images' 8x8 nearest samples from the
     # generative pixel law and the same sampling arithmetic as the
