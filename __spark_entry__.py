@@ -4404,6 +4404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_cusum"] = rel_cusum
 
+    def kg_dyad_census(spark, sf):
+        """Holland–Leinhardt dyad census + reciprocity (operators/
+        dyad.py) on the directed fixture (5-cycles, one 2-cycle, tails):
+        one canonical-pair groupBy; null dyads are n(n−1)/2 arithmetic,
+        never materialized; reciprocity in floor micro-units."""
+        from graphrag_rs_spark.operators.dyad import dyad_census
+
+        return dyad_census(_directed_fixture_edges(spark, sf))
+
+    q["kg_dyad_census"] = kg_dyad_census
+
     return q
 
 
@@ -10955,6 +10966,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, color, round FROM col8
     """
     )
+
+    # kg_dyad_census: same canonical-pair direction count in SQL; null
+    # dyads by n(n-1)/2 arithmetic; reciprocity via integer floor
+    # division (DuckDB CAST(double AS BIGINT) rounds, so // is used).
+    sql["kg_dyad_census"] = """
+        WITH c AS (
+            SELECT c_custkey AS ck, c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        de AS (
+            SELECT DISTINCT 'C' || a.ck AS src, 'C' || b.ck AS dst
+            FROM c a JOIN c b ON a.g = b.g
+            WHERE (a.idx < 4 AND b.idx = a.idx + 1)
+               OR (a.idx = 4 AND b.idx IN (0, 5))
+               OR (a.idx = 5 AND b.idx = 6)
+               OR (a.idx = 6 AND b.idx IN (5, 7))
+        ),
+        pk AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   count(DISTINCT CASE WHEN src < dst THEN 1 ELSE 2 END)
+                       AS nd
+            FROM de GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN nd = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS mutual,
+                   CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS asym
+            FROM pk
+        ),
+        nn AS (
+            SELECT count(DISTINCT id) AS n FROM (
+                SELECT src AS id FROM de UNION SELECT dst FROM de)
+        )
+        SELECT mutual, asym,
+               CAST(n * (n - 1) // 2 - mutual - asym AS BIGINT)
+                   AS null_dyads,
+               CAST(CASE WHEN mutual * 2 + asym > 0
+                    THEN mutual * 2 * 1000000 // (mutual * 2 + asym)
+                    ELSE 0 END AS BIGINT) AS reciprocity_micro
+        FROM agg, nn
+    """
 
     # rel_cusum: replay the prefix-min identity directly in SQL window
     # frames -- same (ts, event_id) order, same integer cents.
