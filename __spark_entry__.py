@@ -4415,6 +4415,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_dyad_census"] = kg_dyad_census
 
+    def code_stale_tests(spark, sf):
+        """Stale-test sweep (code_graph.py: stale_tests): the TESTS
+        edges of the old snapshot joined against the files snapshot B
+        deletes (id%13==2) — tests that still name a vanished module.
+        The oracle is the code_test_edges arithmetic plus the deletion
+        predicate on the target id."""
+        from graphrag_rs_spark.operators.code_graph import stale_tests
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        files = base.select(
+            "repo",
+            F.when(
+                did % 11 == 4,
+                F.concat(
+                    F.lit("tests/test_mod_"),
+                    ((did + 6) % 1000).cast("string"),
+                    F.lit(".py"),
+                ),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+            "lang",
+            "content",
+        )
+        removed = base.where((did % 13 == 2) & (did % 11 != 4)).select(
+            "repo", F.col("path").alias("src_path")
+        )
+        return stale_tests(files, removed)
+
+    q["code_stale_tests"] = code_stale_tests
+
+    def kg_kcenter(spark, sf):
+        """Gonzalez farthest-first k-center seeding (operators/
+        kcenter.py) with k=6 on the binary-tree forest — unreached
+        components win the farthest pick first, so centers spread
+        across trees before refining within one.  The oracle computes
+        tree distances by path enumeration and unrolls the six greedy
+        picks in SQL."""
+        from graphrag_rs_spark.operators.kcenter import greedy_k_center
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") - (F.col("c_custkey") % 8)).alias("g"),
+            (F.col("c_custkey") % 8).alias("idx"),
+        )
+        a = c.select("g", F.col("ck").alias("ck_a"), F.col("idx").alias("ia"))
+        b = c.select("g", F.col("ck").alias("ck_b"), F.col("idx").alias("ib"))
+        edges = (
+            a.join(b, "g")
+            .where(
+                (F.col("ia") >= 1)
+                & (F.col("ib") == F.floor((F.col("ia") - 1) / 2))
+            )
+            .select(
+                F.concat(F.lit("C"), F.col("ck_a").cast("string")).alias(
+                    "src"
+                ),
+                F.concat(F.lit("C"), F.col("ck_b").cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        return greedy_k_center(edges, k=6)
+
+    q["kg_kcenter"] = kg_kcenter
+
     return q
 
 
@@ -10965,6 +11035,114 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, color, round FROM col8
     """
+    )
+
+    # code_stale_tests: the code_test_edges arithmetic narrowed to
+    # targets the new snapshot deletes (tgt % 13 = 2).
+    sql["code_stale_tests"] = """
+        WITH t AS (
+            SELECT (doc_id + 6) % 1000 AS tgt,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo
+            FROM documents WHERE doc_id % 11 = 4
+        ),
+        s AS (
+            SELECT doc_id AS j,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   'src/mod_' || doc_id
+                       || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs'
+                          END AS path
+            FROM documents WHERE doc_id % 11 <> 4
+        )
+        SELECT t.repo, 'tests/test_mod_' || t.tgt || '.py' AS test_path,
+               s.path AS src_path, 'target_removed' AS reason
+        FROM t JOIN s ON s.j = t.tgt AND s.repo = t.repo
+        WHERE t.tgt % 13 = 2
+    """
+
+    # kg_kcenter: the greedy farthest-first traversal replayed in SQL.
+    # Tree distances come from the binary-heap ancestor chains (an
+    # enumerated VALUES table of (idx, ancestor, depth-offset) for the
+    # 8-node heap): dist(a,b) = min over common ancestors of the two
+    # offset sums, restricted to chains whose every intermediate node
+    # exists in the group.  The six greedy rounds are unrolled as CTE
+    # stages: pick_i = argmax(coalesce(dist, 2^60)) with ties toward
+    # the smaller string id, then merge-min by (dist, center) exactly
+    # like the operator's min(struct(dist, center)).
+    _KC_ROUND = """
+        , p{i} AS MATERIALIZED (
+            SELECT id AS c FROM d{j}
+            ORDER BY COALESCE(dist, 1152921504606846976) DESC, id ASC
+            LIMIT 1
+        ),
+        d{i} AS MATERIALIZED (
+            SELECT d.id,
+                   CASE WHEN nd.dd IS NULL THEN d.dist
+                        WHEN d.dist IS NULL THEN nd.dd
+                        ELSE LEAST(d.dist, nd.dd) END AS dist,
+                   CASE WHEN nd.dd IS NULL THEN d.center
+                        WHEN d.dist IS NULL OR nd.dd < d.dist
+                            THEN (SELECT c FROM p{i})
+                        WHEN nd.dd > d.dist THEN d.center
+                        ELSE LEAST(d.center, (SELECT c FROM p{i})) END
+                       AS center
+            FROM d{j} d
+            LEFT JOIN dist nd
+              ON nd.a = d.id AND nd.b = (SELECT c FROM p{i})
+        )
+    """
+    sql["kg_kcenter"] = (
+        """
+        WITH n AS (
+            SELECT 'C' || c_custkey AS id,
+                   c_custkey - (c_custkey % 8) AS g,
+                   c_custkey % 8 AS idx
+            FROM customer WHERE c_custkey < 120
+        ),
+        anc AS (
+            SELECT * FROM (VALUES
+                (0,0,0),
+                (1,1,0),(1,0,1),
+                (2,2,0),(2,0,1),
+                (3,3,0),(3,1,1),(3,0,2),
+                (4,4,0),(4,1,1),(4,0,2),
+                (5,5,0),(5,2,1),(5,0,2),
+                (6,6,0),(6,2,1),(6,0,2),
+                (7,7,0),(7,3,1),(7,1,2),(7,0,3)
+            ) v(idx, anc, d)
+        ),
+        chain_ok AS MATERIALIZED (
+            SELECT nn.id, nn.g, a.anc, a.d
+            FROM n nn JOIN anc a ON a.idx = nn.idx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM anc a2
+                WHERE a2.idx = nn.idx AND a2.d <= a.d
+                  AND NOT EXISTS (
+                      SELECT 1 FROM n n2
+                      WHERE n2.g = nn.g AND n2.idx = a2.anc
+                  )
+            )
+        ),
+        dist AS MATERIALIZED (
+            SELECT x.id AS a, y.id AS b, MIN(x.d + y.d) AS dd
+            FROM chain_ok x
+            JOIN chain_ok y ON x.g = y.g AND x.anc = y.anc
+            GROUP BY x.id, y.id
+        ),
+        p1 AS MATERIALIZED (SELECT MIN(id) AS c FROM n),
+        d1 AS MATERIALIZED (
+            SELECT nn.id, dd.dd AS dist,
+                   CASE WHEN dd.dd IS NOT NULL
+                        THEN (SELECT c FROM p1) END AS center
+            FROM n nn
+            LEFT JOIN dist dd
+              ON dd.a = nn.id AND dd.b = (SELECT c FROM p1)
+        )
+        """
+        + "".join(_KC_ROUND.format(i=i, j=i - 1) for i in range(2, 7))
+        + """
+        SELECT id, center, CAST(dist AS BIGINT) AS dist
+        FROM d6 WHERE dist IS NOT NULL
+        """
     )
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null

@@ -642,3 +642,26 @@ def api_diff(old_files: DataFrame, new_files: DataFrame) -> DataFrame:
         old_api, ["repo", "kind", "symbol"], "left_anti"
     ).withColumn("change", F.lit("added"))
     return removed.unionByName(added)
+
+
+def stale_tests(files: DataFrame, removed: DataFrame) -> DataFrame:
+    """Tests whose linked source file is gone in the next snapshot →
+    (repo, test_path, src_path, reason).
+
+    ``files`` is the OLD snapshot (tests resolve against it via
+    test_link_edges); ``removed`` is (repo, src_path) of files absent
+    from the new snapshot.  A test that still names a vanished module
+    is the highest-signal hygiene row a code KG can emit: it points at
+    supervision (the test) that no longer exercises anything.  One
+    repo-scoped equi-join on top of the TESTS edges — ids only.
+    """
+    edges = test_link_edges(files)
+    return edges.join(
+        removed.select("repo", "src_path").distinct(),
+        ["repo", "src_path"],
+    ).select(
+        "repo",
+        "test_path",
+        "src_path",
+        F.lit("target_removed").alias("reason"),
+    )
