@@ -4485,6 +4485,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_kcenter"] = kg_kcenter
 
+    def code_unused_imports(spark, sf):
+        """Import-liveness sweep (code_graph.py: unused_imports).  The
+        synthetic corpus never references its imports in the body, so
+        the query appends a genuine usage line for every fifth file
+        (``mod_m1.run()`` / ``mod_m1::run();``) — those m1 imports go
+        live, every m2 import stays dead.  The oracle replays the
+        liveness decision arithmetically."""
+        from graphrag_rs_spark.operators.code_graph import unused_imports
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        m1 = ((did * 7 + 1) % 1000).cast("string")
+        use_line = F.when(
+            F.col("lang") == "python",
+            F.concat(F.lit("\nz = mod_"), m1, F.lit(".run()\n")),
+        ).otherwise(
+            F.concat(F.lit("\nfn use_it() { mod_"), m1, F.lit("::run(); }\n"))
+        )
+        files = base.select(
+            "repo", "path", "lang",
+            F.when(did % 5 == 0, F.concat(F.col("content"), use_line))
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return unused_imports(files)
+
+    q["code_unused_imports"] = code_unused_imports
+
     return q
 
 
@@ -11144,6 +11175,28 @@ def oracle_sql() -> dict[str, str]:
         FROM d6 WHERE dist IS NOT NULL
         """
     )
+
+    # code_unused_imports: liveness decided arithmetically — m1 is used
+    # iff the query appended its usage line (doc_id % 5 = 0), m2 is
+    # never referenced outside its own declaration line.
+    sql["code_unused_imports"] = """
+        WITH d AS (
+            SELECT doc_id AS id,
+                   'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   'src/mod_' || doc_id
+                       || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs'
+                          END AS path,
+                   CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'rust'
+                        END AS lang,
+                   (doc_id * 7 + 1) % 1000 AS m1,
+                   (doc_id * 3 + 2) % 1000 AS m2
+            FROM documents
+        )
+        SELECT repo, path, lang, 'mod_' || m1 AS imported
+        FROM d WHERE id % 5 <> 0
+        UNION ALL
+        SELECT repo, path, lang, 'mod_' || m2 AS imported FROM d
+    """
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null
     # dyads by n(n-1)/2 arithmetic; reciprocity via integer floor

@@ -665,3 +665,62 @@ def stale_tests(files: DataFrame, removed: DataFrame) -> DataFrame:
         "src_path",
         F.lit("target_removed").alias("reason"),
     )
+
+
+# declaration/comment lines carry the import syntax itself plus prose —
+# neither counts as *usage* of the imported binding
+_DECL_OR_COMMENT = (
+    r"(?m)^[ \t]*(?:import\b|from\b|use\b|(?:pub[ \t]+)?mod\b|#|//).*"
+)
+_IDENT_TOKEN = r"[A-Za-z_$][A-Za-z0-9_$]*"
+
+
+def unused_imports(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → imports never referenced in the body.
+
+    Module-level textual liveness, the import-side twin of
+    ``dead_exports``: an import is *used* iff its binding name appears as
+    an identifier token anywhere in the file after stripping
+    declaration and comment lines.  For path-style imports (go paths,
+    js relative specifiers) the binding name is the trailing identifier
+    run of the import string — the same approximation every
+    lint-without-a-resolver makes.
+
+    One map-only projection per file (import array + distinct body-token
+    array computed side by side), one explode, one ``array_contains``
+    filter — no join, no shuffle, scan stays single-pass at any corpus
+    size.
+    """
+    per_lang = {
+        lang: F.array_distinct(
+            F.concat(*[
+                F.regexp_extract_all(F.col("content"), F.lit(p), F.lit(1))
+                for p in pats
+            ])
+        )
+        for lang, pats in IMPORT_PATTERNS.items()
+    }
+    arr = _lang_dispatch(per_lang, F.array().cast("array<string>"))
+    body = F.regexp_replace(F.col("content"), _DECL_OR_COMMENT, "")
+    toks = F.array_distinct(
+        F.regexp_extract_all(body, F.lit(_IDENT_TOKEN), F.lit(0))
+    )
+    return (
+        files.select(
+            "repo", "path", "lang",
+            arr.alias("_imports"), toks.alias("_toks"),
+        )
+        .select(
+            "repo", "path", "lang",
+            F.explode("_imports").alias("imported"), "_toks",
+        )
+        .where(
+            ~F.array_contains(
+                "_toks",
+                F.regexp_extract(
+                    "imported", r"([A-Za-z_$][A-Za-z0-9_$]*)$", 1
+                ),
+            )
+        )
+        .select("repo", "path", "lang", "imported")
+    )

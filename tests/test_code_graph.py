@@ -450,3 +450,41 @@ def test_identifier_subtokens(spark):
         "parse": (2, 2), "json": (1, 1), "json2": (1, 1),
         "private": (1, 1), "thing": (1, 1),
     }
+
+
+def test_unused_imports(spark):
+    from graphrag_rs_spark.operators.code_graph import unused_imports
+
+    py = (
+        "import os\n"
+        "import json\n"
+        "from collections import deque\n"
+        "# os mentioned in a comment does not count\n"
+        "def f(x):\n"
+        "    return os.path.join(x)\n"  # os used, json/collections not
+    )
+    rs = (
+        "use crate::parser;\n"
+        "use crate::lexer::tok;\n"
+        "fn main() { parser::run(); }\n"  # parser used, lexer not
+    )
+    js = (
+        "import util from './lib/util';\n"
+        "import dead from './lib/dead';\n"
+        "const x = util.go();\n"  # trailing-segment binding name
+    )
+    files = spark.createDataFrame(
+        [
+            ("r", "a.py", "python", py),
+            ("r", "b.rs", "rust", rs),
+            ("r", "c.js", "javascript", js),
+        ],
+        "repo string, path string, lang string, content string",
+    )
+    rows = {(r["path"], r["imported"]) for r in unused_imports(files).collect()}
+    assert rows == {
+        ("a.py", "json"),
+        ("a.py", "collections"),
+        ("b.rs", "lexer"),
+        ("c.js", "./lib/dead"),
+    }
