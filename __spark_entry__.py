@@ -4516,6 +4516,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_unused_imports"] = code_unused_imports
 
+    def kg_eigenvector(spark, sf):
+        """Shifted integer power iteration (operators/eigenvector.py)
+        on a 120-node ring with chords every 4th node — non-uniform
+        degrees give a non-trivial Perron vector; the oracle unrolls
+        the six micro-unit rounds as materialized CTE stages."""
+        from graphrag_rs_spark.operators.eigenvector import (
+            eigenvector_centrality,
+        )
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("k")
+        )
+        kk = F.col("k")
+        ring = c.select(
+            F.concat(F.lit("N"), kk.cast("string")).alias("src"),
+            F.concat(F.lit("N"), ((kk + 1) % 120).cast("string")).alias(
+                "dst"
+            ),
+        )
+        chords = c.where(kk % 4 == 0).select(
+            F.concat(F.lit("N"), kk.cast("string")).alias("src"),
+            F.concat(F.lit("N"), ((kk + 7) % 120).cast("string")).alias(
+                "dst"
+            ),
+        )
+        return eigenvector_centrality(
+            ring.unionByName(chords), iterations=6
+        )
+
+    q["kg_eigenvector"] = kg_eigenvector
+
     return q
 
 
@@ -11197,6 +11228,51 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT repo, path, lang, 'mod_' || m2 AS imported FROM d
     """
+
+    # kg_eigenvector: the shifted power iteration replayed round by
+    # round — matvec join + max-norm floor division per stage; DuckDB
+    # // on positive BIGINTs matches Spark's `div` exactly.
+    _EV_ROUND = """
+        , z{i} AS MATERIALIZED (
+            SELECT y.id, x.s + y.nbr AS y
+            FROM (
+                SELECT s2.dst AS id, SUM(x.s) AS nbr
+                FROM sym s2 JOIN x{j} x ON x.id = s2.src
+                GROUP BY s2.dst
+            ) y JOIN x{j} x ON x.id = y.id
+        ),
+        x{i} AS MATERIALIZED (
+            SELECT id, y * 1000000 // (SELECT MAX(y) FROM z{i}) AS s
+            FROM z{i}
+        )
+    """
+    sql["kg_eigenvector"] = (
+        """
+        WITH n AS (
+            SELECT c_custkey AS k FROM customer WHERE c_custkey < 120
+        ),
+        e0 AS (
+            SELECT 'N' || k AS src, 'N' || ((k + 1) % 120) AS dst FROM n
+            UNION ALL
+            SELECT 'N' || k, 'N' || ((k + 7) % 120) FROM n WHERE k % 4 = 0
+        ),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM e0
+            ) WHERE src <> dst
+        ),
+        x0 AS MATERIALIZED (
+            SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
+            FROM sym
+        )
+        """
+        + "".join(_EV_ROUND.format(i=i, j=i - 1) for i in range(1, 7))
+        + """
+        SELECT id, s AS score FROM x6
+        """
+    )
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null
     # dyads by n(n-1)/2 arithmetic; reciprocity via integer floor
