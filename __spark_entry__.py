@@ -4547,6 +4547,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_eigenvector"] = kg_eigenvector
 
+    def text_rake_keyphrases(spark, sf):
+        """RAKE keyphrases (operators/rake.py) over the documents
+        table, top-5 per doc.  The oracle replays the full regexp →
+        split → degree/frequency → micro-unit scoring pipeline in
+        DuckDB with the SAME stopword regex string."""
+        from graphrag_rs_spark.operators.rake import rake_keyphrases
+
+        return rake_keyphrases(_docs(spark, sf), top_k=5)
+
+    q["text_rake_keyphrases"] = text_rake_keyphrases
+
     return q
 
 
@@ -11273,6 +11284,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, s AS score FROM x6
         """
     )
+
+    # text_rake_keyphrases: the identical pipeline in DuckDB — same
+    # stopword regex literal, same micro-unit floor division, same
+    # (score desc, phrase asc) ranking.
+    from graphrag_rs_spark.operators.rake import stopword_regex as _rake_sw
+
+    sql["text_rake_keyphrases"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]+', '|', 'g'),
+                       '{_rake_sw()}', '|', 'g') AS s
+            FROM documents
+        ),
+        seg AS (
+            SELECT doc_id, unnest(string_split(s, '|')) AS seg FROM t
+        ),
+        ph AS (
+            SELECT doc_id, regexp_extract_all(seg, '[a-z0-9]+') AS words
+            FROM seg
+        ),
+        ph2 AS (
+            SELECT doc_id, array_to_string(words, ' ') AS phrase,
+                   CAST(len(words) AS BIGINT) AS plen, words
+            FROM ph WHERE len(words) > 0
+        ),
+        w AS (
+            SELECT doc_id, unnest(words) AS word, plen FROM ph2
+        ),
+        ws AS (
+            SELECT doc_id, word,
+                   SUM(plen) * 1000000 // COUNT(*) AS ws
+            FROM w GROUP BY doc_id, word
+        ),
+        pd AS (SELECT DISTINCT doc_id, phrase FROM ph2),
+        pw AS (
+            SELECT doc_id, phrase,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM pd
+        ),
+        ps AS (
+            SELECT pw.doc_id, pw.phrase, SUM(ws.ws) AS score
+            FROM pw JOIN ws
+              ON ws.doc_id = pw.doc_id AND ws.word = pw.word
+            GROUP BY pw.doc_id, pw.phrase
+        ),
+        r AS (
+            SELECT doc_id, phrase, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, phrase ASC
+                   ) AS rk
+            FROM ps
+        )
+        SELECT doc_id, phrase, score, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 5
+    """
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null
     # dyads by n(n-1)/2 arithmetic; reciprocity via integer floor
