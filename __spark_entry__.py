@@ -4558,6 +4558,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_rake_keyphrases"] = text_rake_keyphrases
 
+    def code_doc_coverage(spark, sf):
+        """Docstring/doc-comment coverage rollup (code_quality.py:
+        doc_coverage).  The synthetic corpus has one undocumented
+        function per file; every fifth file gains an appended
+        documented one, so coverage varies by (repo, lang) cell and
+        the oracle derives all counts arithmetically."""
+        from graphrag_rs_spark.operators.code_quality import doc_coverage
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        doc_fn = F.when(
+            F.col("lang") == "python",
+            F.concat(
+                F.lit('\ndef doc_'), did.cast("string"),
+                F.lit('(x):\n    """doc."""\n    return x\n'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("\n/// doc.\npub fn doc_"), did.cast("string"),
+                F.lit("(x: u64) -> u64 { x }\n"),
+            )
+        )
+        files = base.select(
+            "repo", "path", "lang",
+            F.when(did % 5 == 0, F.concat(F.col("content"), doc_fn))
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return doc_coverage(files)
+
+    q["code_doc_coverage"] = code_doc_coverage
+
+    def code_repo_health(spark, sf):
+        """Composed per-repo dashboard (code_quality.py: repo_health):
+        file/lang counts + unused-import load + doc coverage in one
+        frame.  Every fifth file gains a usage line AND a documented
+        function (the rust usage line is itself an extra undocumented
+        fn — the oracle arithmetic accounts for it)."""
+        from graphrag_rs_spark.operators.code_quality import repo_health
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        m1 = ((did * 7 + 1) % 1000).cast("string")
+        use_line = F.when(
+            F.col("lang") == "python",
+            F.concat(F.lit("\nz = mod_"), m1, F.lit(".run()\n")),
+        ).otherwise(
+            F.concat(F.lit("\nfn use_it() { mod_"), m1, F.lit("::run(); }\n"))
+        )
+        doc_fn = F.when(
+            F.col("lang") == "python",
+            F.concat(
+                F.lit('\ndef doc_'), did.cast("string"),
+                F.lit('(x):\n    """doc."""\n    return x\n'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("\n/// doc.\npub fn doc_"), did.cast("string"),
+                F.lit("(x: u64) -> u64 { x }\n"),
+            )
+        )
+        files = base.select(
+            "repo", "path", "lang",
+            F.when(
+                did % 5 == 0,
+                F.concat(F.col("content"), use_line, doc_fn),
+            )
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return repo_health(files)
+
+    q["code_repo_health"] = code_repo_health
+
     return q
 
 
@@ -11340,6 +11420,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, phrase, score, CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 5
+    """
+
+    # code_doc_coverage: one base (undocumented) function per file, one
+    # appended documented one for every fifth id — counts fall out of
+    # the corpus arithmetic, no regex replay needed.
+    sql["code_doc_coverage"] = """
+        WITH d AS (
+            SELECT 'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE 'rust'
+                        END AS lang,
+                   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS extra
+            FROM documents
+        ),
+        g AS (
+            SELECT repo, lang,
+                   CAST(COUNT(*) + SUM(extra) AS BIGINT) AS n_funcs,
+                   CAST(SUM(extra) AS BIGINT) AS n_documented
+            FROM d GROUP BY repo, lang
+        )
+        SELECT repo, lang, n_funcs, n_documented,
+               CASE WHEN n_funcs = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(n_documented * 1000000 // n_funcs AS BIGINT)
+               END AS coverage_micro
+        FROM g
+    """
+
+    # code_repo_health: each repo is single-language (proj index ==
+    # parity), so every count is closed-form in (n, n5) per repo — the
+    # rust usage line adds one extra undocumented fn per fifth file.
+    sql["code_repo_health"] = """
+        WITH d AS (
+            SELECT 'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+                   doc_id % 2 AS p,
+                   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS five
+            FROM documents
+        ),
+        g AS (
+            SELECT repo, p,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(five) AS BIGINT) AS n5
+            FROM d GROUP BY repo, p
+        )
+        SELECT repo,
+               n AS n_files,
+               CAST(1 AS BIGINT) AS n_langs,
+               2 * n - n5 AS n_unused_imports,
+               CASE WHEN p = 0 THEN n + n5 ELSE n + 2 * n5 END AS n_funcs,
+               n5 AS n_documented,
+               CAST((2 * n - n5) * 1000000 // n AS BIGINT)
+                   AS unused_per_file_micro,
+               CAST(n5 * 1000000
+                    // (CASE WHEN p = 0 THEN n + n5 ELSE n + 2 * n5 END)
+                    AS BIGINT) AS doc_coverage_micro
+        FROM g
     """
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null
