@@ -4638,6 +4638,138 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_repo_health"] = code_repo_health
 
+    def rel_bom_rollup(spark, sf):
+        """Weighted DAG cost rollup (operators/bom.py) over a binary
+        out-tree on part keys < 120 (p → 2p+1, 2p+2; qty = p%3+1;
+        own cost = p%10+1).  The oracle enumerates all root-to-
+        descendant paths with a recursive CTE and sums Π qty · cost."""
+        from graphrag_rs_spark.operators.bom import bom_rollup
+
+        p = _t(spark, sf, "part").where(F.col("p_partkey") < 120).select(
+            F.col("p_partkey").alias("k")
+        )
+        kk = F.col("k")
+        qty = (kk % 3 + 1).cast("int")
+        e1 = p.where(kk * 2 + 1 < 120).select(
+            kk.alias("parent"), (kk * 2 + 1).alias("child"), qty.alias("qty")
+        )
+        e2 = p.where(kk * 2 + 2 < 120).select(
+            kk.alias("parent"), (kk * 2 + 2).alias("child"), qty.alias("qty")
+        )
+        costs = p.select(
+            kk.alias("id"), (kk % 10 + 1).cast("int").alias("cost")
+        )
+        return bom_rollup(e1.unionByName(e2), costs, max_depth=12)
+
+    q["rel_bom_rollup"] = rel_bom_rollup
+
+    def code_tech_debt(spark, sf):
+        """Debt-marker sweep (code_quality.py: tech_debt_markers).
+        Every fourth file gains an appended TODO (python) / FIXME
+        (rust) comment; base files are marker-free (verified corpus
+        property), so line numbers are pure template arithmetic: both
+        templates are 10 content lines + the trailing empty from the
+        final newline, so the appended marker is always line 12."""
+        from graphrag_rs_spark.operators.code_quality import (
+            tech_debt_markers,
+        )
+
+        base = _code_corpus(spark, sf).withColumn(
+            "_id",
+            F.regexp_extract(F.col("path"), r"mod_(\d+)\.", 1).cast("long"),
+        )
+        did = F.col("_id")
+        debt = F.when(
+            F.col("lang") == "python",
+            F.lit("\n# TODO fix overflow\n"),
+        ).otherwise(F.lit("\n// FIXME handle error\n"))
+        files = base.select(
+            "repo", "path", "lang",
+            F.when(did % 4 == 0, F.concat(F.col("content"), debt))
+            .otherwise(F.col("content"))
+            .alias("content"),
+        )
+        return tech_debt_markers(files)
+
+    q["code_tech_debt"] = code_tech_debt
+
+    _ACR_W = ["Global", "United", "Pacific", "Northern",
+              "Eastern", "Royal", "Federal", "Central"]
+    _ACR_S = ["Trade", "Health", "Science", "Energy",
+              "Transport", "Finance", "Labor", "Education"]
+    _ACR_T = ["Organization", "Agency", "Council", "Bureau",
+              "Institute", "Commission", "Union", "Authority"]
+
+    def kg_acronym_aliases(spark, sf):
+        """Acronym alias expansion (linking.py: acronym_candidates):
+        120 synthetic three-word org names (word-list lookups indexed
+        by customer key); mentions are the initials of every EVEN key
+        plus all raw names as distractors.  Colliding initials across
+        different names surface as multiple rows per mention — the
+        documented ambiguity contract."""
+        from graphrag_rs_spark.operators.linking import acronym_candidates
+
+        c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120).select(
+            F.col("c_custkey").alias("k")
+        )
+        kk = F.col("k")
+
+        def _pick(lst, idx):
+            return F.element_at(F.array(*[F.lit(x) for x in lst]), idx + 1)
+
+        name = F.concat_ws(
+            " ",
+            _pick(_ACR_W, (kk % 8).cast("int")),
+            _pick(_ACR_S, ((kk / 8).cast("long") % 8).cast("int")),
+            _pick(_ACR_T, ((kk / 64).cast("long") % 8).cast("int")),
+        )
+        canon = c.select(name.alias("name"))
+        initials = F.upper(
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.col("name")), " +"),
+                    lambda w: F.substring(w, 1, 1),
+                ),
+                "",
+            )
+        )
+        mentions = (
+            c.where(kk % 2 == 0)
+            .select(name.alias("name"))
+            .select(initials.alias("mention"))
+            .unionByName(canon.select(F.col("name").alias("mention")))
+        )
+        return acronym_candidates(canon, mentions)
+
+    q["kg_acronym_aliases"] = kg_acronym_aliases
+
+    def kg_butterflies(spark, sf):
+        """Bipartite butterfly counts (operators/butterfly.py) over a
+        synthesized doc↔module membership: quartet module Q(id//4),
+        pair module R((id//2)%50), and an even-only block module
+        S(id//8) — counts vary with position and parity; the oracle
+        replays the wedge/pair algebra with the same joins."""
+        from graphrag_rs_spark.operators.butterfly import butterfly_counts
+
+        d = _docs(spark, sf).select(F.col("doc_id").alias("id"))
+        i = F.col("id")
+        q_mod = d.select(
+            "id", F.concat(F.lit("Q"), F.floor(i / 4).cast("string")).alias("m")
+        )
+        r_mod = d.select(
+            "id",
+            F.concat(
+                F.lit("R"), (F.floor(i / 2) % 50).cast("string")
+            ).alias("m"),
+        )
+        s_mod = d.where(i % 2 == 0).select(
+            "id", F.concat(F.lit("S"), F.floor(i / 8).cast("string")).alias("m")
+        )
+        edges = q_mod.unionByName(r_mod).unionByName(s_mod)
+        return butterfly_counts(edges, left_col="id", right_col="m")
+
+    q["kg_butterflies"] = kg_butterflies
+
     return q
 
 
@@ -11474,6 +11606,114 @@ def oracle_sql() -> dict[str, str]:
                     // (CASE WHEN p = 0 THEN n + n5 ELSE n + 2 * n5 END)
                     AS BIGINT) AS doc_coverage_micro
         FROM g
+    """
+
+    # rel_bom_rollup: total(p) = Σ over descendants d (incl. p) of
+    # (Π qty along the path) · cost(d) — enumerated by a recursive CTE;
+    # every part key < 120 exists, so nodes = parts and costs are k%10+1.
+    sql["rel_bom_rollup"] = """
+        WITH RECURSIVE
+        p AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 120),
+        e AS (
+            SELECT k AS parent, 2 * k + 1 AS child,
+                   CAST(k % 3 + 1 AS BIGINT) AS qty
+            FROM p WHERE 2 * k + 1 < 120
+            UNION ALL
+            SELECT k, 2 * k + 2, CAST(k % 3 + 1 AS BIGINT)
+            FROM p WHERE 2 * k + 2 < 120
+        ),
+        paths(anc, node, mult) AS (
+            SELECT k, k, CAST(1 AS BIGINT) FROM p
+            UNION ALL
+            SELECT pa.anc, e.child, pa.mult * e.qty
+            FROM paths pa JOIN e ON e.parent = pa.node
+        )
+        SELECT anc AS id,
+               CAST(SUM(mult * (node % 10 + 1)) AS BIGINT) AS total
+        FROM paths GROUP BY anc
+    """
+
+    # code_tech_debt: markers exist only where the query appended them
+    # (corpus verified marker-free), always at template line 12.
+    sql["code_tech_debt"] = """
+        SELECT 'org' || (doc_id % 3) || '/proj' || (doc_id % 2) AS repo,
+               'src/mod_' || doc_id
+                   || CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.rs'
+                      END AS path,
+               CAST(12 AS INT) AS line_no,
+               CASE WHEN doc_id % 2 = 0 THEN 'TODO' ELSE 'FIXME'
+                    END AS marker
+        FROM documents WHERE doc_id % 4 = 0
+    """
+
+    # kg_acronym_aliases: the same word-list name synthesis and
+    # initials transform in DuckDB lambda form; mentions kept as a
+    # MULTISET (union all) so duplicate initials replicate join rows
+    # exactly like the Spark side.
+    sql["kg_acronym_aliases"] = """
+        WITH c AS (
+            SELECT c_custkey AS k FROM customer WHERE c_custkey < 120
+        ),
+        named AS (
+            SELECT k,
+                   (['Global','United','Pacific','Northern',
+                     'Eastern','Royal','Federal','Central'])[(k % 8) + 1]
+                   || ' ' ||
+                   (['Trade','Health','Science','Energy',
+                     'Transport','Finance','Labor','Education'])
+                       [((k // 8) % 8) + 1]
+                   || ' ' ||
+                   (['Organization','Agency','Council','Bureau',
+                     'Institute','Commission','Union','Authority'])
+                       [((k // 64) % 8) + 1] AS name
+            FROM c
+        ),
+        keyed AS (
+            SELECT k, name,
+                   upper(array_to_string(
+                       list_transform(
+                           string_split_regex(trim(name), ' +'),
+                           w -> substring(w, 1, 1)
+                       ), '')) AS acr
+            FROM named
+        ),
+        mentions AS (
+            SELECT acr AS mention FROM keyed WHERE k % 2 = 0
+            UNION ALL
+            SELECT name FROM named
+        )
+        SELECT m.mention, kk.name
+        FROM mentions m
+        JOIN keyed kk ON upper(m.mention) = kk.acr
+    """
+
+    # kg_butterflies: identical wedge algebra — self-join on the module
+    # key, pair counts, C(c,2), summed per endpoint.
+    sql["kg_butterflies"] = """
+        WITH d AS (SELECT doc_id AS id FROM documents),
+        e AS (
+            SELECT id, 'Q' || (id // 4) AS m FROM d
+            UNION ALL
+            SELECT id, 'R' || ((id // 2) % 50) FROM d
+            UNION ALL
+            SELECT id, 'S' || (id // 8) FROM d WHERE id % 2 = 0
+        ),
+        pairs AS (
+            SELECT a.id AS u, b.id AS v, COUNT(*) AS c
+            FROM e a JOIN e b ON a.m = b.m AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING COUNT(*) >= 2
+        ),
+        bf AS (
+            SELECT u, v, CAST(c * (c - 1) // 2 AS BIGINT) AS bf FROM pairs
+        )
+        SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies
+        FROM (
+            SELECT u AS id, bf FROM bf
+            UNION ALL
+            SELECT v, bf FROM bf
+        )
+        GROUP BY id
     """
 
     # kg_dyad_census: same canonical-pair direction count in SQL; null

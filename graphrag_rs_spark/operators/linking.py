@@ -500,3 +500,45 @@ def rewrite_triples(triples: DataFrame, clusters: DataFrame) -> DataFrame:
             128,
         ).alias("context_chunk_ids"),
     )
+
+
+def acronym_candidates(
+    canonical: DataFrame,
+    mentions: DataFrame,
+    *,
+    name_col: str = "name",
+    mention_col: str = "mention",
+    min_words: int = 2,
+) -> DataFrame:
+    """canonical(name) × mentions(mention) → (mention, name): mentions
+    whose upper-cased text equals the initials of a multi-word
+    canonical name ("WHO" → "World Health Organization").
+
+    The alias-expansion step the blocking-key linker cannot reach:
+    an acronym shares no character n-grams, no soundex, and no token
+    with its expansion, so every similarity metric in score_pairs
+    scores it ~0.  Key construction is a map-only transform over the
+    split name (first letter per word, upper-cased); the match is one
+    equi-join on that key.  Single-word names never produce keys
+    (``min_words``), so one-letter mentions cannot false-positive.
+    Ambiguous acronyms (two expansions sharing initials) surface as
+    multiple rows per mention — resolution policy belongs to the
+    caller, same contract as find_canonical's candidate frame.
+    """
+    words = F.split(F.trim(F.col(name_col)), " +")
+    acr = F.upper(
+        F.array_join(
+            F.transform(words, lambda w: F.substring(w, 1, 1)), ""
+        )
+    )
+    keys = canonical.where(F.size(words) >= min_words).select(
+        F.col(name_col).alias("name"), acr.alias("_acr")
+    )
+    return (
+        mentions.select(
+            F.col(mention_col).alias("mention"),
+            F.upper(F.col(mention_col)).alias("_m"),
+        )
+        .join(keys, F.col("_m") == F.col("_acr"))
+        .select("mention", "name")
+    )

@@ -488,3 +488,24 @@ def test_unused_imports(spark):
         ("b.rs", "lexer"),
         ("c.js", "./lib/dead"),
     }
+
+
+def test_stale_tests(spark):
+    from graphrag_rs_spark.operators.code_graph import stale_tests
+
+    files = spark.createDataFrame(
+        [
+            ("r", "src/mod_1.py", "python", "def f(): pass\n"),
+            ("r", "src/mod_2.py", "python", "def g(): pass\n"),
+            ("r", "tests/test_mod_1.py", "python", "import mod_1\n"),
+            ("r", "tests/test_mod_2.py", "python", "import mod_2\n"),
+        ],
+        "repo string, path string, lang string, content string",
+    )
+    removed = spark.createDataFrame(
+        [("r", "src/mod_1.py")], "repo string, src_path string"
+    )
+    rows = [tuple(r) for r in stale_tests(files, removed).collect()]
+    assert rows == [
+        ("r", "tests/test_mod_1.py", "src/mod_1.py", "target_removed")
+    ]

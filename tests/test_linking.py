@@ -469,3 +469,26 @@ def test_spark_soundex_parity(spark):
     got = {r["s"]: r["x"] for r in df.select("s", F.soundex("s").alias("x")).collect()}
     for v in vocab:
         assert spark_soundex(v) == got[v], repr(v)
+
+
+def test_acronym_candidates(spark):
+    from graphrag_rs_spark.operators.linking import acronym_candidates
+
+    canonical = spark.createDataFrame(
+        [("World Health Organization",), ("United Nations",), ("Japan",)],
+        "name string",
+    )
+    mentions = spark.createDataFrame(
+        [("WHO",), ("who",), ("UN",), ("J",), ("WHAT",), ("World",)],
+        "mention string",
+    )
+    rows = {
+        (r["mention"], r["name"])
+        for r in acronym_candidates(canonical, mentions).collect()
+    }
+    assert rows == {
+        ("WHO", "World Health Organization"),
+        ("who", "World Health Organization"),  # case-folded match
+        ("UN", "United Nations"),
+        # "J" blocked by min_words; "WHAT"/"World" match no initials
+    }

@@ -446,3 +446,52 @@ def test_identifier_subtokens_partial_aggregation(spark, parquet_code):
     plan = _plan(identifier_subtokens(extract_defs(parquet_code)))
     assert "partial_count" in plan
     assert _partial_before_exchange(plan)
+
+
+def test_unused_imports_no_exchange(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_graph import unused_imports
+
+    plan = _plan(unused_imports(parquet_code))
+    # map-only contract: import array + token array in one projection,
+    # explode, filter — never a shuffle
+    assert "Exchange" not in plan
+
+
+def test_doc_coverage_partial_aggregation(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_quality import doc_coverage
+
+    import re
+
+    plan = _plan(doc_coverage(parquet_code))
+    # exactly the (repo, lang) groupBy shuffles (each node prints once
+    # in the detail section as "(n) Exchange")
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    agg = _node_no(plan, lambda n, op, b: op == "HashAggregate" and "partial" in b)
+    exch = _node_no(plan, lambda n, op, b: op == "Exchange")
+    assert agg < exch
+
+
+def test_tech_debt_prefilter_before_explode(spark, parquet_code):
+    from graphrag_rs_spark.operators.code_quality import tech_debt_markers
+
+    plan = _plan(tech_debt_markers(parquet_code))
+    assert "Exchange" not in plan  # map-only
+    # formatted-plan numbering is leaf-first: the file-level rlike
+    # pre-filter must carry a SMALLER number than the Generate so
+    # marker-free files never explode their lines
+    gen = _node_no(plan, lambda n, op, b: op == "Generate")
+    filt = _node_no(
+        plan, lambda n, op, b: op == "Filter" and "RLIKE" in b and "content" in b
+    )
+    assert filt < gen
+
+
+def test_rake_no_cartesian(spark):
+    from graphrag_rs_spark.operators.rake import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {i} and gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(rake_keyphrases(docs))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
