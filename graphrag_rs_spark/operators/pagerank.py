@@ -26,6 +26,16 @@ entirely and runs exactly ``max_iterations`` rounds (used by the
 fixed-iteration DuckDB oracle). Rank state is truncated per iteration
 with iterutil.cut_lineage (see iterutil.py for why localCheckpoint is
 not sufficient for iterative planning cost).
+
+Below ``collect_threshold`` edges the identical iteration runs on the
+driver (same reset quirk, dangling handling, and tol/check_every break
+cadence) — the scc.tarjan/kcenter guarded-small-path pattern.  The
+composed retrieval paths run PPR over KGs extracted from a query's hit
+set (tens of nodes); 10 distributed rounds on a 7-node graph cost ~10 s
+of pure scheduling, the driver replay ~1 ms.  Float sums associate in a
+different order than Spark's partial aggregation, so last-ulp drift vs
+the distributed path is possible — consumers already round ranks (6 dp
+on every board row), same tolerance class as the DuckDB oracle replay.
 """
 
 from __future__ import annotations
@@ -36,6 +46,66 @@ from pyspark.sql import functions as F
 from graphrag_rs_spark.iterutil import cut_lineage
 
 
+def _pagerank_local(
+    spark,
+    rows,
+    id_type,
+    damping: float,
+    max_iterations: int,
+    tol: float,
+    check_every: int,
+    seed_rows,
+) -> DataFrame:
+    """Driver replay of the exact distributed iteration for small edge
+    lists — same reset quirk, dangling redistribution, and break
+    cadence."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("rank", DoubleType())]
+    )
+    outw: dict = {}
+    verts = set()
+    for r in rows:
+        verts.add(r["src"])
+        verts.add(r["dst"])
+        outw[r["src"]] = outw.get(r["src"], 0.0) + float(r["weight"])
+    n = len(verts)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    edges = [
+        (r["src"], r["dst"], float(r["weight"]) / outw[r["src"]])
+        for r in rows
+    ]
+    reset = {v: 1.0 / n for v in verts}
+    if seed_rows is not None:
+        total = sum(float(s["prob"]) for s in seed_rows)
+        if total > 0.0:
+            for s in seed_rows:
+                if s["id"] in reset:
+                    reset[s["id"]] = float(s["prob"]) / total
+    ranks = {v: 1.0 / n for v in verts}
+    dangling = [v for v in verts if v not in outw]
+    for i in range(max_iterations):
+        dm = sum(ranks[v] for v in dangling)
+        incoming: dict = {}
+        for s, d, p in edges:
+            incoming[d] = incoming.get(d, 0.0) + ranks[s] * p
+        new = {
+            v: (1.0 - damping) * reset[v]
+            + damping * (incoming.get(v, 0.0) + dm / n)
+            for v in verts
+        }
+        if tol > 0.0 and (i + 1) % check_every == 0:
+            delta = sum(abs(new[v] - ranks[v]) for v in verts)
+            ranks = new
+            if delta < tol:
+                break
+        else:
+            ranks = new
+    return spark.createDataFrame(list(ranks.items()), out_schema)
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -44,12 +114,27 @@ def pagerank(
     tol: float = 1e-6,
     check_every: int = 5,
     reset_probs: DataFrame | None = None,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst, weight) directed → (id, rank).
 
     ``reset_probs``: optional (id, prob) seed frame for personalized
     PageRank (pagerank.rs build_reset_vector). Without it, Σ ranks = 1.
     """
+    probe = edges.limit(collect_threshold + 1).count()
+    if probe <= collect_threshold:
+        return _pagerank_local(
+            edges.sparkSession,
+            edges.select("src", "dst", "weight").collect(),
+            edges.schema["src"].dataType,
+            damping,
+            max_iterations,
+            tol,
+            check_every,
+            reset_probs.select("id", "prob").collect()
+            if reset_probs is not None
+            else None,
+        )
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

@@ -207,3 +207,26 @@ def test_mention_context_windows(spark):
     r2 = rows["c2"]                            # window clamps at doc start
     assert r2["start_offset"] == 0
     assert r2["snippet"] == "spark at s"
+
+
+def test_pagerank_paths_agree(spark):
+    from graphrag_rs_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+         ("a", "c", 0.5), ("d", "a", 1.0)],  # d dangles after its edge; e none
+        "src string, dst string, weight double",
+    )
+    seeds = spark.createDataFrame([("a", 1.0)], "id string, prob double")
+    for kw in ({}, {"reset_probs": seeds}):
+        small = {
+            r["id"]: round(r["rank"], 6)
+            for r in pagerank(edges, max_iterations=10, tol=0.0, **kw).collect()
+        }
+        dist = {
+            r["id"]: round(r["rank"], 6)
+            for r in pagerank(
+                edges, max_iterations=10, tol=0.0, collect_threshold=0, **kw
+            ).collect()
+        }
+        assert small == dist and len(small) == 4
