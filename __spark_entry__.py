@@ -4770,6 +4770,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_butterflies"] = kg_butterflies
 
+    def dedup_containment(spark, sf):
+        """Asymmetric n-gram containment (dedup.py:
+        ngram_containment_pairs).  Fifty synthetic container docs each
+        concatenate two originals, so every original is FULLY contained
+        (containment 1.0) in its container while jaccard sits far below
+        any dedup threshold — the quote/boilerplate-inclusion case.
+        The oracle replays the postings-join algebra with both
+        normalizations."""
+        from graphrag_rs_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        a = d.where(F.col("doc_id") < 50).select(
+            F.col("doc_id").alias("ia"), F.col("text").alias("ta")
+        )
+        b = d.where(
+            (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+        ).select(
+            (F.col("doc_id") - 50).alias("ia"), F.col("text").alias("tb")
+        )
+        containers = a.join(b, "ia").select(
+            (F.col("ia") + 10000).alias("doc_id"),
+            F.concat_ws(" ", "ta", "tb").alias("text"),
+        )
+        corpus = d.unionByName(containers)
+        return ngram_containment_pairs(corpus, threshold=0.9)
+
+    q["dedup_containment"] = dedup_containment
+
     return q
 
 
@@ -6006,6 +6036,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM pairs WHERE jaccard >= 0.5
+    """
+
+    # dedup_containment: same postings-join shingle algebra as the
+    # jaccard oracle, over the corpus + 50 synthesized containers, with
+    # both containment normalizations (i/|A|, i/|B|).
+    sql["dedup_containment"] = """
+        WITH containers AS (
+            SELECT a.doc_id + 10000 AS doc_id,
+                   a.text || ' ' || b.text AS text
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 50
+            WHERE a.doc_id < 50
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id, text FROM containers
+        ),
+        base AS (
+            SELECT doc_id AS id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t != '') AS toks
+                  FROM corpus)
+            WHERE len(toks) >= 3
+        ),
+        sizes AS (SELECT id, len(sh) AS n FROM base),
+        ex AS (SELECT id, unnest(sh) AS g FROM base),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / sa.n AS c_ab,
+                   CAST(i AS DOUBLE) / sb.n AS c_ba,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = inter.id_a
+                       JOIN sizes sb ON sb.id = inter.id_b
+        )
+        SELECT id_a, id_b,
+               round(c_ab, 6) AS containment_ab,
+               round(c_ba, 6) AS containment_ba,
+               round(jaccard, 6) AS jaccard
+        FROM pairs WHERE greatest(c_ab, c_ba) >= 0.9
     """
 
     # minhash+LSH verifies candidates exactly, so its output equals the

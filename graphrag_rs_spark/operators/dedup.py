@@ -593,3 +593,73 @@ def duplicated_spans(
         F.col("span_end").cast("int").alias("span_end"),
         (F.col("span_end") - F.col("span_start")).cast("int").alias("span_tokens"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    max_block_size: int = 200,
+) -> DataFrame:
+    """→ (id_a, id_b, containment_ab, containment_ba, jaccard): ordered
+    pairs where max(containment) ≥ threshold, with containment_ab =
+    |A∩B| / |A| (how much of A lives inside B).
+
+    The ASYMMETRIC near-dup detector Jaccard cannot express: a document
+    quoted whole inside a 10× larger one has jaccard ≈ 0.1 but
+    containment_ab = 1.0 — the quote/subset/boilerplate-inclusion case
+    (Broder's containment, the C of shingling's (r, C) pair).  Same
+    scale shape as ngram_jaccard_pairs: shared-shingle blocking with
+    the hot-shingle skew guard, ids-only candidate join, exact verify
+    on the two shingle arrays.
+    """
+    base = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select(
+        "id", _shingles(F.col(text_col), shingle_size).alias("sh")
+    ).where(F.size("sh") > 0)
+    base = base.persist(StorageLevel.DISK_ONLY)
+    exploded = base.select("id", F.explode("sh").alias("g"))
+    hot = (
+        exploded.groupBy("g").count()
+        .where(F.col("count") > max_block_size)
+        .select("g")
+    )
+    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
+    a = pruned.select("g", F.col("id").alias("id_a"))
+    b = pruned.select("g", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    out = (
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (inter / F.size("sh_a").cast("double")).alias("containment_ab"),
+            (inter / F.size("sh_b").cast("double")).alias("containment_ba"),
+            (
+                inter
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(
+            F.greatest("containment_ab", "containment_ba") >= threshold
+        )
+        .select(
+            "id_a", "id_b",
+            F.round("containment_ab", 6).alias("containment_ab"),
+            F.round("containment_ba", 6).alias("containment_ba"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

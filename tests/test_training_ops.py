@@ -643,3 +643,25 @@ def test_quantized_topk_recall_vs_bruteforce(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall  # int8 candidates barely lose anything
+
+
+def test_ngram_containment_pairs(spark):
+    from graphrag_rs_spark.operators.dedup import ngram_containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog"
+    big = small + " and then it kept running far away into the woods tonight"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "completely unrelated text about spark")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): (
+            r["containment_ab"], r["containment_ba"], r["jaccard"]
+        )
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    c_ab, c_ba, jac = rows[(1, 2)]
+    assert c_ab == 1.0      # the small doc is fully contained
+    assert c_ba < 1.0       # the container is not contained in the small
+    assert jac < 0.9        # jaccard alone would have missed this pair
