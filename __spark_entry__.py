@@ -4800,6 +4800,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment"] = dedup_containment
 
+    def text_bleu_precision(spark, sf):
+        """Clipped 2-gram precision (operators/bleu.py) over 100
+        candidate/reference pairs (doc i vs doc i+100).  The oracle
+        replays gram multiset counting, the reference clip, and the
+        micro-unit floor division."""
+        from graphrag_rs_spark.operators.bleu import (
+            clipped_ngram_precision,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        pairs = (
+            d.where(F.col("doc_id") < 100)
+            .select(F.col("doc_id").alias("pair_id"), F.col("text").alias("candidate"))
+            .join(
+                d.select(
+                    (F.col("doc_id") - 100).alias("pair_id"),
+                    F.col("text").alias("reference"),
+                ),
+                "pair_id",
+            )
+        )
+        return clipped_ngram_precision(pairs, n=2)
+
+    q["text_bleu_precision"] = text_bleu_precision
+
     return q
 
 
@@ -6084,6 +6109,64 @@ def oracle_sql() -> dict[str, str]:
                round(c_ba, 6) AS containment_ba,
                round(jaccard, 6) AS jaccard
         FROM pairs WHERE greatest(c_ab, c_ba) >= 0.9
+    """
+
+    # text_bleu_precision: gram multisets (no distinct), reference-count
+    # clip via LEAST on a left join, micro-unit floor division.
+    sql["text_bleu_precision"] = """
+        WITH p AS (
+            SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 100
+            WHERE a.doc_id < 100
+        ),
+        ct AS (
+            SELECT pair_id,
+                   string_split_regex(lower(trim(cand)), '\\s+') AS toks
+            FROM p
+        ),
+        rt AS (
+            SELECT pair_id,
+                   string_split_regex(lower(trim(ref)), '\\s+') AS toks
+            FROM p
+        ),
+        lens AS (
+            SELECT ct.pair_id,
+                   CAST(len(ct.toks) AS BIGINT) AS cand_len,
+                   CAST(len(rt.toks) AS BIGINT) AS ref_len
+            FROM ct JOIN rt ON rt.pair_id = ct.pair_id
+        ),
+        cg AS (
+            SELECT pair_id,
+                   unnest([array_to_string(toks[i:i+1], ' ')
+                           for i in range(1, len(toks))]) AS g
+            FROM ct WHERE len(toks) >= 2
+        ),
+        rg AS (
+            SELECT pair_id,
+                   unnest([array_to_string(toks[i:i+1], ' ')
+                           for i in range(1, len(toks))]) AS g
+            FROM rt WHERE len(toks) >= 2
+        ),
+        cgc AS (SELECT pair_id, g, COUNT(*) AS c FROM cg GROUP BY pair_id, g),
+        rgc AS (SELECT pair_id, g, COUNT(*) AS c FROM rg GROUP BY pair_id, g),
+        clip AS (
+            SELECT cgc.pair_id,
+                   CAST(SUM(LEAST(cgc.c, COALESCE(rgc.c, 0))) AS BIGINT)
+                       AS matched,
+                   CAST(SUM(cgc.c) AS BIGINT) AS total
+            FROM cgc LEFT JOIN rgc
+              ON rgc.pair_id = cgc.pair_id AND rgc.g = cgc.g
+            GROUP BY cgc.pair_id
+        )
+        SELECT lens.pair_id,
+               COALESCE(matched, 0) AS matched,
+               COALESCE(total, 0) AS total,
+               CASE WHEN COALESCE(total, 0) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(matched * 1000000 // total AS BIGINT)
+               END AS precision_micro,
+               cand_len, ref_len
+        FROM lens LEFT JOIN clip ON clip.pair_id = lens.pair_id
     """
 
     # minhash+LSH verifies candidates exactly, so its output equals the
