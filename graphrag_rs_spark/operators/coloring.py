@@ -24,11 +24,78 @@ from graphrag_rs_spark.iterutil import cut_lineage
 from graphrag_rs_spark.operators.linkpred import _h60
 
 
+def _jp_local(
+    spark, edge_rows: list, id_type, seed: str, max_rounds: int
+) -> DataFrame:
+    """Driver-exact replica of the synchronous JP rounds for graphs
+    under the collect threshold (guarded small-path pattern): the same
+    (_h60(seed‖id), id) priority, the same winners-per-round / mex over
+    EARLIER-round neighbour colors, the same max_rounds raise.  Only
+    taken for all-ASCII string ids — the tie-break compares ids, and
+    Python code-point order matches Spark's UTF8 binary order only on
+    ASCII (the same guard class as the linker's non-ASCII parity fix)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    adj: dict = {}
+    for s, d in edge_rows:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    prio = {v: h60(f"{seed}\x1f{v}") for v in adj}
+    unc = set(adj)
+    color: dict = {}
+    rnd_of: dict = {}
+    converged = False
+    for rnd in range(1, max_rounds + 1):
+        if not unc:
+            converged = True
+            break
+        winners = [
+            v
+            for v in unc
+            if all(
+                (prio[u], u) < (prio[v], v)
+                for u in adj[v]
+                if u in unc and u != v
+            )
+        ]
+        for v in winners:
+            used = sorted({color[u] for u in adj[v] if u in color})
+            c = 0
+            for u in used:
+                if u == c:
+                    c += 1
+            color[v] = c
+            rnd_of[v] = rnd
+        unc.difference_update(winners)
+    if not converged and unc:
+        raise RuntimeError(
+            f"jones_plassmann_coloring did not converge in {max_rounds} rounds"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("color", T.IntegerType()),
+            T.StructField("round", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, color[v], rnd_of[v]) for v in color], schema
+    )
+
+
 def jones_plassmann_coloring(
     edges: DataFrame,
     *,
     seed: str = "jp",
     max_rounds: int = 40,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) undirected → (id, color int, round int).
 
@@ -36,8 +103,31 @@ def jones_plassmann_coloring(
     colored in EARLIER rounds (synchronous JP); round is 1-based and
     records when the vertex won — handy for plan/round diagnostics.
     Deterministic: priority = (_h60(seed‖id), id) descending.
+
+    Below ``collect_threshold`` edges with all-ASCII string ids the
+    identical rounds run on the driver (see :func:`_jp_local`) — the
+    distributed loop pays ~4 join/agg jobs per round of pure scheduling
+    on board-scale graphs.
     """
+    from pyspark.sql import types as T
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if isinstance(edges.schema["src"].dataType, T.StringType):
+        n_edges = e.limit(collect_threshold + 1).count()
+        if n_edges <= collect_threshold:
+            rows = [(r[0], r[1]) for r in e.collect()]
+            if all(
+                v is not None and all(ord(ch) < 128 for ch in v)
+                for rr in rows
+                for v in rr
+            ):
+                return _jp_local(
+                    edges.sparkSession,
+                    rows,
+                    edges.schema["src"].dataType,
+                    seed,
+                    max_rounds,
+                )
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

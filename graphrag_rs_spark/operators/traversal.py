@@ -207,6 +207,64 @@ def eccentricity(
     )
 
 
+def _multi_bfs_local(
+    spark,
+    edge_rows: list,
+    src_rows: list,
+    id_type,
+    directed: bool,
+    max_iter: int,
+    op_name: str,
+) -> DataFrame:
+    """Driver-exact replica of the distributed multi-source BFS for
+    graphs under the collect threshold (the scc.tarjan / kcenter /
+    pagerank guarded-small-path pattern): identical minimal-depth
+    semantics, identical max_iter contract (raise when the deepest
+    discovered depth reaches ``max_iter`` — the distributed loop only
+    returns after observing an EMPTY round within max_iter hops), and
+    identical duplicate-source behavior (depth-0 rows once per source
+    OCCURRENCE, deeper rows once per distinct source — the distributed
+    initial frontier is never deduped, later hops are)."""
+    from pyspark.sql import types as T
+
+    adj: dict = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+        if not directed:
+            adj.setdefault(d, []).append(s)
+    rows = []
+    max_depth_seen = 0
+    for s in dict.fromkeys(src_rows):
+        depth_of = {s: 0}
+        frontier = [s]
+        depth = 0
+        while frontier:
+            depth += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in depth_of:
+                        depth_of[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+            if nxt and depth > max_depth_seen:
+                max_depth_seen = depth
+        rows.extend((s, v, d) for v, d in depth_of.items() if d > 0)
+    if max_depth_seen >= max_iter:
+        raise RuntimeError(
+            f"{op_name} did not exhaust frontiers within max_iter={max_iter}"
+        )
+    rows.extend((s, s, 0) for s in src_rows)
+    schema = T.StructType(
+        [
+            T.StructField("source", id_type),
+            T.StructField("node", id_type),
+            T.StructField("depth", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _multi_bfs(
     edges: DataFrame,
     sources: DataFrame,
@@ -214,11 +272,32 @@ def _multi_bfs(
     directed: bool,
     max_iter: int,
     op_name: str,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Shared multi-source BFS → (source, node, depth) at minimal depth,
     every source advancing in ONE frontier per hop (the eccentricity /
-    harmonic-centrality engine). Raises on max_iter exhaustion."""
+    harmonic-centrality engine). Raises on max_iter exhaustion.
+
+    Below ``collect_threshold`` edges (and a driver-work product bound
+    n_src·n_edges ≤ 5M — Python BFS is O(n_src·E)) the identical
+    semantics run on the driver: per-hop frontier joins cost ~0.5 s of
+    pure scheduling each on an idle cluster, so a 60-round board-scale
+    BFS pays ~30 s for microseconds of arithmetic. Path-equality is
+    pinned by tests/test_traversal_small_path.py."""
     e = edges.select("src", "dst")
+    n_edges = e.limit(collect_threshold + 1).count()
+    if n_edges <= collect_threshold:
+        n_src = sources.limit(collect_threshold + 1).count()
+        if n_src * max(1, n_edges) <= 5_000_000:
+            return _multi_bfs_local(
+                edges.sparkSession,
+                [(r[0], r[1]) for r in e.collect()],
+                [r[0] for r in sources.select("id").collect()],
+                edges.schema["src"].dataType,
+                directed,
+                max_iter,
+                op_name,
+            )
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint(eager=True)
@@ -333,6 +412,61 @@ def closeness_centrality(
     )
 
 
+def _weighted_sssp_local(
+    spark,
+    edge_rows: list,
+    src_rows: list,
+    id_type,
+    n_rounds: int,
+    directed: bool,
+) -> DataFrame:
+    """Driver-exact replica of the n-round Bellman-Ford relaxation for
+    graphs under the collect threshold (guarded-small-path pattern):
+    identical round-prefix semantics — dist_r(s,v) = min(dist_{r-1}(s,v),
+    min_{(u,v)} dist_{r-1}(s,u)+w) — including the distributed path's
+    min-weight parallel-edge fold and its duplicate-source quirk
+    (n_rounds=0 emits one row per source OCCURRENCE; any groupBy round
+    dedupes)."""
+    from pyspark.sql import types as T
+
+    w_of: dict = {}
+    for s, d, w in edge_rows:
+        w = int(w)
+        for a, b in ((s, d),) if directed else ((s, d), (d, s)):
+            k = (a, b)
+            if k not in w_of or w < w_of[k]:
+                w_of[k] = w
+    adj: dict = {}
+    for (a, b), w in w_of.items():
+        adj.setdefault(a, []).append((b, w))
+
+    rows = []
+    if n_rounds == 0:
+        rows = [(s, s, 0) for s in src_rows]
+    else:
+        for s in dict.fromkeys(src_rows):
+            dist = {s: 0}
+            for _ in range(n_rounds):
+                new = dict(dist)
+                for u, du in dist.items():
+                    for v, w in adj.get(u, ()):
+                        c = du + w
+                        if v not in new or c < new[v]:
+                            new[v] = c
+                if new == dist:
+                    break
+                dist = new
+            rows.extend((s, v, d) for v, d in dist.items())
+    schema = T.StructType(
+        [
+            T.StructField("source", id_type),
+            T.StructField("node", id_type),
+            T.StructField("dist", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def weighted_sssp(
     edges: DataFrame,
     sources: DataFrame,
@@ -340,6 +474,7 @@ def weighted_sssp(
     n_rounds: int,
     directed: bool = False,
     weight_col: str = "w",
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Bounded Bellman-Ford: multi-source weighted shortest distances
     using at most ``n_rounds`` hops → (source, node, dist).
@@ -363,6 +498,20 @@ def weighted_sssp(
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
     e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    n_edges = e.limit(collect_threshold + 1).count()
+    if n_edges <= collect_threshold:
+        n_src = sources.limit(collect_threshold + 1).count()
+        # Python relaxation is O(n_rounds·n_src·E); bound the product so
+        # the driver path never exceeds ~1 s of driver arithmetic
+        if n_src * max(1, n_edges) * max(1, n_rounds) <= 20_000_000:
+            return _weighted_sssp_local(
+                edges.sparkSession,
+                [(r[0], r[1], r[2]) for r in e.collect()],
+                [r[0] for r in sources.select("id").collect()],
+                edges.schema["src"].dataType,
+                n_rounds,
+                directed,
+            )
     if not directed:
         e = e.union(
             e.select(

@@ -1,0 +1,121 @@
+"""Guarded driver small path for _multi_bfs / weighted_sssp: the
+collect-threshold path must be row-identical to the distributed frontier
+iteration on the same input (the scc.tarjan / kcenter / pagerank
+path-equality contract).  collect_threshold=0 forces the distributed
+path; the default routes small graphs to the driver."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.traversal import (
+    closeness_centrality,
+    eccentricity,
+    harmonic_centrality,
+    weighted_sssp,
+)
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, w long")
+
+
+def _srcs(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def _graph(spark):
+    # two components, a cycle, parallel edges with different weights,
+    # and a directed-only reachable tail
+    return _edges(
+        spark,
+        [
+            ("a", "b", 1),
+            ("b", "c", 4),
+            ("a", "c", 9),
+            ("a", "c", 2),  # parallel edge, cheaper — min must win
+            ("c", "d", 1),
+            ("d", "a", 1),  # cycle back
+            ("x", "y", 7),  # separate component
+        ],
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_weighted_sssp_paths_identical(spark, directed):
+    e = _graph(spark)
+    s = _srcs(spark, ["a", "x"])
+    small = weighted_sssp(e, s, n_rounds=4, directed=directed)
+    dist = weighted_sssp(
+        e, s, n_rounds=4, directed=directed, collect_threshold=0
+    )
+    assert _rows(small) == _rows(dist)
+    assert small.columns == dist.columns
+
+
+def test_weighted_sssp_zero_rounds_duplicate_sources(spark):
+    e = _graph(spark)
+    s = _srcs(spark, ["a", "a"])
+    small = weighted_sssp(e, s, n_rounds=0)
+    dist = weighted_sssp(e, s, n_rounds=0, collect_threshold=0)
+    assert _rows(small) == _rows(dist)
+    assert len(_rows(small)) == 2  # occurrence-preserving at round 0
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_multi_bfs_consumers_identical(spark, directed):
+    e = _graph(spark)
+    s = _srcs(spark, ["a", "x", "d"])
+    # consumers route through _multi_bfs's default (driver) path; their
+    # aggregates must stay self-consistent on it
+    ecc = {r["source"]: r["eccentricity"] for r in eccentricity(e, s).collect()}
+    assert ecc["a"] >= 1 and ecc["x"] == 1
+    h = {r["source"]: r["h_ppm"] for r in harmonic_centrality(e, s).collect()}
+    assert h["x"] == 1000000  # one neighbor at distance 1
+    c = closeness_centrality(e, s).collect()
+    assert {r["source"] for r in c} == {"a", "x", "d"}
+
+    from graphrag_rs_spark.operators.traversal import _multi_bfs
+
+    small = _multi_bfs(
+        e, s, directed=directed, max_iter=64, op_name="t"
+    )
+    dist = _multi_bfs(
+        e, s, directed=directed, max_iter=64, op_name="t",
+        collect_threshold=0,
+    )
+    assert _rows(small) == _rows(dist)
+    assert small.columns == dist.columns
+
+
+def test_multi_bfs_max_iter_contract_matches(spark):
+    # path graph depth 3 from 'a': distributed raises when no EMPTY
+    # round lands within max_iter — the driver path must mirror it
+    from graphrag_rs_spark.operators.traversal import _multi_bfs
+
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+    s = _srcs(spark, ["a"])
+    for thr in (0, 200_000):
+        with pytest.raises(RuntimeError):
+            _multi_bfs(
+                e, s, directed=True, max_iter=3, op_name="t",
+                collect_threshold=thr,
+            ).collect()
+        ok = _multi_bfs(
+            e, s, directed=True, max_iter=4, op_name="t",
+            collect_threshold=thr,
+        )
+        assert len(_rows(ok)) == 4
+
+
+def test_multi_bfs_empty_sources(spark):
+    from graphrag_rs_spark.operators.traversal import _multi_bfs
+
+    e = _graph(spark)
+    s = _srcs(spark, [])
+    assert _rows(_multi_bfs(e, s, directed=False, max_iter=4, op_name="t")) == []
