@@ -168,6 +168,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_mention_contexts"] = kg_mention_contexts
 
+    def kg_anaphora(spark, sf):
+        """Deterministic anaphora resolution (coref.py:resolve_anaphora):
+        each determiner token resolves to the closest PRECEDING gazetteer
+        mention in the same document (Hobbs-style recency baseline),
+        within 20 tokens. ONE window over the token stream — no range
+        join, no candidate pairs; the oracle replays the identical
+        tokenization (nonempty lowercase tokens renumbered 1-based) and
+        the same IGNORE-NULLS last_value window."""
+        from graphrag_rs_spark.operators.coref import resolve_anaphora
+
+        return resolve_anaphora(
+            _doc_chunks(spark, sf).select("doc_id", "content"),
+            _gazetteer_df(spark),
+            anaphors=["a", "the"],
+            max_distance=20,
+        )
+
+    q["kg_anaphora"] = kg_anaphora
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -4886,6 +4905,53 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN gaz g ON contains(d.text, g.name)
     """
 
+    # kg_anaphora: identical tokenization (nonempty lowercase tokens of
+    # split [^a-z0-9]+, renumbered 1-based so splitter edge-handling
+    # can't diverge), then ONE IGNORE-NULLS last_value window over the
+    # merged mention/anaphor stream — the exact recency rule.
+    sql["kg_anaphora"] = f"""
+        WITH {gaz_cte},
+        d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9]+') AS parts
+            FROM documents
+        ),
+        toks0 AS (
+            SELECT doc_id, i AS ord, parts[i] AS tok
+            FROM d, unnest(generate_series(1, len(parts))) AS t(i)
+            WHERE parts[i] != ''
+        ),
+        toks AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+                       AS pos,
+                   tok
+            FROM toks0
+        ),
+        stream AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   CASE WHEN g.name IS NOT NULL THEN t.pos END AS m_pos,
+                   g.name AS m_name
+            FROM toks t LEFT JOIN gaz g ON t.tok = g.name
+        ),
+        res AS (
+            SELECT doc_id, pos, tok,
+                   last_value(m_name IGNORE NULLS) OVER wpre AS antecedent,
+                   last_value(m_pos IGNORE NULLS) OVER wpre
+                       AS antecedent_pos
+            FROM stream
+            WINDOW wpre AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+        )
+        SELECT doc_id, pos AS anaphor_pos, tok AS anaphor, antecedent,
+               'CONCEPT' AS entity_type, antecedent_pos,
+               pos - antecedent_pos AS distance
+        FROM res
+        WHERE tok IN ('a', 'the') AND antecedent IS NOT NULL
+          AND pos - antecedent_pos <= 20
+    """
+
     sql["kg_cooccurrence_triples"] = f"""
         WITH {gaz_cte},
         m AS (
@@ -4990,13 +5056,13 @@ def oracle_sql() -> dict[str, str]:
     # labels → min label per node == hashmin fixpoint)
     sql["kg_cc_clusters"] = """
         WITH RECURSIVE
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT CAST(a.l_partkey AS VARCHAR) AS src, CAST(b.l_partkey AS VARCHAR) AS dst
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2 HAVING count(*) >= 2
         ),
-        sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
         verts AS (SELECT DISTINCT src AS id FROM sym),
         reach(id, comp) AS (
           SELECT id, id FROM verts
@@ -9785,7 +9851,7 @@ def oracle_sql() -> dict[str, str]:
                    dst_repo || '@' || dst_path AS dst
             FROM edges
         ),
-        wsym AS (
+        wsym AS MATERIALIZED (
             SELECT src, dst, min(w) AS w FROM (
                 SELECT src, dst,
                        1 + ('0x' || substr(sha256(least(src, dst) || chr(31)
@@ -9805,7 +9871,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS source, id AS node, CAST(0 AS BIGINT) AS dist
             FROM srcs
         ),
-        d1 AS (
+        d1 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d0
                 UNION ALL
@@ -9813,7 +9879,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d0 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d2 AS (
+        d2 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d1
                 UNION ALL
@@ -9821,7 +9887,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d1 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d3 AS (
+        d3 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d2
                 UNION ALL
@@ -9829,7 +9895,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d2 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d4 AS (
+        d4 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d3
                 UNION ALL
@@ -9837,7 +9903,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d3 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d5 AS (
+        d5 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d4
                 UNION ALL
@@ -9845,7 +9911,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d4 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d6 AS (
+        d6 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d5
                 UNION ALL
@@ -9853,7 +9919,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d5 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d7 AS (
+        d7 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d6
                 UNION ALL
@@ -9861,7 +9927,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d6 p JOIN wsym e ON e.src = p.node
             ) GROUP BY source, node
         ),
-        d8 AS (
+        d8 AS MATERIALIZED (
             SELECT source, node, min(dist) AS dist FROM (
                 SELECT source, node, dist FROM d7
                 UNION ALL
