@@ -187,6 +187,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_anaphora"] = kg_anaphora
 
+    def kg_proximity_pairs(spark, sf):
+        """Token-window proximity co-occurrence (relationships.py:
+        token_window_pairs): gazetteer-name pairs within 12 tokens,
+        banded (doc, pos/window) join — no per-doc quadratic self-join.
+        The oracle replays the same token space with a plain range
+        predicate (exactly-once banding vs naive join is itself the
+        property under test)."""
+        from graphrag_rs_spark.operators.relationships import (
+            token_window_pairs,
+        )
+
+        return token_window_pairs(
+            _doc_chunks(spark, sf).select("doc_id", "content"),
+            _gazetteer_df(spark),
+            window=12,
+        )
+
+    q["kg_proximity_pairs"] = kg_proximity_pairs
+
+    def dedup_bow(spark, sf):
+        """Word-order-invariant exact dedup (dedup.py:exact_bow_groups):
+        identical token MULTISETS (sorted nonempty lowercase tokens,
+        sha256 of the \\x1f-join) — catches reordered/re-punctuated
+        copies byte-hash dedup misses. One projection + one groupBy."""
+        from graphrag_rs_spark.operators.dedup import exact_bow_groups
+
+        return exact_bow_groups(
+            _docs(spark, sf).select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            ),
+            text_col="text",
+            id_col="doc_id",
+        )
+
+    q["dedup_bow"] = dedup_bow
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -4950,6 +4986,62 @@ def oracle_sql() -> dict[str, str]:
         FROM res
         WHERE tok IN ('a', 'the') AND antecedent IS NOT NULL
           AND pos - antecedent_pos <= 20
+    """
+
+    # kg_proximity_pairs: same renumbered token space as kg_anaphora,
+    # then the NAIVE doc-keyed range join (b.pos - a.pos <= w) — the
+    # Spark side's banded join must reproduce it exactly-once.
+    sql["kg_proximity_pairs"] = f"""
+        WITH {gaz_cte},
+        d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   string_split_regex(lower(text), '[^a-z0-9]+') AS parts
+            FROM documents
+        ),
+        toks0 AS (
+            SELECT doc_id, i AS ord, parts[i] AS tok
+            FROM d, unnest(generate_series(1, len(parts))) AS t(i)
+            WHERE parts[i] != ''
+        ),
+        toks AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+                       AS pos,
+                   tok
+            FROM toks0
+        ),
+        m AS (
+            SELECT t.doc_id, t.pos, t.tok AS name
+            FROM toks t JOIN gaz g ON t.tok = g.name
+        )
+        SELECT least(a.name, b.name) AS subj,
+               greatest(a.name, b.name) AS obj,
+               count(*) AS pair_count,
+               min(b.pos - a.pos) AS min_gap
+        FROM m a JOIN m b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos
+         AND b.pos - a.pos <= 12 AND a.name != b.name
+        GROUP BY 1, 2
+    """
+
+    # dedup_bow: list_sort over the filtered token list, chr(31) join,
+    # sha256 — byte-identical key to the Spark side's concat_ws(\\x1f).
+    sql["dedup_bow"] = """
+        WITH h AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   sha256(array_to_string(
+                       list_sort(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x != '')),
+                       chr(31))) AS h
+            FROM documents
+        ),
+        g AS (
+            SELECT h, min(id) AS bow_group_id, count(*) AS group_size
+            FROM h GROUP BY h
+        )
+        SELECT a.id, g.bow_group_id, g.group_size
+        FROM h a JOIN g USING (h)
     """
 
     sql["kg_cooccurrence_triples"] = f"""

@@ -52,6 +52,36 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return hashed.join(groups, "h").select("id", "dup_group_id", "group_size")
 
 
+def exact_bow_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, bow_group_id, group_size): groups of documents with the
+    IDENTICAL token multiset (sorted nonempty lowercase tokens of
+    ``[^a-z0-9]+`` splits, joined with \\x1f, sha256-hashed).
+
+    Word-order-invariant exact dedup — catches shuffled/reordered and
+    re-punctuated copies that byte-hash dedup (:func:`exact_duplicates`)
+    misses, at the same cost: one map-side projection + one groupBy
+    shuffle on a 64-hex key. bow_group_id = min id in the group;
+    singletons included. Strictly coarser than byte equality, strictly
+    finer than the probabilistic near-dup family (minhash/simhash).
+    """
+    toks = F.array_sort(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.concat_ws("\x1f", toks), 256).alias("h"),
+    )
+    groups = hashed.groupBy("h").agg(
+        F.min("id").alias("bow_group_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "h").select("id", "bow_group_id", "group_size")
+
+
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingles as an array column (distinct).
 

@@ -20,7 +20,7 @@ Spark-first design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphrag_rs_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -202,6 +202,87 @@ def _dedupe_triples(typed: DataFrame, config: PipelineConfig) -> DataFrame:
             ).alias("context_chunk_ids")
         )
         .select("subj", "pred", "obj", conf.alias("confidence"), "context_chunk_ids")
+    )
+
+
+def token_window_pairs(
+    chunks: DataFrame,
+    gazetteer: DataFrame,
+    *,
+    window: int,
+    doc_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Proximity co-occurrence: unordered gazetteer-name pairs whose
+    token positions lie within ``window`` tokens of each other in the
+    same document → (subj, obj, pair_count, min_gap), subj < obj.
+
+    Doc-level co-occurrence (the pipeline's R1 self-join) says two
+    entities share a document; PROXIMITY co-occurrence says they share
+    a sentence-scale neighbourhood — the standard relation-candidate
+    filter when chunks are long. Positions are 1-based indices over
+    nonempty lowercase ``[^a-z0-9]+`` tokens (same token space as
+    coref.resolve_anaphora, so the two layers compose).
+
+    Scale shape: a doc-keyed self-join is quadratic in mentions-per-doc
+    (hub docs explode). Instead each left mention is replicated to its
+    band floor(pos/window) and the next band, and the join key is
+    (doc, band): any pair within ``window`` spans at most one band
+    boundary, so every candidate meets EXACTLY once (right band equals
+    the left's own band, or its successor — never both, since
+    pos_b > pos_a forces band_b ∈ {band_a, band_a+1}). Per-key fan-out
+    is bounded by the mention count inside 2·window tokens regardless
+    of document size. Same banding family as the interval-overlap join.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = (
+        chunks.select(
+            F.col(doc_col).alias("doc"),
+            F.posexplode(
+                F.split(F.lower(F.col(content_col)), "[^a-z0-9]+")
+            ).alias("_raw_pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc",
+            F.row_number()
+            .over(Window.partitionBy("doc").orderBy("_raw_pos"))
+            .alias("pos"),
+            "tok",
+        )
+    )
+    g = F.broadcast(
+        gazetteer.select(F.lower(F.col("name")).alias("tok")).distinct()
+    )
+    m = toks.join(g, "tok").select(
+        "doc", "pos", F.col("tok").alias("name"),
+        F.floor(F.col("pos") / window).cast("long").alias("band"),
+    )
+    left = m.select(
+        "doc", F.col("pos").alias("pos_a"), F.col("name").alias("name_a"),
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+    )
+    right = m.select(
+        "doc", "band", F.col("pos").alias("pos_b"),
+        F.col("name").alias("name_b"),
+    )
+    cand = left.join(right, ["doc", "band"]).where(
+        (F.col("pos_b") > F.col("pos_a"))
+        & (F.col("pos_b") - F.col("pos_a") <= window)
+        & (F.col("name_a") != F.col("name_b"))
+    )
+    return (
+        cand.select(
+            F.least("name_a", "name_b").alias("subj"),
+            F.greatest("name_a", "name_b").alias("obj"),
+            (F.col("pos_b") - F.col("pos_a")).alias("gap"),
+        )
+        .groupBy("subj", "obj")
+        .agg(
+            F.count("*").alias("pair_count"),
+            F.min("gap").alias("min_gap"),
+        )
     )
 
 

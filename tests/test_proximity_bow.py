@@ -1,0 +1,110 @@
+"""token_window_pairs (banded proximity join) and exact_bow_groups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators.dedup import exact_bow_groups
+from graphrag_rs_spark.operators.relationships import token_window_pairs
+
+
+def _chunks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, content string")
+
+
+def _gaz(spark, names):
+    return spark.createDataFrame(
+        [(n, "CONCEPT") for n in names], "name string, entity_type string"
+    )
+
+
+def test_window_pairs_counts_and_min_gap(spark):
+    c = _chunks(spark, [("d1", "ant x bee x x ant bee")])
+    # tokens: ant(1) x(2) bee(3) x(4) x(5) ant(6) bee(7)
+    out = {
+        (r["subj"], r["obj"]): (r["pair_count"], r["min_gap"])
+        for r in token_window_pairs(
+            c, _gaz(spark, ["ant", "bee"]), window=3
+        ).collect()
+    }
+    # within 3: (1,3) gap2, (3,6) gap3, (6,7) gap1 — (1,6) gap5 and
+    # (1,7)/(3,7)... (3,7) gap4 out; same-name (1,6) excluded anyway
+    assert out == {("ant", "bee"): (3, 1)}
+
+
+def test_window_pairs_match_naive_join(spark):
+    # property: banded join == naive quadratic join on a wordy fixture
+    docs = [
+        ("d%d" % i, " ".join(["ant", "x", "bee", "cow", "y"] * 7))
+        for i in range(4)
+    ] + [("dz", "cow bee " + "z " * 30 + "ant cow")]
+    c = _chunks(spark, docs)
+    g = _gaz(spark, ["ant", "bee", "cow"])
+    for w in (1, 2, 5, 13):
+        banded = {
+            tuple(r)
+            for r in token_window_pairs(c, g, window=w).collect()
+        }
+        # naive: all pairs, positions measured in the FULL token stream
+        full = (
+            c.select(
+                "doc_id",
+                F.posexplode(
+                    F.split(F.lower("content"), "[^a-z0-9]+")
+                ).alias("p", "tok"),
+            )
+            .where(F.col("tok") != "")
+            .select(
+                "doc_id",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("p")
+                ).alias("pos"),
+                "tok",
+            )
+            .where(F.col("tok").isin("ant", "bee", "cow"))
+        )
+        a = full.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("na"))
+        b = full.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("nb"))
+        naive = {
+            tuple(r)
+            for r in a.join(b, "doc_id")
+            .where(
+                (F.col("pb") > F.col("pa"))
+                & (F.col("pb") - F.col("pa") <= w)
+                & (F.col("na") != F.col("nb"))
+            )
+            .select(
+                F.least("na", "nb").alias("subj"),
+                F.greatest("na", "nb").alias("obj"),
+                (F.col("pb") - F.col("pa")).alias("gap"),
+            )
+            .groupBy("subj", "obj")
+            .agg(F.count("*").alias("pair_count"), F.min("gap").alias("min_gap"))
+            .collect()
+        }
+        assert banded == naive, f"window={w}"
+
+
+def test_window_pairs_rejects_bad_window(spark):
+    with pytest.raises(ValueError):
+        token_window_pairs(
+            _chunks(spark, [("d", "x")]), _gaz(spark, ["x"]), window=0
+        )
+
+
+def test_bow_groups_order_and_punct_invariant(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat sat"),
+            ("b", "sat... THE cat!"),   # same multiset
+            ("c", "the cat sat sat"),   # different multiplicity
+            ("d", "unrelated words"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["id"]: (r["bow_group_id"], r["group_size"])
+           for r in exact_bow_groups(df).collect()}
+    assert out["a"] == ("a", 2) and out["b"] == ("a", 2)
+    assert out["c"] == ("c", 1) and out["d"] == ("d", 1)
