@@ -7932,16 +7932,19 @@ def oracle_sql() -> dict[str, str]:
     # text_pack_sequences: the greedy running-sum-with-reset is inherently
     # sequential — the recursive CTE steps row-by-row per shard exactly as
     # the applyInPandas loop does (seed = rn 1 opens seq 0; step: overflow
-    # opens a new seq with fill = t, else fill += t).
+    # opens a new seq with fill = t, else fill += t). toks/ord MUST be
+    # MATERIALIZED: the recursive term joins ord once per row-step, and
+    # un-materialized DuckDB re-runs the string splits every step
+    # (sf0.1: 51 s -> 0.5 s).
     sql["text_pack_sequences"] = """
-        WITH RECURSIVE toks AS (
+        WITH RECURSIVE toks AS MATERIALIZED (
             SELECT doc_id, doc_id % 8 AS shard,
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                    END AS BIGINT) AS n_tokens
             FROM documents
         ),
-        ord AS (
+        ord AS MATERIALIZED (
             SELECT doc_id, shard, n_tokens,
                    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
             FROM toks
@@ -9667,6 +9670,12 @@ def oracle_sql() -> dict[str, str]:
         FROM dense GROUP BY doc_id
     """
 
+    # harmonic/closeness BFS replay: the recursive walk enumerates every
+    # (source, node, depth) triple up to the bound, so the bound multiplies
+    # oracle work directly. 24 = 2.5x the corpus family's measured BFS
+    # diameter (9 at sf0.1, 64->24 is 15s -> 4s); results are identical for
+    # ANY bound >= diameter+1 and the exact sweep compare at both scales
+    # would flag a too-small bound as a hash mismatch.
     sql["kg_harmonic_centrality"] = _code_edges_sql.replace(
         "WITH ", "WITH RECURSIVE ", 1
     ).rstrip() + """,
@@ -9684,7 +9693,7 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT w.source, s.dst, w.depth + 1
             FROM walk w JOIN sym s ON w.node = s.src
-            WHERE w.depth < 64
+            WHERE w.depth < 24
         ),
         md AS (SELECT source, node, min(depth) AS d
                FROM walk GROUP BY source, node)
@@ -9717,7 +9726,7 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT w.source, s.dst, w.depth + 1
             FROM walk w JOIN sym s ON w.node = s.src
-            WHERE w.depth < 64
+            WHERE w.depth < 24
         ),
         md AS (SELECT source, node, min(depth) AS d
                FROM walk GROUP BY source, node),
