@@ -206,6 +206,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_proximity_pairs"] = kg_proximity_pairs
 
+    def _sparse_dep_edges(spark, sf):
+        """Hash-sparsified (1/7, canonical-pair sha) undirected simple
+        dependency graph — the documented scale path for the DFS-based
+        biconnectivity probes, and exactly what their oracles rebuild."""
+        from graphrag_rs_spark.operators.code_graph import dependency_edges
+        from graphrag_rs_spark.operators.sketches import SEP, _h60
+
+        ed = dependency_edges(_code_corpus(spark, sf)).select(
+            F.concat_ws("@", "src_repo", "src_path").alias("a"),
+            F.concat_ws("@", "dst_repo", "dst_path").alias("b"),
+        )
+        return (
+            ed.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("src"),
+                F.greatest("a", "b").alias("dst"),
+            )
+            .distinct()
+            .where(
+                _h60(F.concat_ws(SEP, F.col("src"), F.col("dst"))) % 7 == 0
+            )
+        )
+
+    def kg_bridges(spark, sf):
+        """Bridge edges of the sparsified dependency graph
+        (biconnectivity.py:bridges — iterative Tarjan lowlink on the
+        driver under the collect threshold). The oracle verifies by
+        DEFINITION, not replay: per-edge exclusion reachability — an
+        edge is a bridge iff its endpoints disconnect without it."""
+        from graphrag_rs_spark.operators.biconnectivity import bridges
+
+        return bridges(_sparse_dep_edges(spark, sf))
+
+    q["kg_bridges"] = kg_bridges
+
+    def kg_articulation(spark, sf):
+        """Articulation points of the same sparsified dependency graph
+        (biconnectivity.py:articulation_points). Oracle: per-vertex
+        exclusion closure from the vertex's minimum neighbour — the
+        vertex cuts iff some neighbour is unreachable without it."""
+        from graphrag_rs_spark.operators.biconnectivity import (
+            articulation_points,
+        )
+
+        return articulation_points(_sparse_dep_edges(spark, sf))
+
+    q["kg_articulation"] = kg_articulation
+
     def dedup_bow(spark, sf):
         """Word-order-invariant exact dedup (dedup.py:exact_bow_groups):
         identical token MULTISETS (sorted nonempty lowercase tokens,
@@ -10037,6 +10085,60 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY source, node
         )
         SELECT source, node, CAST(dist AS BIGINT) AS dist FROM d8
+    """
+
+    # kg_bridges / kg_articulation: definition-level verification, not a
+    # lowlink replay — per-edge (per-vertex) exclusion reachability
+    # closures over the 1/7 hash-sparsified canonical dependency graph.
+    _sparse_edges_sql = _code_edges_sql.replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ).rstrip() + """,
+        de AS (
+            SELECT src_repo || '@' || src_path AS a,
+                   dst_repo || '@' || dst_path AS b
+            FROM edges
+        ),
+        se AS MATERIALIZED (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM de WHERE a != b
+              AND ('0x' || substr(sha256(least(a, b) || chr(31)
+                  || greatest(a, b)), 1, 15))::BIGINT % 7 = 0
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM se UNION SELECT v, u FROM se
+        )"""
+
+    sql["kg_bridges"] = _sparse_edges_sql + """,
+        walk(excl, node) AS (
+            SELECT u || chr(30) || v, u FROM se
+            UNION
+            SELECT w.excl, s.t FROM walk w JOIN sym s ON s.s = w.node
+            WHERE (s.s || chr(30) || s.t) != w.excl
+              AND (s.t || chr(30) || s.s) != w.excl
+        )
+        SELECT u AS src, v AS dst FROM se
+        WHERE NOT EXISTS (
+            SELECT 1 FROM walk
+            WHERE walk.excl = u || chr(30) || v AND walk.node = v
+        )
+    """
+
+    sql["kg_articulation"] = _sparse_edges_sql + """,
+        seed AS MATERIALIZED (
+            SELECT s AS x, min(t) AS m FROM sym WHERE t != s GROUP BY s
+        ),
+        aw(x, node) AS (
+            SELECT x, m FROM seed
+            UNION
+            SELECT w.x, s.t FROM aw w JOIN sym s ON s.s = w.node
+            WHERE s.t != w.x
+        )
+        SELECT x AS id FROM seed sd
+        WHERE EXISTS (
+            SELECT 1 FROM sym s
+            WHERE s.s = sd.x AND s.t != sd.x
+              AND s.t NOT IN (SELECT node FROM aw WHERE aw.x = sd.x)
+        )
     """
 
     # mm_audio_dhash: replay the fingerprint from the generative WAV
