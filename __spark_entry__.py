@@ -2807,6 +2807,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_build_layers"] = kg_build_layers
 
+    def kg_transitive_reduction(spark, sf):
+        """Minimal equivalent edge set of the condensation DAG (scc.py:
+        transitive_reduction, Aho–Garey–Ullman): drop every dependency
+        edge implied by a longer path — the 'direct prerequisites only'
+        view of the build graph. The oracle grows the ≥1-step closure
+        recursively over the same replayed condensation and keeps edges
+        with no edge∘closure witness."""
+        from graphrag_rs_spark.operators.scc import (
+            condensation,
+            strongly_connected_components,
+            transitive_reduction,
+        )
+
+        e = _directed_fixture_edges(spark, sf)
+        scc = strongly_connected_components(e)
+        return transitive_reduction(
+            condensation(e, scc), src="scc_src", dst="scc_dst"
+        )
+
+    q["kg_transitive_reduction"] = kg_transitive_reduction
+
     def text_contamination(spark, sf):
         from graphrag_rs_spark.operators.mixture import contamination_scores
 
@@ -8583,6 +8604,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk GROUP BY id)
         SELECT scc.id, scc.scc_id, lay.layer
         FROM scc JOIN lay USING (scc_id)"""
+    )
+
+    # kg_transitive_reduction: same replayed SCC condensation as
+    # kg_build_layers; recursive ≥1-step closure over ce, then keep the
+    # edges with no edge∘closure witness (u→w edge, w ⇝ v).
+    sql["kg_transitive_reduction"] = (
+        "WITH RECURSIVE " + _scc_base + """,
+        ce AS MATERIALIZED (
+            SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+            FROM e JOIN scc s1 ON s1.id = e.src
+                   JOIN scc s2 ON s2.id = e.dst
+            WHERE s1.scc_id <> s2.scc_id
+        ),
+        tr_reach(a, b) AS (
+            SELECT src, dst FROM ce
+            UNION
+            SELECT r.a, ce.dst FROM tr_reach r JOIN ce ON ce.src = r.b
+        )
+        SELECT c.src, c.dst FROM ce c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ce e2 JOIN tr_reach r ON r.a = e2.dst
+            WHERE e2.src = c.src AND r.b = c.dst
+        )"""
     )
 
     # kg_motif_open_triads: replay the clique+chain edge construction, then

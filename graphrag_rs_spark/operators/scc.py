@@ -540,3 +540,122 @@ def dag_path_counts(
         )
         counts = cut_lineage(counts.unionAll(new), f"pathcount-{wave}")
     return counts
+
+
+def transitive_reduction(
+    dag_edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 200,
+    collect_threshold: int = 500_000,
+) -> DataFrame:
+    """DAG edges → (src, dst): the unique minimal edge subset with the
+    same reachability (Aho–Garey–Ullman 1972 — uniqueness holds for
+    DAGs). An edge (u, v) is redundant iff some length-≥2 path u ⇝ v
+    exists, i.e. iff ∃w with edge (u, w) and w ⇝ v in the ≥1-step
+    closure. The minimal "must build before" view of a condensed
+    dependency graph (compose after scc + condensation for cyclic
+    input).
+
+    Raises ValueError if the input has a cycle (detected exactly: the
+    closure contains a self-pair).
+
+    Scale shape: the ≥1-step closure is grown by iterative
+    (reach ⋈ edges) rounds with lineage cuts — O(longest path) rounds,
+    state = reachability pairs, the same budget the path-counting DP
+    already spends; redundancy is then ONE self-join + left_anti.
+    Below ``collect_threshold`` edges the identical closure runs on the
+    driver (guarded small-path pattern; path-equality pinned in
+    tests/test_transitive_reduction.py).
+    """
+    e = (
+        dag_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_edges = e.limit(collect_threshold + 1).count()
+    if n_edges <= collect_threshold:
+        rows = [(r[0], r[1]) for r in e.collect()]
+        adj: dict = {}
+        for u, v in rows:
+            adj.setdefault(u, []).append(v)
+        reach: dict = {}
+        for s in adj:
+            seen: set = set()
+            stack = list(adj[s])
+            while stack:
+                w = stack.pop()
+                if w in seen:
+                    continue
+                seen.add(w)
+                stack.extend(adj.get(w, ()))
+            if s in seen:
+                raise ValueError(
+                    "transitive_reduction: input graph has a cycle "
+                    f"(through {s!r}) — condense SCCs first"
+                )
+            reach[s] = seen
+        kept = [
+            (u, v)
+            for u, v in rows
+            if not any(v in reach.get(w, ()) for w in adj[u] )
+        ]
+        from pyspark.sql import types as T
+
+        id_type = dag_edges.schema[src].dataType
+        schema = T.StructType(
+            [T.StructField("src", id_type), T.StructField("dst", id_type)]
+        )
+        return dag_edges.sparkSession.createDataFrame(kept, schema)
+
+    e = e.localCheckpoint(eager=True)
+    reach_df = e
+    for _ in range(max_iterations):
+        grown = (
+            reach_df.join(
+                e.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("nxt")
+                ),
+                "dst",
+            )
+            .select("src", F.col("nxt").alias("dst"))
+            .unionByName(reach_df)
+            .distinct()
+        )
+        reach_df, n_new = _fixpoint_changed(
+            grown.join(reach_df, ["src", "dst"], "left_anti")
+            .select("src", "dst", F.lit(True).alias("_changed"))
+            .unionByName(
+                reach_df.select("src", "dst", F.lit(False).alias("_changed"))
+            )
+        )
+        if n_new == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"transitive_reduction closure did not converge within "
+            f"max_iterations={max_iterations}"
+        )
+    if reach_df.where(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise ValueError(
+            "transitive_reduction: input graph has a cycle — condense "
+            "SCCs first"
+        )
+    redundant = (
+        e.alias("c")
+        .join(
+            e.select(F.col("src").alias("c_src"), F.col("dst").alias("w")),
+            F.col("c.src") == F.col("c_src"),
+        )
+        .join(
+            reach_df.select(
+                F.col("src").alias("w"), F.col("dst").alias("c_dst")
+            ),
+            ["w"],
+        )
+        .where(F.col("c.dst") == F.col("c_dst"))
+        .select(F.col("c.src").alias("src"), F.col("c.dst").alias("dst"))
+        .distinct()
+    )
+    return e.join(redundant, ["src", "dst"], "left_anti")
