@@ -668,6 +668,7 @@ def katz_centrality(
     alpha: float = 0.1,
     beta: float = 1.0,
     max_iterations: int = 10,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Katz centrality over DIRECTED edges → (id, katz):
 
@@ -681,8 +682,37 @@ def katz_centrality(
     ``max_iterations`` so a DuckDB oracle can unroll the identical math.
 
     Same scale shape as pagerank: one join+groupBy per round over the
-    edge list, state is (id, score), lineage cut per round.
+    edge list, state is (id, score), lineage cut per round.  Below
+    ``collect_threshold`` edges the rounds run on the driver in sorted
+    edge order — the same 6-dp order-robustness argument as
+    :func:`_hits_local`.
     """
+    probe = edges.limit(collect_threshold + 1).count()
+    if probe <= collect_threshold:
+        from pyspark.sql import types as T
+
+        e_rows = sorted(
+            {(r[0], r[1]) for r in edges.select("src", "dst").collect()}
+        )
+        verts_l = sorted({x for ed in e_rows for x in ed})
+        xs = {v: float(beta) for v in verts_l}
+        for _ in range(max_iterations):
+            inc: dict = {}
+            for u, v in e_rows:
+                inc[v] = inc.get(v, 0.0) + xs[u]
+            xs = {
+                v: float(beta) + float(alpha) * inc.get(v, 0.0)
+                for v in verts_l
+            }
+        schema = T.StructType(
+            [
+                T.StructField("id", edges.schema["src"].dataType),
+                T.StructField("katz", T.DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(xs.items()), schema
+        )
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

@@ -31,17 +31,59 @@ from graphrag_rs_spark.iterutil import cut_lineage
 UNIT = 1_000_000
 
 
+def _eigenvector_local(
+    spark, edge_rows: list, id_type, iterations: int
+) -> DataFrame:
+    """Driver-exact replica of the shifted integer power rounds for
+    graphs under the collect threshold (guarded small-path pattern).
+    Long arithmetic with floor division throughout — bit-identical to
+    the distributed path by construction (path-equality pinned in
+    tests/test_eigen_katz_small_path.py)."""
+    from pyspark.sql import types as T
+
+    sym: dict = {}
+    for s, d in edge_rows:
+        if s == d:
+            continue
+        sym.setdefault(s, set()).add(d)
+        sym.setdefault(d, set()).add(s)
+    x = {v: UNIT for v in sym}
+    for _ in range(iterations):
+        y = {v: x[v] + sum(x[u] for u in sym[v]) for v in sym}
+        m = max(y.values()) if y else 1
+        x = {v: (val * UNIT) // m for v, val in y.items()}
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(sorted(x.items()), schema)
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     *,
     iterations: int = 6,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) undirected → (id, score long): micro-unit
     eigenvector centrality after ``iterations`` shifted power rounds
     from the all-ones vector.  The max-scoring node is always exactly
     UNIT; isolated self-loops are dropped with the usual src != dst
-    filter."""
+    filter.  Below ``collect_threshold`` edges the identical integer
+    rounds run on the driver — each distributed round costs a matvec
+    join + max broadcast + parquet cut of pure scheduling at board
+    scale."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    n_edges = e.limit(collect_threshold + 1).count()
+    if n_edges <= collect_threshold:
+        return _eigenvector_local(
+            edges.sparkSession,
+            [(r[0], r[1]) for r in e.collect()],
+            edges.schema["src"].dataType,
+            iterations,
+        )
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
