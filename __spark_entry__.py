@@ -254,6 +254,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_articulation"] = kg_articulation
 
+    def kg_2ecc(spark, sf):
+        """2-edge-connected components: the classical identity 2ECC(G) =
+        CC(G minus bridges) — composes biconnectivity.bridges with the
+        union-find CC operator over the same sparsified dependency
+        graph; bridge endpoints isolated by the removal keep singleton
+        classes via the explicit vertex set. The oracle composes its own
+        bridge set (per-edge exclusion closures) with a min-label
+        reachability closure — definition-level on both sides."""
+        from graphrag_rs_spark.operators.biconnectivity import bridges
+        from graphrag_rs_spark.operators.cc import connected_components
+
+        se = _sparse_dep_edges(spark, sf)
+        br = bridges(se)
+        rest = se.join(br, ["src", "dst"], "left_anti")
+        verts = (
+            se.select(F.col("src").alias("id"))
+            .union(se.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return connected_components(rest, verts)
+
+    q["kg_2ecc"] = kg_2ecc
+
     def dedup_bow(spark, sf):
         """Word-order-invariant exact dedup (dedup.py:exact_bow_groups):
         identical token MULTISETS (sorted nonempty lowercase tokens,
@@ -10165,6 +10188,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM walk
             WHERE walk.excl = u || chr(30) || v AND walk.node = v
         )
+    """
+
+    sql["kg_2ecc"] = _sparse_edges_sql + """,
+        walk(excl, node) AS (
+            SELECT u || chr(30) || v, u FROM se
+            UNION
+            SELECT w.excl, s.t FROM walk w JOIN sym s ON s.s = w.node
+            WHERE (s.s || chr(30) || s.t) != w.excl
+              AND (s.t || chr(30) || s.s) != w.excl
+        ),
+        br AS MATERIALIZED (
+            SELECT u, v FROM se
+            WHERE NOT EXISTS (
+                SELECT 1 FROM walk
+                WHERE walk.excl = u || chr(30) || v AND walk.node = v
+            )
+        ),
+        rest AS MATERIALIZED (
+            SELECT u, v FROM se
+            WHERE NOT EXISTS (
+                SELECT 1 FROM br WHERE br.u = se.u AND br.v = se.v
+            )
+        ),
+        rsym AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM rest UNION SELECT v, u FROM rest
+        ),
+        verts AS (SELECT u AS id FROM se UNION SELECT v FROM se),
+        reach2(id, comp) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT s.t, r.comp FROM reach2 r JOIN rsym s ON s.s = r.id
+        )
+        SELECT id, min(comp) AS component FROM reach2 GROUP BY id
     """
 
     sql["kg_articulation"] = _sparse_edges_sql + """,
