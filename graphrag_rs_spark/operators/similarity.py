@@ -426,6 +426,64 @@ def _centroid_dists(ivec_col, centroids: list[list[int]]):
     )
 
 
+def _collect_ivecs_sorted(
+    corpus: DataFrame, id_col: str, vec_col: str, collect_threshold: int
+):
+    """Fixed-point vectors sorted by id, collected to the driver when
+    the corpus fits under ``collect_threshold`` rows — else None.
+
+    The float→int floor runs SPARK-side (one collect of the already-
+    quantized image), so exactly one engine performs the only float op;
+    everything after is integer. Only id ORDER matters (the Lloyd init
+    takes the lowest-id vectors), so the driver path is restricted to
+    numeric id columns where Python and Spark ordering provably agree
+    (the JP-coloring ASCII guard class)."""
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        corpus.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    ):
+        return None
+    probe = corpus.limit(collect_threshold + 1).count()
+    if probe > collect_threshold:
+        return None
+    rows = corpus.select(
+        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    ).collect()
+    rows.sort(key=lambda r: r["id"])
+    return [list(r["ivec"]) for r in rows]
+
+
+def _lloyd_local(
+    vecs: list, init: list, n_iters: int
+) -> list[list[int]]:
+    """Exact integer Lloyd rounds on the driver, replicating the
+    distributed recurrence bit-for-bit: integer squared distances,
+    argmin ties to the smallest index, update = floor(sum / count) with
+    the same float division (sums ≪ 2^53 — engine-exact), empty
+    clusters persist."""
+    import math
+
+    import numpy as np
+
+    X = np.array(vecs, dtype=np.int64)
+    cents = [list(c) for c in init]
+    for _ in range(n_iters):
+        C = np.array(cents, dtype=np.int64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = [list(c) for c in cents]
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                s = X[mask].sum(axis=0)
+                n = int(mask.sum())
+                new[c] = [math.floor(int(sv) / n) for sv in s]
+        cents = new
+    return cents
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     *,
@@ -433,6 +491,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iters: int = 2,
+    collect_threshold: int = 100_000,
 ) -> list[list[int]]:
     """Lloyd's k-means coarse quantizer in EXACT integer arithmetic.
 
@@ -448,6 +507,9 @@ def train_ivf_centroids(
     """
     import math
 
+    ivecs = _collect_ivecs_sorted(corpus, id_col, vec_col, collect_threshold)
+    if ivecs:
+        return _lloyd_local(ivecs, ivecs[:n_centroids], n_iters)
     base = corpus.select(
         F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
     )
@@ -786,6 +848,7 @@ def _train_ivfpq_joint(
     n_iters: int,
     n_subspaces: int,
     pq_centroids: int,
+    collect_threshold: int = 100_000,
 ) -> tuple[list[list[int]], list[list[list[int]]]]:
     """Coarse quantizer + PQ codebooks trained in ONE pass family.
 
@@ -805,6 +868,23 @@ def _train_ivfpq_joint(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     d_sub = dim // n_subspaces
+    ivecs = _collect_ivecs_sorted(
+        corpus, id_col, vec_col, collect_threshold
+    )
+    if ivecs:
+        # driver path (bit-exact — see _lloyd_local): the coarse and
+        # subspace quantizers never feed each other, so running them as
+        # separate local Lloyd loops equals the co-scheduled job exactly
+        coarse_l = _lloyd_local(ivecs, ivecs[:n_centroids], n_iters)
+        books_l = [
+            _lloyd_local(
+                [v[s * d_sub:(s + 1) * d_sub] for v in ivecs],
+                [v[s * d_sub:(s + 1) * d_sub] for v in ivecs[:pq_centroids]],
+                n_iters,
+            )
+            for s in range(n_subspaces)
+        ]
+        return coarse_l, books_l
     base = corpus.select(
         F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
     )
