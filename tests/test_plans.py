@@ -495,3 +495,50 @@ def test_rake_no_cartesian(spark):
     )
     plan = _plan(rake_keyphrases(docs))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_token_window_pairs_no_cartesian_broadcast_gaz(spark):
+    from graphrag_rs_spark.operators.relationships import token_window_pairs
+
+    c = spark.createDataFrame(
+        [("d", "spark joins the stream")], "doc_id string, content string"
+    )
+    g = spark.createDataFrame(
+        [("spark", "CONCEPT"), ("stream", "CONCEPT")],
+        "name string, entity_type string",
+    )
+    plan = _plan(token_window_pairs(c, g, window=5))
+    # the gazetteer join broadcasts, the pair join is a (doc, band)
+    # equi-join — never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_resolve_anaphora_single_window_no_pair_join(spark):
+    from graphrag_rs_spark.operators.coref import resolve_anaphora
+
+    c = spark.createDataFrame(
+        [("d", "alice said it")], "doc_id string, content string"
+    )
+    g = spark.createDataFrame(
+        [("alice", "PERSON")], "name string, entity_type string"
+    )
+    plan = _plan(resolve_anaphora(c, g, anaphors=["it"]))
+    # resolution is ONE window over the token stream: the only join in
+    # the plan is the broadcast gazetteer lookup — no self-join, no
+    # range join, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_exact_bow_groups_single_exchange_partial_agg(spark):
+    from graphrag_rs_spark.operators.dedup import exact_bow_groups
+
+    df = spark.createDataFrame(
+        [("a", "x y"), ("b", "y x")], "doc_id string, text string"
+    )
+    plan = _plan(exact_bow_groups(df))
+    # group stats aggregate partially map-side before the hash shuffle
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
