@@ -294,6 +294,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_bow"] = dedup_bow
 
+    def text_entropy(spark, sf):
+        """Unigram token entropy (textstats.py:token_entropy): the
+        lexical-diversity signal in floor-quantized millibits, identity
+        H = log2(n) − (Σ c·log2 c)/n over the per-doc word histogram —
+        two partial-agg shuffles, no UDF. Oracle replays the identical
+        histogram + identity in DuckDB doubles."""
+        from graphrag_rs_spark.operators.textstats import token_entropy
+
+        return token_entropy(
+            _docs(spark, sf).select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            )
+        )
+
+    q["text_entropy"] = text_entropy
+
+    def kg_topic_clusters(spark, sf):
+        """Topic clustering by composition: the exact-path semantic
+        similarity edges (kg_semantic_edges) fed into 5 synchronous LPA
+        rounds — the 'related content groups' view of the embedding
+        space. Oracle composes the same two replays (cosine top-k edge
+        CTEs + lpa_round_ctes). Scoped to the first 1000 vectors: the
+        exact-cosine leg is O(n²) by definition (the LSH/IVF rows are
+        the scale path), so the composition row bounds its own input."""
+        from graphrag_rs_spark.operators.lpa import label_propagation
+        from graphrag_rs_spark.operators.semantic_edges import semantic_edges
+
+        ents = (
+            _t(spark, sf, "embeddings")
+            .where(F.col("vec_id") < 1000)
+            .select(
+                F.col("vec_id").cast("string").alias("entity_id"),
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("embedding"),
+            )
+        )
+        e = semantic_edges(
+            ents, dim=64, similarity_threshold=0.25, method="exact"
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        return label_propagation(e, n_rounds=5)
+
+    q["kg_topic_clusters"] = kg_topic_clusters
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -5116,6 +5160,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    # text_entropy: same token space, same histogram, same identity in
+    # DuckDB doubles; floor at millibits blunts last-ulp association
+    # differences (the readability floor-not-round contract).
+    sql["text_entropy"] = """
+        WITH toks AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, t.tok
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z0-9]+') AS parts
+                  FROM documents) d,
+                 unnest(d.parts) AS t(tok)
+            WHERE t.tok != ''
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(floor((log2(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                      / sum(c)) * 1000) AS BIGINT) AS entropy_mb
+        FROM tf GROUP BY doc_id
+    """
+
     # dedup_bow: list_sort over the filtered token list, chr(31) join,
     # sha256 — byte-identical key to the Spark side's concat_ws(\\x1f).
     sql["dedup_bow"] = """
@@ -7310,6 +7378,29 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE rank <= 10 AND cosine > 0.25 AND query_id < neighbor_id
     """
+
+    # kg_topic_clusters: compose the semantic-edge replay (everything up
+    # to its final SELECT, sliced from the sibling oracle so the two can
+    # never drift) with the shared unrolled-LPA CTE builder.
+    from graphrag_rs_spark.operators.lpa import lpa_round_ctes as _lpa_ctes2
+
+    _sem_head = sql["kg_semantic_edges"].split("SELECT query_id AS subj")[0]
+    _sem_head = _sem_head.replace(
+        "FROM embeddings", "FROM embeddings WHERE vec_id < 1000"
+    )
+    sql["kg_topic_clusters"] = (
+        _sem_head.rstrip().rstrip(",")
+        + """,
+        e AS (
+            SELECT query_id AS src, neighbor_id AS dst
+            FROM ranked
+            WHERE rank <= 10 AND cosine > 0.25 AND query_id < neighbor_id
+        ),
+        """
+        + _lpa_ctes2(None, 5)
+        + "\nSELECT id, label FROM lab5"
+    )
+
 
     # === code graph — arithmetic ground truth for the regex extractors
     # (corpus synthesis mirrors _code_corpus verbatim; imports/defs come

@@ -25,11 +25,71 @@ from pyspark.sql import functions as F
 from graphrag_rs_spark.iterutil import cut_lineage
 
 
-def label_propagation(edges: DataFrame, n_rounds: int = 5) -> DataFrame:
+def _label_propagation_local(
+    spark, edge_rows: list, id_type, n_rounds: int
+) -> DataFrame:
+    """Driver-exact replica of the synchronous LPA rounds for graphs
+    under the collect threshold (guarded small-path pattern): identical
+    mode-of-neighbors update with the (count desc, label asc)
+    tie-break. The tie-break compares labels (= ids), so the path is
+    restricted by the caller to all-ASCII string ids or numeric ids —
+    the JP-coloring ordering-guard class."""
+    from pyspark.sql import types as T
+
+    sym: dict = {}
+    for s, d in edge_rows:
+        sym.setdefault(s, set()).add(d)
+        sym.setdefault(d, set()).add(s)
+    labels = {v: v for v in sym}
+    for _ in range(n_rounds):
+        new = {}
+        for v, nbrs in sym.items():
+            counts: dict = {}
+            for u in nbrs:
+                lu = labels[u]
+                counts[lu] = counts.get(lu, 0) + 1
+            new[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("label", id_type),
+        ]
+    )
+    return spark.createDataFrame(sorted(labels.items()), schema)
+
+
+def label_propagation(
+    edges: DataFrame, n_rounds: int = 5, *, collect_threshold: int = 200_000
+) -> DataFrame:
     """edges(src, dst) undirected → (id, label) after ``n_rounds``
     synchronous rounds; initial label = own id; a node's new label is the
-    mode of its NEIGHBORS' labels (count desc, label asc tie-break)."""
+    mode of its NEIGHBORS' labels (count desc, label asc tie-break).
+
+    Below ``collect_threshold`` edges with order-safe ids (numeric, or
+    all-ASCII strings — the tie-break compares labels) the identical
+    rounds run on the driver; each distributed round is a join + window
+    + lineage cut of pure scheduling at board scale."""
+    from pyspark.sql import types as T
+
     e = edges.select("src", "dst").distinct()
+    id_dt = edges.schema["src"].dataType
+    numeric_id = isinstance(
+        id_dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    if numeric_id or isinstance(id_dt, T.StringType):
+        n_edges = e.limit(collect_threshold + 1).count()
+        if n_edges <= collect_threshold:
+            rows = [(r[0], r[1]) for r in e.collect()]
+            ascii_ok = numeric_id or all(
+                v is not None and all(ord(ch) < 128 for ch in v)
+                for rr in rows
+                for v in rr
+            )
+            if ascii_ok:
+                return _label_propagation_local(
+                    edges.sparkSession, rows, id_dt, n_rounds
+                )
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

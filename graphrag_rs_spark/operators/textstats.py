@@ -659,3 +659,48 @@ def zipf_slope(
         .cast("long")
         .alias("slope_ppm"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram token entropy per document → (doc_id, n_tokens,
+    n_distinct, entropy_mb): H = log2(n) − (Σ c·log2 c)/n over the word
+    frequency histogram, floor-quantized to MILLIBITS (floor(H·1000) —
+    the readability_scores floor-not-round contract; both engines sum
+    the same doubles, floor blunts last-ulp association differences).
+
+    The classic lexical-diversity / noise signal next to the Gopher
+    repetition ratios: word-salad and template boilerplate sit at the
+    entropy extremes that the quality filters cut. Token space is the
+    shared nonempty-lowercase ``[^a-z0-9]+`` split (coref/proximity
+    family). Scale shape: explode → (doc, tok) partial-agg count →
+    per-doc partial-agg sum — two map-side-combinable shuffles keyed on
+    doc id, no UDF, no in-row quadratic histogram. Docs with no tokens
+    are dropped (H undefined).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("_clog"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.floor(
+            (F.log2(F.col("n_tokens").cast("double"))
+             - F.col("_clog") / F.col("n_tokens"))
+            * 1000
+        ).cast("long").alias("entropy_mb"),
+    )

@@ -43,3 +43,38 @@ def test_katz_paths_equal_at_6dp(pairs, spark):
         for r in katz_centrality(e, collect_threshold=0).collect()
     }
     assert small == dist
+
+
+CASES_LPA = [
+    [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+    [("x", "y")],
+    [("a", "a"), ("a", "b")],          # self-loop kept by LPA semantics
+    [("h", "s1"), ("h", "s2"), ("h", "s3"), ("s1", "s2")],
+]
+
+
+@pytest.mark.parametrize("pairs", CASES_LPA)
+def test_lpa_paths_identical(pairs, spark):
+    from graphrag_rs_spark.operators.lpa import label_propagation
+
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    small = sorted(tuple(r) for r in label_propagation(e).collect())
+    dist = sorted(
+        tuple(r)
+        for r in label_propagation(e, collect_threshold=0).collect()
+    )
+    assert small == dist
+
+
+def test_lpa_non_ascii_falls_back_and_matches(spark):
+    from graphrag_rs_spark.operators.lpa import label_propagation
+
+    e = spark.createDataFrame(
+        [("é", "b"), ("b", "ç")], "src string, dst string"
+    )
+    small = sorted(tuple(r) for r in label_propagation(e).collect())
+    dist = sorted(
+        tuple(r)
+        for r in label_propagation(e, collect_threshold=0).collect()
+    )
+    assert small == dist

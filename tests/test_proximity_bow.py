@@ -108,3 +108,26 @@ def test_bow_groups_order_and_punct_invariant(spark):
            for r in exact_bow_groups(df).collect()}
     assert out["a"] == ("a", 2) and out["b"] == ("a", 2)
     assert out["c"] == ("c", 1) and out["d"] == ("d", 1)
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from graphrag_rs_spark.operators.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            ("u", "a b c d"),          # uniform: H = 2 bits
+            ("r", "a a a a"),          # degenerate: H = 0
+            ("m", "a a b"),            # H = log2(3) - (2*1)/3
+            ("e", "...!!!"),           # no tokens: dropped
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert set(out) == {"u", "r", "m"}
+    assert (out["u"]["n_tokens"], out["u"]["n_distinct"]) == (4, 4)
+    assert out["u"]["entropy_mb"] == 2000
+    assert out["r"]["entropy_mb"] == 0
+    want_m = math.floor((math.log2(3) - 2 * math.log2(2) / 3) * 1000)
+    assert out["m"]["entropy_mb"] == want_m
