@@ -338,6 +338,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_topic_clusters"] = kg_topic_clusters
 
+    def rel_key_skew(spark, sf):
+        """Shuffle-key skew diagnostic (analytics.py:key_skew_profile):
+        per-key counts bucketed by decimal magnitude — the pre-flight
+        'will this join key melt a reducer' profile, run on lineitem's
+        supplier key. Integer-exact (digit-count buckets, not float
+        log2). Oracle replays the two aggregations."""
+        from graphrag_rs_spark.operators.analytics import key_skew_profile
+
+        return key_skew_profile(
+            _t(spark, sf, "lineitem"), ["l_suppkey"]
+        )
+
+    q["rel_key_skew"] = rel_key_skew
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -5182,6 +5196,20 @@ def oracle_sql() -> dict[str, str]:
                     - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
                       / sum(c)) * 1000) AS BIGINT) AS entropy_mb
         FROM tf GROUP BY doc_id
+    """
+
+    # rel_key_skew: per-key counts bucketed by decimal digit count —
+    # length(CAST(c AS VARCHAR)) is integer-exact on both engines.
+    sql["rel_key_skew"] = """
+        WITH per_key AS (
+            SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(length(CAST(c AS VARCHAR)) AS INT) AS bucket_digits,
+               count(*) AS n_keys,
+               min(c) AS min_count,
+               max(c) AS max_count,
+               CAST(sum(c) AS BIGINT) AS rows_total
+        FROM per_key GROUP BY 1
     """
 
     # dedup_bow: list_sort over the filtered token list, chr(31) join,

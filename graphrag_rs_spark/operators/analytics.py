@@ -1247,3 +1247,42 @@ def partition_conductance(
             F.expr("(1000000 * cut_edges) div denom"),
         ).alias("conductance_micro"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Shuffle-key skew diagnostic → one row per decimal-magnitude
+    bucket of the per-key row count: (bucket_digits, n_keys, min_count,
+    max_count, rows_total).
+
+    The pre-flight question every join/groupBy at 100 TB needs answered
+    — "is this key uniform or does one key hold 10^8 rows?" — as a
+    two-aggregation profile: per-key counts (partial-agg, the same
+    shuffle the real job would do) bucketed by count magnitude.
+    ``bucket_digits`` = number of DECIMAL DIGITS of the count
+    (length of the count's string image) — integer-exact on any engine,
+    unlike floor(log2(c)) whose float image can land a power of two in
+    the wrong bucket. A heavy tail here is what motivates salting /
+    AQE skew-join / the hub caps used throughout this repo.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    per_key = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_key.select(
+            F.length(F.col("c").cast("string")).cast("int").alias(
+                "bucket_digits"
+            ),
+            "c",
+        )
+        .groupBy("bucket_digits")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("c").alias("min_count"),
+            F.max("c").alias("max_count"),
+            F.sum("c").alias("rows_total"),
+        )
+    )

@@ -131,3 +131,18 @@ def test_token_entropy_hand_values(spark):
     assert out["r"]["entropy_mb"] == 0
     want_m = math.floor((math.log2(3) - 2 * math.log2(2) / 3) * 1000)
     assert out["m"]["entropy_mb"] == want_m
+
+
+def test_key_skew_profile_buckets(spark):
+    from graphrag_rs_spark.operators.analytics import key_skew_profile
+    import pytest as _pytest
+
+    rows = [("hot",)] * 1234 + [("warm",)] * 25 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["bucket_digits"]: r for r in key_skew_profile(df, ["k"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[4]["n_keys"] == 1 and out[4]["max_count"] == 1234
+    assert out[2]["min_count"] == 25
+    assert out[1]["n_keys"] == 3 and out[1]["rows_total"] == 3
+    with _pytest.raises(ValueError):
+        key_skew_profile(df, [])
