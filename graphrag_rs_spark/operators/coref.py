@@ -50,6 +50,14 @@ def resolve_anaphora(
     """
     if not anaphors:
         raise ValueError("anaphors must name at least one token")
+    from graphrag_rs_spark.operators.extraction import GAZETTEER_MAX_ROWS
+
+    if gazetteer.limit(GAZETTEER_MAX_ROWS + 1).count() > GAZETTEER_MAX_ROWS:
+        raise ValueError(
+            f"gazetteer exceeds {GAZETTEER_MAX_ROWS} rows — it is "
+            "broadcast (see gazetteer_mentions for the rationale and "
+            "the blocked alternative)"
+        )
     an_set = {a.lower() for a in anaphors}
     clash = [
         r[0]

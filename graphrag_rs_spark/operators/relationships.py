@@ -236,6 +236,14 @@ def token_window_pairs(
     """
     if window < 1:
         raise ValueError("window must be >= 1")
+    from graphrag_rs_spark.operators.extraction import GAZETTEER_MAX_ROWS
+
+    if gazetteer.limit(GAZETTEER_MAX_ROWS + 1).count() > GAZETTEER_MAX_ROWS:
+        raise ValueError(
+            f"gazetteer exceeds {GAZETTEER_MAX_ROWS} rows — it is "
+            "broadcast (see gazetteer_mentions for the rationale and "
+            "the blocked alternative)"
+        )
     toks = (
         chunks.select(
             F.col(doc_col).alias("doc"),
