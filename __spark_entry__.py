@@ -352,6 +352,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_key_skew"] = rel_key_skew
 
+    def mm_image_entropy(spark, sf):
+        """Pixel-entropy curation signal over REAL generated PNGs
+        (multimodal.py:image_entropy): stdlib decode → 8-bit histogram
+        → floor-quantized millibit entropy. Oracle replays the
+        histogram arithmetically from the generative pixel definition
+        ((seed+x+y) mod 256) — independent of the codec path, the
+        mm_image_ahash protocol."""
+        from graphrag_rs_spark.operators.multimodal import (
+            image_entropy,
+            make_png,
+        )
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def png_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_png(8 + int(d) % 8, 8, seed=int(d)) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                png_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return image_entropy(media)
+
+    q["mm_image_entropy"] = mm_image_entropy
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -5196,6 +5228,30 @@ def oracle_sql() -> dict[str, str]:
                     - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
                       / sum(c)) * 1000) AS BIGINT) AS entropy_mb
         FROM tf GROUP BY doc_id
+    """
+
+    # mm_image_entropy: histogram derived ARITHMETICALLY from the
+    # generative pixel law (seed+x+y mod 256) — no codec replay; same
+    # floor-millibit identity as text_entropy.
+    sql["mm_image_entropy"] = """
+        WITH d AS (
+            SELECT doc_id, 8 + doc_id % 8 AS w
+            FROM documents WHERE doc_id < 100
+        ),
+        px AS (
+            SELECT d.doc_id, (d.doc_id + x.i + y.i) % 256 AS v
+            FROM d,
+                 unnest(generate_series(0, w - 1)) AS x(i),
+                 unnest(generate_series(0, 7)) AS y(i)
+        ),
+        hist AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2)
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(sum(c) AS BIGINT) AS n_pixels,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(floor((log2(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                      / sum(c)) * 1000) AS BIGINT) AS entropy_mb
+        FROM hist GROUP BY doc_id
     """
 
     # rel_key_skew: per-key counts bucketed by decimal digit count —

@@ -628,3 +628,59 @@ def image_pair_mse(pairs: DataFrame, *, grid: int = 8) -> DataFrame:
     return pairs.select("pair_id", "payload_a", "payload_b").mapInPandas(
         run, schema=MSE_SCHEMA
     )
+
+
+ENTROPY_SCHEMA = (
+    "media_id string, n_pixels long, n_distinct long, entropy_mb long"
+)
+
+
+def image_entropy(media: DataFrame) -> DataFrame:
+    """Pixel-value entropy → (media_id, n_pixels, n_distinct,
+    entropy_mb): H = log2(n) − (Σ c·log2 c)/n over the 8-bit grayscale
+    histogram of the REAL decoded PNG, floor-quantized to millibits
+    (the token_entropy / readability floor-not-round contract).
+
+    The image-side noise/uniformity signal of the curation family —
+    near-constant images (logos, separators, corrupt tiles) sit at the
+    low-entropy extreme the same way template boilerplate does in text.
+    Shape: Arrow-batched mapInPandas over (media_id, payload); output
+    is 3 longs per image — nothing pixel-sized ever shuffles.
+    """
+    import math
+
+    from graphrag_rs_spark.kernel.media import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_px, n_distinct, ent = [], [], []
+            for payload in pdf["payload"]:
+                px = decode_png(payload)
+                if px is None or px.size == 0:
+                    n_px.append(None)
+                    n_distinct.append(None)
+                    ent.append(None)
+                    continue
+                vals, counts = np.unique(
+                    px.astype(np.int64), return_counts=True
+                )
+                n = int(counts.sum())
+                clog = sum(
+                    int(c) * math.log2(int(c)) for c in counts
+                )
+                h = math.log2(n) - clog / n
+                n_px.append(n)
+                n_distinct.append(len(vals))
+                ent.append(math.floor(h * 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_pixels": pd.Series(n_px, dtype="Int64"),
+                    "n_distinct": pd.Series(n_distinct, dtype="Int64"),
+                    "entropy_mb": pd.Series(ent, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=ENTROPY_SCHEMA
+    )

@@ -146,3 +146,27 @@ def test_key_skew_profile_buckets(spark):
     assert out[1]["n_keys"] == 3 and out[1]["rows_total"] == 3
     with _pytest.raises(ValueError):
         key_skew_profile(df, [])
+
+
+def test_image_entropy_real_decode(spark):
+    import math
+
+    from graphrag_rs_spark.operators.multimodal import image_entropy, make_png
+
+    # the decoded-pixel entropy must equal the value derived from the
+    # generative pixel law — the codec-independence the oracle relies on
+    media = spark.createDataFrame(
+        [("a", make_png(8, 8, seed=3)), ("bad", b"notapng")],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r for r in image_entropy(media).collect()}
+    # hand histogram from the pixel law (3+x+y) % 256, x,y in [0,8)
+    from collections import Counter
+
+    c = Counter((3 + x + y) % 256 for x in range(8) for y in range(8))
+    n = sum(c.values())
+    h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+    assert out["a"]["n_pixels"] == 64
+    assert out["a"]["n_distinct"] == len(c)
+    assert out["a"]["entropy_mb"] == math.floor(h * 1000)
+    assert out["bad"]["entropy_mb"] is None  # decode failure -> nulls
