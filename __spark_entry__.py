@@ -384,6 +384,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_entropy"] = mm_image_entropy
 
+    def mm_audio_entropy(spark, sf):
+        """Amplitude-magnitude entropy over REAL generated WAVs
+        (multimodal.py:audio_entropy): RIFF decode → exact |byte−128|
+        magnitudes → floor-millibit entropy. Oracle replays the
+        histogram from the generative sample law ((i·7) mod 256)."""
+        from graphrag_rs_spark.operators.multimodal import (
+            audio_entropy,
+            make_wav,
+        )
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        @pandas_udf(BinaryType())
+        def wav_bytes(doc_ids: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_wav(40 + int(d) % 50, 8000) for d in doc_ids]
+            )
+
+        media = (
+            _docs(spark, sf)
+            .where(F.col("doc_id") < 100)
+            .select(
+                F.col("doc_id").cast("string").alias("media_id"),
+                wav_bytes(F.col("doc_id")).alias("payload"),
+            )
+        )
+        return audio_entropy(media)
+
+    q["mm_audio_entropy"] = mm_audio_entropy
+
+    def kg_edge_support(spark, sf):
+        """Per-edge triangle support (analytics.py:edge_support) over
+        the sparsified dependency graph — the k-truss peel criterion as
+        a diagnostic; support 0 marks the tree-like periphery the
+        bridge finder flags. Oracle: the same wedge algebra in SQL."""
+        from graphrag_rs_spark.operators.analytics import edge_support
+
+        return edge_support(_sparse_dep_edges(spark, sf))
+
+    q["kg_edge_support"] = kg_edge_support
+
     def text_hash_split(spark, sf):
         """Deterministic train/val/test carve (mixture.py:hash_split):
         sha256 bucket vs exact integer thresholds — bit-identical
@@ -5247,6 +5288,27 @@ def oracle_sql() -> dict[str, str]:
         hist AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2)
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                CAST(sum(c) AS BIGINT) AS n_pixels,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(floor((log2(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                      / sum(c)) * 1000) AS BIGINT) AS entropy_mb
+        FROM hist GROUP BY doc_id
+    """
+
+    # mm_audio_entropy: |byte−128| magnitude histogram from the WAV
+    # sample law — codec-free, same floor-millibit identity.
+    sql["mm_audio_entropy"] = """
+        WITH d AS (
+            SELECT doc_id, 8 * (40 + doc_id % 50) AS n
+            FROM documents WHERE doc_id < 100
+        ),
+        s AS (
+            SELECT doc_id, abs(((i * 7) % 256) - 128) AS mag
+            FROM d, unnest(generate_series(0, n - 1)) AS t(i)
+        ),
+        hist AS (SELECT doc_id, mag, count(*) AS c FROM s GROUP BY 1, 2)
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(sum(c) AS BIGINT) AS n_samples,
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(floor((log2(CAST(sum(c) AS DOUBLE))
                     - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
@@ -10363,6 +10425,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM walk
             WHERE walk.excl = u || chr(30) || v AND walk.node = v
         )
+    """
+
+    # kg_edge_support: common-neighbour count per canonical edge — the
+    # same wedge algebra over the sparsified graph (w∉{u,v} holds
+    # automatically: self-loops are excluded from sym).
+    sql["kg_edge_support"] = _sparse_edges_sql + """,
+        tri AS (
+            SELECT se.u, se.v, count(*) AS c
+            FROM se
+            JOIN sym a ON a.s = se.u
+            JOIN sym b ON b.s = se.v AND b.t = a.t
+            GROUP BY se.u, se.v
+        )
+        SELECT se.u AS src, se.v AS dst,
+               coalesce(tri.c, 0) AS support
+        FROM se LEFT JOIN tri ON tri.u = se.u AND tri.v = se.v
     """
 
     sql["kg_2ecc"] = _sparse_edges_sql + """,

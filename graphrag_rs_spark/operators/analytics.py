@@ -1286,3 +1286,51 @@ def key_skew_profile(
             F.sum("c").alias("rows_total"),
         )
     )
+
+
+def edge_support(
+    edges: DataFrame, *, max_degree: int = 10_000
+) -> DataFrame:
+    """Triangle support per undirected edge → (src, dst, support) with
+    src < dst: support = common-neighbour count — the k-truss peel
+    criterion exposed as a per-edge diagnostic (an edge's support + 2
+    is the largest truss it can belong to; support 0 marks the
+    tree-like periphery).
+
+    Scale shape: the wedge join is O(deg²) per node, so nodes above
+    ``max_degree`` raise (the clustering_coefficients hub contract,
+    loudly instead of a melted shuffle — cap hubs upstream or raise
+    the knob deliberately). Joins are ids-only; zero-support edges are
+    kept via the final left join.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    hub = deg.where(F.col("d") > max_degree).limit(1).collect()
+    if hub:
+        raise ValueError(
+            f"edge_support: node {hub[0]['src']!r} has degree "
+            f"{hub[0]['d']} > max_degree={max_degree}; the wedge join "
+            "is O(deg^2) per node — cap hubs upstream or raise the knob"
+        )
+    canon = sym.where(F.col("src") < F.col("dst"))
+    tri = (
+        canon.join(
+            sym.select(F.col("src").alias("src"), F.col("dst").alias("w")),
+            "src",
+        )
+        .join(
+            sym.select(F.col("src").alias("dst"), F.col("dst").alias("w")),
+            ["dst", "w"],
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+    )
+    return canon.join(tri, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+    )

@@ -684,3 +684,50 @@ def image_entropy(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=ENTROPY_SCHEMA
     )
+
+
+def audio_entropy(media: DataFrame) -> DataFrame:
+    """Amplitude-magnitude entropy → (media_id, n_samples, n_distinct,
+    entropy_mb): H over the |byte−128| magnitude histogram of the REAL
+    decoded WAV (8-bit PCM decodes to k/128 floats, so rint(|s|·128)
+    recovers the exact integer magnitudes — the audio_dhash identity),
+    floor-quantized to millibits like :func:`image_entropy`.
+
+    The audio-side uniformity signal: silence/DC clips sit at the
+    low-entropy extreme. One Arrow-batched mapInPandas pass, 3 longs
+    per clip out.
+    """
+    import math
+
+    from graphrag_rs_spark.kernel.media import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_s, n_d, ent = [], [], []
+            for payload in pdf["payload"]:
+                dec = decode_wav(payload)
+                if dec is None or len(dec[1]) == 0:
+                    n_s.append(None)
+                    n_d.append(None)
+                    ent.append(None)
+                    continue
+                mag = np.rint(np.abs(dec[1]) * 128.0).astype(np.int64)
+                _vals, counts = np.unique(mag, return_counts=True)
+                n = int(counts.sum())
+                clog = sum(int(c) * math.log2(int(c)) for c in counts)
+                n_s.append(n)
+                n_d.append(len(counts))
+                ent.append(math.floor((math.log2(n) - clog / n) * 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series(n_s, dtype="Int64"),
+                    "n_distinct": pd.Series(n_d, dtype="Int64"),
+                    "entropy_mb": pd.Series(ent, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id string, n_samples long, n_distinct long, entropy_mb long",
+    )

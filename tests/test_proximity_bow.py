@@ -170,3 +170,41 @@ def test_image_entropy_real_decode(spark):
     assert out["a"]["n_distinct"] == len(c)
     assert out["a"]["entropy_mb"] == math.floor(h * 1000)
     assert out["bad"]["entropy_mb"] is None  # decode failure -> nulls
+
+
+def test_edge_support_hand_counts(spark):
+    import pytest as _pytest
+
+    from graphrag_rs_spark.operators.analytics import edge_support
+
+    # 4-clique + pendant: clique edges support 2, pendant edge 0
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "p"), ("a", "a")],
+        "src string, dst string",
+    )
+    out = {(r["src"], r["dst"]): r["support"] for r in edge_support(e).collect()}
+    assert out[("d", "p")] == 0
+    assert all(out[k] == 2 for k in out if k != ("d", "p"))
+    with _pytest.raises(ValueError, match="max_degree"):
+        edge_support(e, max_degree=2)
+
+
+def test_audio_entropy_matches_sample_law(spark):
+    import math
+    from collections import Counter
+
+    from graphrag_rs_spark.operators.multimodal import audio_entropy, make_wav
+
+    media = spark.createDataFrame(
+        [("a", make_wav(40, 8000)), ("bad", b"RIFFxxxx")],
+        "media_id string, payload binary",
+    )
+    out = {r["media_id"]: r for r in audio_entropy(media).collect()}
+    n = 8000 * 40 // 1000
+    c = Counter(abs(((i * 7) % 256) - 128) for i in range(n))
+    h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+    assert out["a"]["n_samples"] == n
+    assert out["a"]["n_distinct"] == len(c)
+    assert out["a"]["entropy_mb"] == math.floor(h * 1000)
+    assert out["bad"]["entropy_mb"] is None
