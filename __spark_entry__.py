@@ -310,6 +310,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_entropy"] = text_entropy
 
+    def text_js_divergence(spark, sf):
+        """Unigram Jensen–Shannon divergence between the even- and
+        odd-id document halves (textstats.py:js_divergence) — the
+        train/val drift detector in floor-quantized millibits. Oracle
+        replays both histograms and the ½KL+½KL identity in DuckDB
+        doubles."""
+        from graphrag_rs_spark.operators.textstats import js_divergence
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        return js_divergence(
+            d.where(F.col("doc_id") % 2 == 0),
+            d.where(F.col("doc_id") % 2 == 1),
+        )
+
+    q["text_js_divergence"] = text_js_divergence
+
     def kg_topic_clusters(spark, sf):
         """Topic clustering by composition: the exact-path semantic
         similarity edges (kg_semantic_edges) fed into 5 synchronous LPA
@@ -5269,6 +5285,43 @@ def oracle_sql() -> dict[str, str]:
                     - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
                       / sum(c)) * 1000) AS BIGINT) AS entropy_mb
         FROM tf GROUP BY doc_id
+    """
+
+    # text_js_divergence: both halves' histograms + the ½KL+½KL
+    # identity; zero-count terms contribute 0 (standard convention).
+    sql["text_js_divergence"] = """
+        WITH toks AS (
+            SELECT doc_id % 2 AS half, t.tok
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '[^a-z0-9]+') AS parts
+                  FROM documents) d,
+                 unnest(d.parts) AS t(tok)
+            WHERE t.tok != ''
+        ),
+        h AS (
+            SELECT tok,
+                   count(*) FILTER (half = 0) AS ca,
+                   count(*) FILTER (half = 1) AS cb
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                   CAST(sum(cb) AS DOUBLE) AS nb
+            FROM h
+        )
+        SELECT CAST(tot.na AS BIGINT) AS n_tokens_a,
+               CAST(tot.nb AS BIGINT) AS n_tokens_b,
+               count(*) AS vocab_union,
+               CAST(floor(sum(
+                   (CASE WHEN ca > 0 THEN (ca / na)
+                        * log2((ca / na)
+                               / ((ca / na + cb / nb) / 2))
+                        ELSE 0 END
+                    + CASE WHEN cb > 0 THEN (cb / nb)
+                        * log2((cb / nb)
+                               / ((ca / na + cb / nb) / 2))
+                        ELSE 0 END) / 2) * 1000) AS BIGINT) AS js_mb
+        FROM h, tot GROUP BY tot.na, tot.nb
     """
 
     # mm_image_entropy: histogram derived ARITHMETICALLY from the

@@ -704,3 +704,66 @@ def token_entropy(
             * 1000
         ).cast("long").alias("entropy_mb"),
     )
+
+
+def js_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's unigram
+    distributions → ONE row (n_tokens_a, n_tokens_b, vocab_union,
+    js_mb): JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2, in
+    floor-quantized millibits (bounded [0, 1000] by construction —
+    log base 2).
+
+    The drift/contamination detector of the mixture family: a
+    train/validation split with JS ≈ 0 shares a distribution; a rising
+    JS between crawl snapshots flags topic drift before a model does.
+    Zero-probability terms contribute 0 to their side's KL (the
+    standard convention — p·log2(p/m) → 0 as p → 0).
+
+    Scale shape: one token-histogram shuffle per side (partial-agg),
+    a full-outer join on the term, totals as 1-row broadcast
+    aggregates, one final scalar sum — no UDF, nothing vocabulary-sized
+    on the driver.
+    """
+    def hist(df, name):
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+                ).alias("tok")
+            )
+            .where(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    ha = hist(docs_a, "ca")
+    hb = hist(docs_b, "cb")
+    joined = ha.join(hb, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    na = joined.agg(F.sum("ca").alias("na"))
+    nb = joined.agg(F.sum("cb").alias("nb"))
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("ca") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        joined.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.max("na").alias("n_tokens_a"),
+            F.max("nb").alias("n_tokens_b"),
+            F.count("*").alias("vocab_union"),
+            F.floor(F.sum(contrib) * 1000).cast("long").alias("js_mb"),
+        )
+    )

@@ -208,3 +208,24 @@ def test_audio_entropy_matches_sample_law(spark):
     assert out["a"]["n_distinct"] == len(c)
     assert out["a"]["entropy_mb"] == math.floor(h * 1000)
     assert out["bad"]["entropy_mb"] is None
+
+
+def test_js_divergence_hand_values(spark):
+    import math
+
+    from graphrag_rs_spark.operators.textstats import js_divergence
+
+    a = spark.createDataFrame([("1", "x x y")], "doc_id string, text string")
+    b = spark.createDataFrame([("2", "x y y")], "doc_id string, text string")
+    row = js_divergence(a, b).collect()[0]
+    assert (row["n_tokens_a"], row["n_tokens_b"], row["vocab_union"]) == (3, 3, 2)
+    # p=(2/3,1/3), q=(1/3,2/3), m=(1/2,1/2)
+    js = 0.5 * ((2/3) * math.log2((2/3) / 0.5) + (1/3) * math.log2((1/3) / 0.5)) \
+       + 0.5 * ((1/3) * math.log2((1/3) / 0.5) + (2/3) * math.log2((2/3) / 0.5))
+    assert row["js_mb"] == math.floor(js * 1000)
+    # identical corpora: JS = 0; disjoint corpora: JS = 1 bit
+    same = js_divergence(a, a).collect()[0]
+    assert same["js_mb"] == 0
+    c = spark.createDataFrame([("3", "z z z")], "doc_id string, text string")
+    disjoint = js_divergence(a, c).collect()[0]
+    assert disjoint["js_mb"] == 1000
