@@ -1268,22 +1268,25 @@ def key_skew_profile(
     """
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    # collision-proof count alias: a key column literally named "c"
+    # would make F.col("c") ambiguous downstream
+    cnt = "__skp_count"
     per_key = df.groupBy(*[F.col(c) for c in key_cols]).agg(
-        F.count("*").alias("c")
+        F.count("*").alias(cnt)
     )
     return (
         per_key.select(
-            F.length(F.col("c").cast("string")).cast("int").alias(
+            F.length(F.col(cnt).cast("string")).cast("int").alias(
                 "bucket_digits"
             ),
-            "c",
+            cnt,
         )
         .groupBy("bucket_digits")
         .agg(
             F.count("*").alias("n_keys"),
-            F.min("c").alias("min_count"),
-            F.max("c").alias("max_count"),
-            F.sum("c").alias("rows_total"),
+            F.min(cnt).alias("min_count"),
+            F.max(cnt).alias("max_count"),
+            F.sum(cnt).alias("rows_total"),
         )
     )
 

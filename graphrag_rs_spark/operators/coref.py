@@ -88,9 +88,14 @@ def resolve_anaphora(
         )
     )
     g = F.broadcast(
+        # min(entity_type) per lowercased name: dropDuplicates would pick
+        # a partition-order-dependent row when two differently-cased
+        # names share a lowercase form — deterministic-by-construction
         gazetteer.select(
             F.lower(F.col("name")).alias("tok"), "entity_type"
-        ).dropDuplicates(["tok"])
+        )
+        .groupBy("tok")
+        .agg(F.min("entity_type").alias("entity_type"))
     )
     stream = toks.join(g, "tok", "left").select(
         "doc_id",

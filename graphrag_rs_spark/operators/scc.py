@@ -574,8 +574,13 @@ def transitive_reduction(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    n_edges = e.limit(collect_threshold + 1).count()
-    if n_edges <= collect_threshold:
+    # closure work on the driver is O(n_src_with_outedges · E) ≤ E², so
+    # the small path bounds E² (not just E — the sibling small paths all
+    # bound the work product, and an un-bounded closure over a chain-like
+    # 500k-edge DAG would build ~V² reach entries in driver dicts)
+    local_cap = min(collect_threshold, 5_000)
+    n_edges = e.limit(local_cap + 1).count()
+    if n_edges <= local_cap:
         rows = [(r[0], r[1]) for r in e.collect()]
         adj: dict = {}
         for u, v in rows:

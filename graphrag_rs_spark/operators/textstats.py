@@ -748,8 +748,10 @@ def js_divergence(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    na = joined.agg(F.sum("ca").alias("na"))
-    nb = joined.agg(F.sum("cb").alias("nb"))
+    joined = joined.localCheckpoint(eager=True)
+    # ONE totals aggregate over the materialized histogram — separate
+    # na/nb jobs would re-run the explodes + outer join once each
+    tot = joined.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     p = F.col("ca").cast("double") / F.col("na")
     q = F.col("cb").cast("double") / F.col("nb")
     m = (p + q) / 2
@@ -758,8 +760,7 @@ def js_divergence(
         + F.when(F.col("cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
     ) / 2
     return (
-        joined.crossJoin(F.broadcast(na))
-        .crossJoin(F.broadcast(nb))
+        joined.crossJoin(F.broadcast(tot))
         .agg(
             F.max("na").alias("n_tokens_a"),
             F.max("nb").alias("n_tokens_b"),

@@ -287,8 +287,12 @@ def _multi_bfs(
     e = edges.select("src", "dst")
     n_edges = e.limit(collect_threshold + 1).count()
     if n_edges <= collect_threshold:
-        n_src = sources.limit(collect_threshold + 1).count()
-        if n_src * max(1, n_edges) <= 5_000_000:
+        # probe sources up to the budget the product bound implies —
+        # a probe capped at collect_threshold+1 would let an arbitrarily
+        # large source table through whenever the edge set is tiny
+        src_cap = 5_000_000 // max(1, n_edges) + 1
+        n_src = sources.limit(src_cap + 1).count()
+        if n_src <= src_cap and n_src * max(1, n_edges) <= 5_000_000:
             return _multi_bfs_local(
                 edges.sparkSession,
                 [(r[0], r[1]) for r in e.collect()],
@@ -500,10 +504,17 @@ def weighted_sssp(
     e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
     n_edges = e.limit(collect_threshold + 1).count()
     if n_edges <= collect_threshold:
-        n_src = sources.limit(collect_threshold + 1).count()
         # Python relaxation is O(n_rounds·n_src·E); bound the product so
-        # the driver path never exceeds ~1 s of driver arithmetic
-        if n_src * max(1, n_edges) * max(1, n_rounds) <= 20_000_000:
+        # the driver path never exceeds ~1 s of driver arithmetic. The
+        # source probe must extend to the budget-implied cap — a probe
+        # capped at the edge threshold would admit an arbitrarily large
+        # source table whenever n_edges·n_rounds is small.
+        src_cap = 20_000_000 // max(1, n_edges * max(1, n_rounds)) + 1
+        n_src = sources.limit(src_cap + 1).count()
+        if (
+            n_src <= src_cap
+            and n_src * max(1, n_edges) * max(1, n_rounds) <= 20_000_000
+        ):
             return _weighted_sssp_local(
                 edges.sparkSession,
                 [(r[0], r[1], r[2]) for r in e.collect()],
