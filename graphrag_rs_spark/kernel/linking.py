@@ -79,9 +79,12 @@ def levenshtein_similarity(s1: str, s2: str, max_edit_distance: int = 2) -> floa
 
 
 def jaro_similarity(s1: str, s2: str) -> float:
-    len1, len2 = len(s1), len(s2)
-    if len1 == 0 and len2 == 0:
+    if s1 == s2:
+        # jaro(s, s) is 1.0 by definition (all chars match in place, zero
+        # transpositions) — skip the O(len·window) matching loops; equal
+        # pairs dominate blocked candidate sets on deduplicated corpora
         return 1.0
+    len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
     match_distance = max(max(len1, len2) // 2 - 1, 0)

@@ -32,19 +32,44 @@ def bm25_scores(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
         ).alias("tokens"),
     )
-    stats = toks.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("tokens")).alias("avgdl")
-    )
+    # ONE tokenize pass: dl + per-term tf as flat columns, checkpointed.
+    # The previous shape re-tokenized the corpus three times per action
+    # (the stats broadcast build, the df broadcast build, and the scored
+    # scan each re-ran the split pipeline — Spark only dedups identical
+    # subtrees at exchange level). per_doc is (id, dl, |q| ints) — tiny
+    # relative to the text it summarizes, so materializing it is
+    # scale-safe where three corpus scans are not.
+    def _tf_col(term: str):
+        # NB: the filter lambda must stay single-parameter (a second
+        # parameter would be bound to the ARRAY INDEX by Spark's
+        # higher-order-function protocol), hence this closure helper
+        return F.size(F.filter("tokens", lambda x: x == F.lit(term)))
 
-    q = docs.sparkSession.createDataFrame([(t,) for t in query_terms], ["term"])
+    per_doc = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        *[_tf_col(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)],
+    ).localCheckpoint(eager=True)
+
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
     tf = (
-        toks.crossJoin(F.broadcast(q))
-        .select(
+        per_doc.select(
             "doc_id",
-            "term",
-            F.size("tokens").alias("dl"),
-            F.size(F.filter("tokens", lambda x: x == F.col("term"))).alias("tf"),
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"_tf{i}").alias("tf")
+                        )
+                        for i, t in enumerate(query_terms)
+                    ]
+                )
+            ).alias("_qt"),
         )
+        .select("doc_id", F.col("_qt.term").alias("term"), "dl", F.col("_qt.tf").alias("tf"))
         .where(F.col("tf") > 0)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))

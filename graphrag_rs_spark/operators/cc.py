@@ -46,64 +46,84 @@ def connected_components(
 
     Isolated vertices (in ``vertices`` but in no edge) map to themselves.
 
-    Graphs whose edge AND vertex counts fit under ``collect_threshold``
-    are solved by driver-side union-find (kernel/communities.py) — the
-    component label (min member id) is execution-order independent, so the
-    result is identical by definition; what it saves is the ~2-action-per-
+    Graphs whose raw edge AND vertex counts fit under
+    ``collect_threshold`` are solved by a driver-side vectorized hashmin
+    (numpy label propagation with pointer jumping) — the component label
+    (min member id) is execution-order independent, so the result is
+    identical by definition; what it saves is the ~2-action-per-
     superstep fixed cost that dominates small-to-medium graphs. The default
     crossover (500k) was re-measured after this sandbox's per-job fixed
     cost rose to ~1-2.5 s (gVisor serializes concurrent file syscalls
-    per-process — see session.py): a 450k-edge union-find costs ~2 s in
-    the driver vs 4+ supersteps × 2-3 jobs distributed. Memory bound:
-    ~500k string-id edges ≈ low hundreds of MB in the driver, well inside
-    the configured heap; truly large graphs stay distributed. Set 0 to
-    force the distributed path.
+    per-process — see session.py). Memory bound: ~500k string-id edges ≈
+    low hundreds of MB in the driver, well inside the configured heap;
+    truly large graphs stay distributed. Set 0 to force the distributed
+    path.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
         F.col("src") != F.col("dst")
-    )
-    # undirected: both directions
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    ).localCheckpoint(eager=True)
 
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     else:
-        verts = sym.select(F.col("src").alias("id")).distinct()
+        verts = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
 
     labels = verts.select("id", F.col("id").alias("component"))
-    sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
     if (
         collect_threshold
-        and sym.count() <= collect_threshold
+        and e.count() <= collect_threshold
         and labels.count() <= collect_threshold
     ):
+        # driver small path works on the RAW directed edge list —
+        # union(a,b) is symmetric, so the symmetrize+distinct shuffle the
+        # distributed supersteps need is pure overhead here (one shuffle
+        # + checkpoint of 2× the edges saved; threshold now bounds raw
+        # edges, which only widens the small path — results are identical
+        # on both paths by construction)
         from pyspark.sql.types import StructField, StructType
 
-        from graphrag_rs_spark.kernel.communities import union_find_components
-
+        import numpy as np
         import pandas as pd
 
         # Arrow both directions: toPandas / createDataFrame(pandas) are
         # ~10× faster than row-wise py4j collect at these sizes
-        epdf = sym.toPandas()
+        epdf = e.toPandas()
         vpdf = labels.select("id").toPandas()
         # parity with the distributed path when ``vertices`` is NOT a
         # superset of edge endpoints: a non-vertex endpoint has no label
         # there, so its edges propagate nothing and it never appears in
-        # the output — drop those edges before union-find (otherwise a
-        # ghost endpoint could bridge components or become a label)
-        vset = set(vpdf["id"])
-        edge_list = [
-            (s, d) for s, d in zip(epdf["src"], epdf["dst"])
-            if s in vset and d in vset
-        ]
-        comp = union_find_components(edge_list, vpdf["id"].tolist())
-        items = sorted(comp.items())
+        # the output — drop those edges before labeling (otherwise a
+        # ghost endpoint could bridge components or become a label).
+        # Everything below is vectorized (the per-edge Python loop this
+        # replaces was the small path's dominant cost at ~500k edges):
+        # ids are coded against the SORTED vertex list so min-code ==
+        # min-id, then hashmin label propagation with pointer jumping
+        # runs in O(log n) numpy passes — same fixpoint as union-find.
+        ids = np.sort(vpdf["id"].to_numpy())
+        code = pd.Series(np.arange(len(ids)), index=ids)
+        sc_ = epdf["src"].map(code)
+        dc_ = epdf["dst"].map(code)
+        ok = sc_.notna() & dc_.notna()
+        sarr = sc_[ok].to_numpy(dtype=np.int64)
+        darr = dc_[ok].to_numpy(dtype=np.int64)
+        lab = np.arange(len(ids), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, sarr, lab[darr])
+            np.minimum.at(lab, darr, lab[sarr])
+            lab = np.minimum(lab, lab[lab])  # pointer jumping
+            if np.array_equal(lab, prev):
+                # at fixpoint every edge has equal labels on both ends and
+                # labels only take component-member codes, so lab[v] IS the
+                # component min — no separate compression pass needed
+                break
         id_type = labels.schema["id"].dataType
         out = labels.sparkSession.createDataFrame(
-            pd.DataFrame(items, columns=["id", "component"]),
+            pd.DataFrame({"id": ids, "component": ids[lab]}),
             StructType(
                 [
                     StructField("id", id_type, False),
@@ -111,12 +131,19 @@ def connected_components(
                 ]
             ),
         )
-        if len(items) > 10_000:
-            # large results: materialize executor-side once — a plain
-            # LocalRelation is re-shipped from the driver on every scan
-            out = out.repartition(sym.sparkSession.sparkContext.defaultParallelism)
+        if len(ids) > 100_000:
+            # very large results: materialize executor-side once — a
+            # plain LocalRelation is re-shipped from the driver on every
+            # scan (threshold raised 10k→100k: Arrow ships 100k pairs in
+            # ~ms, while repartition+checkpoint is 2 jobs of fixed cost)
+            out = out.repartition(e.sparkSession.sparkContext.defaultParallelism)
             out = out.localCheckpoint(eager=True)
         return out
+
+    # undirected: both directions (distributed supersteps only)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
 
     for it in range(max_iterations):
         # neighbor minimum: join labels onto edge sources, aggregate at dst

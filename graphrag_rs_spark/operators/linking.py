@@ -136,6 +136,13 @@ def score_pairs(
     pairs: DataFrame, config: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Max-combiner similarity scoring (linker :127-165) on candidate pairs."""
+    # the JW UDF's inputs are two short normalized names — raise the Arrow
+    # batch bound from the blob-safe session default (256) so a large pair
+    # set doesn't pay thousands of JVM↔Python round-trips (session.py
+    # documents the measured cliff; same convention as similarity.py)
+    from graphrag_rs_spark.session import request_arrow_batch_rows
+
+    request_arrow_batch_rows(pairs.sparkSession, 65536)
     na, nb = F.col("norm_a"), F.col("norm_b")
     lev_dist = F.levenshtein(na, nb)
     max_len = F.greatest(F.length(na), F.length(nb))
@@ -339,38 +346,41 @@ def link_entities(
         vertices=entities.select(F.col("entity_id").alias("id")),
     )
 
-    # canonical member: max confidence, ties by entity_id (deterministic)
-    w = Window.partitionBy("component").orderBy(
-        F.col("confidence").desc(), F.col("entity_id").asc()
-    )
-    ranked = (
-        comp.join(entities.select("entity_id", "confidence", "name"),
-                  comp["id"] == F.col("entity_id"))
-        .select("entity_id", "component", "confidence", "name")
-        .withColumn("rank", F.row_number().over(w))
-    )
-    canon = ranked.where(F.col("rank") == 1).select(
-        F.col("component"), F.col("entity_id").alias("canonical_id")
-    )
+    # canonical id + name as window aggregates over ONE pass of the
+    # component-joined frame. The previous shape derived `canon` and
+    # `cnames` as separate frames and joined them back, which re-computed
+    # the comp⋈entities join three times inside one action and paid ~6
+    # exchanges; first_value over a full-frame ordered window selects the
+    # same rows with 2 exchanges total ((component,name) then component —
+    # the two component-partitioned windows share one Exchange).
+    joined = comp.join(
+        entities.select("entity_id", "confidence", "name"),
+        comp["id"] == F.col("entity_id"),
+    ).select("entity_id", "component", "confidence", "name")
 
-    # L10 canonical name: most frequent, then longest, then lexical
-    name_counts = ranked.groupBy("component", "name").agg(F.count("*").alias("n"))
-    wn = Window.partitionBy("component").orderBy(
-        F.col("n").desc(), F.length("name").desc(), F.col("name").asc()
+    # L10 canonical name: most frequent, then longest, then lexical —
+    # identical ordering keys to the old groupBy+row_number formulation
+    # (count over (component, name) replaces the groupBy count; ties
+    # between duplicate rows of one name all carry the same name value)
+    wname_n = Window.partitionBy("component", "name")
+    wcname = (
+        Window.partitionBy("component")
+        .orderBy(F.col("_n").desc(), F.length("name").desc(), F.col("name").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    cnames = (
-        name_counts.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .select("component", F.col("name").alias("canonical_name"))
+    # canonical member: max confidence, ties by entity_id (deterministic)
+    wcanon = (
+        Window.partitionBy("component")
+        .orderBy(F.col("confidence").desc(), F.col("entity_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
-        ranked.join(canon, "component")
-        .join(cnames, "component")
+        joined.withColumn("_n", F.count("*").over(wname_n))
         .select(
             "entity_id",
-            "canonical_id",
+            F.first("entity_id").over(wcanon).alias("canonical_id"),
             F.col("component").alias("cluster_id"),
-            "canonical_name",
+            F.first("name").over(wcname).alias("canonical_name"),
         )
     )
 

@@ -121,11 +121,17 @@ def pagerank(
     ``reset_probs``: optional (id, prob) seed frame for personalized
     PageRank (pagerank.rs build_reset_vector). Without it, Σ ranks = 1.
     """
-    probe = edges.limit(collect_threshold + 1).count()
-    if probe <= collect_threshold:
+    # probe and collect fused into ONE action: limit(T+1).collect() both
+    # answers "is it small?" and, when yes, already holds the edge list —
+    # the separate count() probe re-ran the whole edge derivation (often
+    # an extraction pipeline) a second time before collecting
+    probe_rows = edges.select("src", "dst", "weight").limit(
+        collect_threshold + 1
+    ).collect()
+    if len(probe_rows) <= collect_threshold:
         return _pagerank_local(
             edges.sparkSession,
-            edges.select("src", "dst", "weight").collect(),
+            probe_rows,
             edges.schema["src"].dataType,
             damping,
             max_iterations,
