@@ -28,9 +28,11 @@ Reference: corpus/entity_linker.rs (LinkingStrategy :30-42, dispatch
   confidence 1.0; singleton-name entities → fuzzy at 0.85.
 
 Scale shape: pair generation is blocked (lowercase token + 4-prefix
-keys, hot-block cap) — never all-pairs. The lmcd name graph is collected
-to the driver ONLY at the name level (pairs >0.9-similar, a tiny set by
-construction) with a hard size guard.
+keys, hot-block cap) — never all-pairs. The lmcd greedy collects ONLY
+the >0.9-similar name pairs plus their endpoint order ids — the
+pair-ADJACENT names, hard-guarded at LMCD_MAX_NAME_PAIRS; names with no
+similar neighbor never reach the driver (they are keys by definition and
+stay distributed).
 """
 
 from __future__ import annotations
@@ -145,6 +147,7 @@ def _lmcd_clusters(entities: DataFrame, confidence_threshold: float) -> DataFram
         _name_blocked_pairs(names.select("name"))
         .withColumn("sim", edit_ratio_sim(F.col("name_a"), F.col("name_b")))
         .where((F.col("sim") > 0.9) & (F.col("name_a") != F.col("name_b")))
+        .select("name_a", "name_b")
     )
     n_pairs = pairs.limit(LMCD_MAX_NAME_PAIRS + 1).count()
     if n_pairs > LMCD_MAX_NAME_PAIRS:
@@ -153,22 +156,47 @@ def _lmcd_clusters(entities: DataFrame, confidence_threshold: float) -> DataFram
             "name-level greedy cannot be resolved driver-side; dedupe "
             "names first (dedup/minhash) or use strategy='fuzzy'"
         )
-    order = {r["name"]: r["first_id"] for r in names.collect()}
+    # the driver sees ONLY pair-adjacent names (their first-seen order
+    # rides the collected pair rows): a name with no >0.9 neighbor can
+    # never be diverted, so it is a key by definition and stays
+    # distributed — the previous shape collected EVERY distinct name,
+    # which is unbounded at corpus scale while the pair set is guarded.
+    # Driver bound: ≤ 2 × LMCD_MAX_NAME_PAIRS names.
+    fid_a = names.select(
+        F.col("name").alias("name_a"), F.col("first_id").alias("fid_a")
+    )
+    fid_b = names.select(
+        F.col("name").alias("name_b"), F.col("first_id").alias("fid_b")
+    )
+    pair_rows = pairs.join(fid_a, "name_a").join(fid_b, "name_b").collect()
+    order: dict[str, str] = {}
     adj: dict[str, list[str]] = {}
-    for r in pairs.collect():
+    for r in pair_rows:
+        order[r["name_a"]] = r["fid_a"]
+        order[r["name_b"]] = r["fid_b"]
         adj.setdefault(r["name_a"], []).append(r["name_b"])
         adj.setdefault(r["name_b"], []).append(r["name_a"])
     # greedy in first-seen order: a name keys a cluster unless an
-    # EARLIER name that itself became a key is >0.9-similar (:313-329)
+    # EARLIER name that itself became a key is >0.9-similar (:313-329).
+    # Restricting the sweep to adjacent names is exact: non-adjacent
+    # names are neighbors of nothing, so they key their own cluster and
+    # never influence an adjacent name's disposition.
     keys: set[str] = set()
     for name in sorted(order, key=lambda n: order[n]):
         if not any(nb in keys for nb in adj.get(name, ())):
             keys.add(name)
+    diverted = [n for n in order if n not in keys]
     spark = entities.sparkSession
     disposition = spark.createDataFrame(
-        [(n, n in keys) for n in order], "name string, is_key boolean"
+        [(n, True) for n in diverted], "name string, diverted boolean"
     )
-    tagged = entities.join(F.broadcast(disposition), "name")
+    # NULL-named entities drop out, matching the previous inner-join-on-
+    # name shape (NULL never equi-joins)
+    tagged = (
+        entities.where(F.col("name").isNotNull())
+        .join(F.broadcast(disposition), "name", "left")
+        .withColumn("is_key", F.col("diverted").isNull())
+    )
     wk = Window.partitionBy("name")
     # document_frequency hardcoded 1 — reference quirk (:343)
     keyed = tagged.where(F.col("is_key")).select(

@@ -459,15 +459,31 @@ def find_canonical(
     )
 
 
-def rewrite_triples(triples: DataFrame, clusters: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame,
+    clusters: DataFrame,
+    *,
+    broadcast_rows: int = 1_000_000,
+) -> DataFrame:
     """L12: remap triples onto canonical ids and re-dedupe.
 
-    The id→canonical map is cluster-sized (small relative to triples) —
-    broadcast both joins; then re-canonicalize pair order and merge
-    context/confidence. Self-loops created by canonicalization (two linked
-    entities co-occurring) are dropped.
+    The id→canonical map is reduced to its NON-IDENTITY rows before the
+    joins — ``link_entities`` emits one row per *entity* (not per
+    cluster), so the full map grows with the corpus and broadcasting it
+    unconditionally OOMs executors at scale; identity rows carry no
+    information (the left join's coalesce already maps unmatched ids to
+    themselves). The reduced map is broadcast only while it fits under
+    ``broadcast_rows`` (probed with an early-terminating limit+count);
+    above that the joins fall back to a plain shuffle. Then
+    re-canonicalize pair order and merge context/confidence. Self-loops
+    created by canonicalization (two linked entities co-occurring) are
+    dropped.
     """
-    cmap = F.broadcast(clusters.select("entity_id", "canonical_id"))
+    nonid = clusters.select("entity_id", "canonical_id").where(
+        F.col("entity_id") != F.col("canonical_id")
+    )
+    n_probe = nonid.limit(broadcast_rows + 1).count()
+    cmap = F.broadcast(nonid) if n_probe <= broadcast_rows else nonid
     t = (
         triples.join(
             cmap.withColumnRenamed("entity_id", "subj").withColumnRenamed(

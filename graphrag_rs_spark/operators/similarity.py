@@ -389,7 +389,7 @@ def _int_vec(vec_col):
 def _sqdist_to(ivec_col, centroid: list[int]):
     """Exact integer squared euclidean distance to a literal centroid
     (in-row fold: order-independent, identical in any engine)."""
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    lit = F.lit([int(v) for v in centroid]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(ivec_col, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -398,9 +398,17 @@ def _sqdist_to(ivec_col, centroid: list[int]):
 
 
 def _lit_vecs(vecs: list[list[int]]):
-    """Nested literal array<array<long>> of integer vectors."""
-    return F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in vecs]
+    """Nested literal array<array<long>> of integer vectors.
+
+    ONE Literal node (F.lit accepts nested lists since Spark 3.4), not a
+    CreateArray tree of k·dim element literals: the per-element tree made
+    every Catalyst rule batch walk thousands of nodes, which put ~2.5 s of
+    pure driver planning on EVERY fresh ANN query DataFrame (measured on
+    the IVFPQ query at sf0.1: fresh-plan wall 4.3 s vs 1.7 s re-executing
+    an already-planned frame; the single-literal form plans in ~0.1 s).
+    Values and types are unchanged (same ints, cast to long)."""
+    return F.lit([[int(v) for v in c] for c in vecs]).cast(
+        "array<array<bigint>>"
     )
 
 
@@ -998,54 +1006,92 @@ def cosine_topk_ivfpq(
         )
     coarse, books = model
 
-    base = corpus.select(
-        F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
+    # Encode pass as ONE vectorized numpy pandas UDF (guide: hand whole
+    # batches to native code) instead of ~12 interpreted transform/
+    # aggregate lambda trees over literal codebooks. Two wins, both
+    # measured at sf0.1: the lambda forest put ~1 s of Catalyst planning
+    # on every fresh query DataFrame and evaluated interpreted per row;
+    # the numpy form plans in ~0.1 s and encodes each Arrow batch with
+    # four matrix ops. Integer arithmetic is bit-identical: fixed-point
+    # floor(double·1e6) as int64, squared distances summed in int64
+    # (numpy wraps like Java long), argmin/stable-argsort reproduce the
+    # array_min/array_sort (d, j) lexicographic tie-breaks.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
     )
-    cdists = _centroid_dists(F.col("ivec"), coarse)
 
-    def _sub(s):
-        return F.slice(F.col("ivec"), s * d_sub + 1, d_sub)
+    request_arrow_batch_rows(corpus.sparkSession, 65536)
+    coarse_np = np.asarray(coarse, dtype=np.int64)
+    books_np = [np.asarray(b, dtype=np.int64) for b in books]
+    m = n_subspaces
+    enc_schema = StructType(
+        [StructField("c", ArrayType(IntegerType()))]
+        + [StructField(f"code{s}", IntegerType()) for s in range(m)]
+        + [StructField(f"qt{s}", ArrayType(LongType())) for s in range(m)]
+    )
 
-    # one flat int column per subspace code (not an array): the ADC sum
-    # below stays a plain codegen'd expression — the earlier
-    # zip_with/aggregate array formulation ran its lambdas interpreted
-    # per candidate row, which dominated the stage (measured 1.6 s → 1.3 s
-    # for the scoring pass alone at sf0.1, and it compounds with the
-    # narrower exchange below)
-    members = base.select(
+    @F.pandas_udf(enc_schema)
+    def _encode(vecs: pd.Series) -> pd.DataFrame:
+        valid = vecs.notna()
+        n_rows = len(vecs)
+        out: dict = {}
+        if valid.any():
+            V = np.stack(vecs[valid].to_numpy())
+            ivec = np.floor(V.astype(np.float64) * 1_000_000.0).astype(np.int64)
+            cd = ((ivec[:, None, :] - coarse_np[None, :, :]) ** 2).sum(axis=2)
+            # argsort(kind=stable) == array_sort on (d, j) structs: equal
+            # distances order by centroid index
+            order = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]
+            probes_v = order.astype(np.int32)
+            codes_v, qts_v = [], []
+            for s in range(m):
+                sub = ivec[:, s * d_sub:(s + 1) * d_sub]
+                ds = ((sub[:, None, :] - books_np[s][None, :, :]) ** 2).sum(axis=2)
+                codes_v.append(np.argmin(ds, axis=1).astype(np.int32))
+                qts_v.append(ds)
+        if valid.all():
+            # common case: no per-row Python assembly, list() hands Arrow
+            # C-level row views
+            out["c"] = pd.Series(list(probes_v))
+            for s in range(m):
+                out[f"code{s}"] = pd.Series(codes_v[s])
+                out[f"qt{s}"] = pd.Series(list(qts_v[s]))
+            return pd.DataFrame(out)
+        res_c = np.empty(n_rows, dtype=object)
+        res_codes = [np.full(n_rows, None, dtype=object) for _ in range(m)]
+        res_qts = [np.empty(n_rows, dtype=object) for _ in range(m)]
+        vi = 0
+        for i in range(n_rows):
+            if valid.iloc[i]:
+                res_c[i] = probes_v[vi]
+                for s in range(m):
+                    res_codes[s][i] = int(codes_v[s][vi])
+                    res_qts[s][i] = qts_v[s][vi]
+                vi += 1
+            else:
+                res_c[i] = None
+                for s in range(m):
+                    res_qts[s][i] = None
+        out["c"] = pd.Series(res_c)
+        for s in range(m):
+            out[f"code{s}"] = pd.Series(res_codes[s])
+            out[f"qt{s}"] = pd.Series(res_qts[s])
+        return pd.DataFrame(out)
+
+    enc = corpus.select(
+        F.col(id_col).alias("id"), _encode(F.col(vec_col)).alias("e")
+    )
+    members = enc.select(
         F.col("id").alias("neighbor_id"),
-        *[
-            F.array_min(_centroid_dists(_sub(s), books[s]))["j"].alias(f"code{s}")
-            for s in range(n_subspaces)
-        ],
-        F.array_min(cdists)["j"].alias("c"),
+        *[F.col(f"e.code{s}").alias(f"code{s}") for s in range(m)],
+        F.element_at("e.c", 1).alias("c"),
     )
-
-    # per-query ADC table: qt{s}[j+1] = sqdist(query sub-vector s,
-    # codebook[s][j]) — m×k_pq longs riding each query row; one
-    # transform lambda per subspace (see _centroid_dists on compile
-    # cost). NB the lambda must stay single-parameter: a second
-    # parameter would be bound to the ARRAY INDEX by Spark's
-    # higher-order-function protocol.
-    def _qtab_for(s: int):
-        sub = _sub(s)
-        return F.transform(
-            _lit_vecs(books[s]),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    probes = base.select(
+    probes = enc.select(
         F.col("id").alias("query_id"),
-        *[_qtab_for(s).alias(f"qt{s}") for s in range(n_subspaces)],
-        F.explode(F.slice(F.array_sort(cdists), 1, n_probe)).alias("p"),
-    ).select(
-        "query_id",
-        *[f"qt{s}" for s in range(n_subspaces)],
-        F.col("p.j").alias("c"),
+        *[F.col(f"e.qt{s}").alias(f"qt{s}") for s in range(m)],
+        F.explode(F.slice("e.c", 1, n_probe)).alias("c"),
     )
 
     cand = probes.join(members, "c").where(

@@ -117,6 +117,48 @@ def test_lmcd_diverts_near_duplicate_names(spark):
     assert out["e3"]["confidence_score"] == pytest.approx(0.7)
 
 
+def test_lmcd_driver_sees_only_pair_adjacent_names(spark, monkeypatch):
+    """The greedy must collect only names that appear in a >0.9-similar
+    pair — isolated names are keys by definition and stay distributed."""
+    # patch the CLASSIC DataFrame class — pyspark.sql.DataFrame is the
+    # dispatching base in Spark 4 and its collect is overridden there
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    ents = spark.createDataFrame(
+        [
+            ("e1", "International Business Machines"),
+            ("e2", "International Business Machinez"),  # adjacent pair
+            ("e3", "Zebra Holdings"),                   # isolated
+            ("e4", "Quux Industrial Group"),            # isolated
+            ("e5", "Totally Unrelated Concern"),        # isolated
+        ],
+        ["entity_id", "name"],
+    )
+    collected_names: set[str] = set()
+    real_collect = DataFrame.collect
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        for r in rows:
+            d = r.asDict()
+            for k in ("name", "name_a", "name_b"):
+                if d.get(k) is not None:
+                    collected_names.add(d[k])
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    out = _by_id(link_cross_document(ents, strategy="lmcd", confidence_threshold=0.8))
+    assert collected_names == {
+        "International Business Machines",
+        "International Business Machinez",
+    }
+    # isolated names still key their own clusters, computed distributed
+    assert out["e3"]["cluster_id"].startswith("lmcd_cluster_")
+    assert out["e4"]["cluster_id"].startswith("lmcd_cluster_")
+    assert out["e1"]["cluster_id"].startswith("lmcd_cluster_")
+    assert out["e2"]["cluster_id"].startswith("lmcd_singleton_")
+
+
 def test_hybrid_strategy(spark, ents):
     out = _by_id(link_cross_document(ents, strategy="hybrid"))
     # multi-entity names → exact clusters at confidence 1.0

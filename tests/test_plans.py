@@ -81,6 +81,35 @@ def test_triple_rewrite_broadcasts_cluster_map(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_triple_rewrite_shuffle_fallback_above_threshold(spark):
+    # above ``broadcast_rows`` the id→canonical map must NOT be pinned as a
+    # broadcast (a full entity-sized map OOMs executors at scale): the join
+    # falls back to a plain shuffle join, and results stay identical because
+    # identity rows are redundant under the left join's coalesce
+    from graphrag_rs_spark.operators.linking import rewrite_triples
+
+    triples = spark.createDataFrame(
+        [("a", "KNOWS", "b", 0.5, ["c1"]), ("b", "KNOWS", "c", 0.4, ["c2"])],
+        "subj string, pred string, obj string, confidence float, context_chunk_ids array<string>",
+    )
+    clusters = spark.createDataFrame(
+        [("b", "a", "a"), ("a", "a", "a")],
+        ["entity_id", "canonical_id", "cluster_id"],
+    )
+    out = rewrite_triples(triples, clusters, broadcast_rows=0)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" not in plan
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    # b→a: (a,KNOWS,b)→(a,a) self-loop dropped; (b,KNOWS,c)→(a,KNOWS,c) kept
+    assert rows == {("a", "KNOWS", "c")}
+    # sanity on the broadcast path: same inputs, same (empty) result
+    rows_b = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in rewrite_triples(triples, clusters).collect()
+    }
+    assert rows_b == rows
+
+
 def test_map_side_partial_aggregation(spark, parquet_docs):
     # AQE formatted plans don't label WholeStageCodegen spans; the property
     # that matters at scale is the partial (map-side) aggregate before the
