@@ -123,13 +123,8 @@ def module_stem(path_col: Column) -> Column:
     return F.regexp_extract(path_col, r"([^/]+)\.[A-Za-z0-9]+$", 1)
 
 
-def extract_imports(files: DataFrame) -> DataFrame:
-    """(repo, path, lang, content) → one row per distinct imported module.
-
-    Map-only: per-lang ``regexp_extract_all`` concatenated, dedup'd with
-    ``array_distinct`` (a file importing the same module twice is one
-    edge), exploded. Unknown langs produce zero rows.
-    """
+def _imports_arr() -> Column:
+    """Per-file distinct imported-module array (lang-dispatched regexes)."""
     per_lang = {
         lang: F.array_distinct(
             F.concat(*[
@@ -139,21 +134,24 @@ def extract_imports(files: DataFrame) -> DataFrame:
         )
         for lang, pats in IMPORT_PATTERNS.items()
     }
-    arr = _lang_dispatch(per_lang, F.array().cast("array<string>"))
+    return _lang_dispatch(per_lang, F.array().cast("array<string>"))
+
+
+def extract_imports(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → one row per distinct imported module.
+
+    Map-only: per-lang ``regexp_extract_all`` concatenated, dedup'd with
+    ``array_distinct`` (a file importing the same module twice is one
+    edge), exploded. Unknown langs produce zero rows.
+    """
     return (
-        files.select("repo", "path", "lang", arr.alias("_imports"))
+        files.select("repo", "path", "lang", _imports_arr().alias("_imports"))
         .select("repo", "path", "lang", F.explode("_imports").alias("imported"))
     )
 
 
-def extract_defs(files: DataFrame) -> DataFrame:
-    """(repo, path, lang, content) → one row per defined symbol.
-
-    Each (kind, pattern) contributes ``transform(extract_all, s ->
-    struct(kind, s))``; kinds are concatenated and exploded in the same
-    map-only pass.  Duplicate (kind, symbol) pairs within a file collapse
-    (re-defs / overloads are one node).
-    """
+def _defs_arr() -> Column:
+    """Per-file distinct (kind, symbol) struct array (lang-dispatched)."""
     def _tag(kind):
         # single-arg lambda on purpose: a 2-arg lambda would make
         # F.transform pass the array INDEX as the second argument
@@ -170,15 +168,38 @@ def extract_defs(files: DataFrame) -> DataFrame:
         ]
         per_lang[lang] = F.array_distinct(F.concat(*parts))
     empty = F.array().cast("array<struct<kind:string,symbol:string>>")
-    arr = _lang_dispatch(per_lang, empty)
+    return _lang_dispatch(per_lang, empty)
+
+
+def extract_defs(files: DataFrame) -> DataFrame:
+    """(repo, path, lang, content) → one row per defined symbol.
+
+    Each (kind, pattern) contributes ``transform(extract_all, s ->
+    struct(kind, s))``; kinds are concatenated and exploded in the same
+    map-only pass.  Duplicate (kind, symbol) pairs within a file collapse
+    (re-defs / overloads are one node).
+    """
     return (
-        files.select("repo", "path", "lang", arr.alias("_defs"))
+        files.select("repo", "path", "lang", _defs_arr().alias("_defs"))
         .select("repo", "path", "lang", F.explode("_defs").alias("_d"))
         .select(
             "repo", "path", "lang",
             F.col("_d.kind").alias("kind"), F.col("_d.symbol").alias("symbol"),
         )
     )
+
+
+def _calls_raw_arr() -> Column:
+    """Per-file distinct called-symbol array, language keywords removed
+    (own defined symbols NOT yet subtracted)."""
+    raw = F.array_distinct(
+        F.regexp_extract_all(F.col("content"), F.lit(CALL_PATTERN), F.lit(1))
+    )
+    per_lang = {
+        lang: F.array_except(raw, F.array(*[F.lit(k) for k in kws]))
+        for lang, kws in CALL_KEYWORDS.items()
+    }
+    return _lang_dispatch(per_lang, F.array().cast("array<string>"))
 
 
 def extract_calls(files: DataFrame) -> DataFrame:
@@ -190,14 +211,7 @@ def extract_calls(files: DataFrame) -> DataFrame:
     them AND recursive/intra-file calls, which call_edges would discard
     anyway). Unknown langs yield zero rows.
     """
-    raw = F.array_distinct(
-        F.regexp_extract_all(F.col("content"), F.lit(CALL_PATTERN), F.lit(1))
-    )
-    per_lang = {
-        lang: F.array_except(raw, F.array(*[F.lit(k) for k in kws]))
-        for lang, kws in CALL_KEYWORDS.items()
-    }
-    arr = _lang_dispatch(per_lang, F.array().cast("array<string>"))
+    arr = _calls_raw_arr()
     own_defs = extract_defs(files).groupBy("repo", "path").agg(
         F.collect_set("symbol").alias("_own")
     )
@@ -364,24 +378,59 @@ def code_triples(files: DataFrame) -> DataFrame:
     """Unified triple view of the code graph, in the engine's
     (subj, pred, obj) shape: file IMPORTS module, file DEFINES symbol,
     file DEPENDS_ON file.  Subjects/objects are ``repo/path`` ids, so
-    these triples union cleanly with the prose-entity triples."""
+    these triples union cleanly with the prose-entity triples.
+
+    ONE fused content scan: the four union branches previously each
+    re-ran their regex extraction over ``content`` (imports twice, defs
+    three times counting call resolution — six regex passes per action).
+    Here imports/defs/raw-calls are extracted as arrays in a single
+    projection, materialized as a narrow per-file frame (ids + symbol
+    arrays — tiny next to the content it summarizes, so scale-safe), and
+    every branch reads that. Own-def subtraction for calls becomes an
+    in-row array_except instead of a collect_set self-join. Output rows
+    are identical to the unfused per-operator pipelines."""
     fid = lambda r, p: F.concat_ws("/", F.col(r), F.col(p))  # noqa: E731
-    imp = extract_imports(files).select(
+    ext = files.select(
+        "repo", "path", "lang",
+        _imports_arr().alias("_imports"),
+        _defs_arr().alias("_defs"),
+        _calls_raw_arr().alias("_callsraw"),
+    ).localCheckpoint(eager=True)
+
+    imp_rows = ext.select(
+        "repo", "path", "lang", F.explode("_imports").alias("imported")
+    )
+    def_rows = ext.select(
+        "repo", "path", "lang", F.explode("_defs").alias("_d")
+    ).select(
+        "repo", "path", "lang",
+        F.col("_d.kind").alias("kind"), F.col("_d.symbol").alias("symbol"),
+    )
+    call_rows = ext.select(
+        "repo", "path", "lang",
+        F.explode(
+            F.array_except(
+                "_callsraw", F.transform("_defs", lambda d: d["symbol"])
+            )
+        ).alias("called"),
+    )
+
+    imp = imp_rows.select(
         fid("repo", "path").alias("subj"),
         F.lit("IMPORTS").alias("pred"),
         F.col("imported").alias("obj"),
     )
-    dfs = extract_defs(files).select(
+    dfs = def_rows.select(
         fid("repo", "path").alias("subj"),
         F.lit("DEFINES").alias("pred"),
         F.concat_ws(":", "kind", "symbol").alias("obj"),
     )
-    dep = dependency_edges(files).select(
+    dep = dependency_edges(ext, imports=imp_rows).select(
         fid("src_repo", "src_path").alias("subj"),
         F.col("pred"),
         fid("dst_repo", "dst_path").alias("obj"),
     )
-    cal = call_edges(files).select(
+    cal = call_edges(ext, calls=call_rows, defs=def_rows).select(
         fid("repo", "src_path").alias("subj"),
         F.col("pred"),
         fid("repo", "dst_path").alias("obj"),

@@ -219,13 +219,33 @@ def pagerank(
 
 def pagerank_from_triples(triples: DataFrame, **kwargs) -> DataFrame:
     """Undirected PageRank over the triple graph (weight = confidence),
-    matching the reference's undirected projection (core/mod.rs:1054-1073)."""
-    e = triples.select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"),
-        F.col("confidence").cast("double").alias("weight"),
+    matching the reference's undirected projection (core/mod.rs:1054-1073).
+
+    Symmetrization rides ONE explode instead of a self-union: the union
+    form evaluates the whole upstream triple derivation twice per action
+    (Spark shares no non-materialized subtrees), which doubles the cost
+    of every probe/collect when the triples come off an extraction
+    pipeline. Row multiset is identical."""
+    w = F.col("confidence").cast("double")
+    return pagerank(
+        triples.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj").alias("src"),
+                        F.col("obj").alias("dst"),
+                        w.alias("weight"),
+                    ),
+                    F.struct(
+                        F.col("obj").alias("src"),
+                        F.col("subj").alias("dst"),
+                        w.alias("weight"),
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst", "_e.weight"),
+        **kwargs,
     )
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
-    return pagerank(sym, **kwargs)
 
 
 def personalized_pagerank_from_triples(
