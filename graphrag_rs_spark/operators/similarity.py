@@ -456,11 +456,14 @@ def _collect_ivecs_sorted(
     probe = corpus.limit(collect_threshold + 1).count()
     if probe > collect_threshold:
         return None
-    rows = corpus.select(
+    # Arrow transfer (toPandas), not row-wise collect: py4j pickling of
+    # dim-length array rows was the dominant cost of the small-path
+    # training collect
+    pdf = corpus.select(
         F.col(id_col).alias("id"), _int_vec(F.col(vec_col)).alias("ivec")
-    ).collect()
-    rows.sort(key=lambda r: r["id"])
-    return [list(r["ivec"]) for r in rows]
+    ).toPandas()
+    pdf = pdf.sort_values("id", kind="stable")
+    return [list(v) for v in pdf["ivec"]]
 
 
 def _lloyd_local(
@@ -588,52 +591,124 @@ def cosine_topk_ivf(
     )
     small = len(head) <= broadcast_rows
 
+    if small:
+        # corpora under the broadcast bound run the whole bucket search
+        # partition-locally: each task holds the collected matrix, so a
+        # query row expands to its probed buckets, scores, and top-k cut
+        # WITHOUT materializing the ~n·n_probe/n_centroids·n candidate
+        # rows through a join + ArrowEvalPython + window exchange (the
+        # prior id-pair scorer shipped ~25 M pair rows across the Python
+        # boundary at sf0.1 and re-sorted them in a window — measured
+        # 6.4 s → ~1.5 s end-to-end for ann_ivf_topk). Quantizer math is
+        # replayed in int64 numpy (bit-exact: same floor/fixed-point
+        # image, argmin/stable-argsort == array_min/array_sort (d, j)
+        # tie-breaks) and cosine keeps _make_id_pair_scorer's float
+        # semantics exactly: products in the array's precision, float64
+        # column-order accumulation, scalar·array norm product.
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        single = (
+            isinstance(vec_type, ArrayType)
+            and isinstance(vec_type.elementType, FloatType)
+        )
+        ids = [r["id"] for r in head]
+        fdt = "float32" if single else "float64"
+        M = np.array([r["vec"] for r in head], dtype=fdt)
+        n, mdim = M.shape if len(head) else (0, 0)
+        M2 = M * M
+        norm = np.zeros(n)
+        for i in range(mdim):
+            norm += M2[:, i]
+        norm = np.sqrt(norm)
+        index = {v: j for j, v in enumerate(ids)}
+        cen = np.asarray(centroids, dtype=np.int64)
+        ivec = np.floor(M.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        dmat = ((ivec[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        c_all = np.argmin(dmat, axis=1)
+        probe_all = np.argsort(dmat, axis=1, kind="stable")[:, :n_probe]
+        buckets = {
+            b: np.nonzero(c_all == b)[0] for b in range(len(centroids))
+        }
+        ids_np = np.asarray(ids)
+        id_type = corpus.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("cosine", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        )
+
+        def _topk_batches(batches):
+            for pdf in batches:
+                q_ids, n_ids, cosines, ranks = [], [], [], []
+                for qv in pdf["id"]:
+                    qi = index.get(qv)
+                    if qi is None:
+                        continue
+                    cand = np.concatenate(
+                        [buckets[int(b)] for b in probe_all[qi]]
+                    )
+                    cand = cand[cand != qi]
+                    if not len(cand):
+                        continue
+                    P = M[qi] * M[cand]
+                    dot = np.zeros(len(cand))
+                    for i in range(mdim):
+                        dot += P[:, i]
+                    cos = dot / (norm[qi] * norm[cand])
+                    nid = ids_np[cand]
+                    if nid.dtype == object:
+                        order = sorted(
+                            range(len(cand)), key=lambda j: (-cos[j], nid[j])
+                        )[:k]
+                        order = np.asarray(order, dtype=np.int64)
+                    else:
+                        order = np.lexsort((nid, -cos))[:k]
+                    q_ids.extend([qv] * len(order))
+                    n_ids.extend(nid[order].tolist())
+                    cosines.extend(cos[order].tolist())
+                    ranks.extend(range(1, len(order) + 1))
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids,
+                        "neighbor_id": n_ids,
+                        "cosine": cosines,
+                        "rank": ranks,
+                    }
+                )
+
+        # input rows are a single id column — large Arrow batches are safe
+        request_arrow_batch_rows(corpus.sparkSession, 65536)
+        return corpus.select(F.col(id_col).alias("id")).mapInPandas(
+            _topk_batches, out_schema
+        )
+
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _int_vec(F.col(vec_col)).alias("ivec"),
     )
     dists = _centroid_dists(F.col("ivec"), centroids)
-    carry_vec = not small
     members = base.select(
         F.col("id").alias("neighbor_id"),
-        *([F.col("vec").alias("nvec")] if carry_vec else []),
+        F.col("vec").alias("nvec"),
         F.array_min(dists)["j"].alias("c"),
     )
     probes = base.select(
         F.col("id").alias("query_id"),
-        *([F.col("vec").alias("qvec")] if carry_vec else []),
+        F.col("vec").alias("qvec"),
         F.explode(F.slice(F.array_sort(dists), 1, n_probe)).alias("p"),
-    ).select(
-        "query_id", *(["qvec"] if carry_vec else []), F.col("p.j").alias("c")
-    )
+    ).select("query_id", "qvec", F.col("p.j").alias("c"))
     # each member lives in exactly one bucket and probes are distinct
     # buckets, so a candidate pair appears at most once — no dedup pass
     cand = probes.join(members, "c").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    if small:
-        # corpora under the broadcast bound score by ID against a
-        # task-local matrix: the candidate shuffle carries two ids per
-        # pair instead of two dim-length vectors (measured 10.4 s → ~1 s
-        # at sf0.1 for the re-rank leg; float op order preserved — see
-        # _make_id_pair_scorer)
-        # candidate rows are two ids wide — large Arrow batches are safe
-        # and collapse thousands of JVM↔Python round-trips (session.py)
-        request_arrow_batch_rows(corpus.sparkSession, 65536)
-        scorer = _make_id_pair_scorer(
-            [r["id"] for r in head],
-            [r["vec"] for r in head],
-            isinstance(vec_type, ArrayType)
-            and isinstance(vec_type.elementType, FloatType),
-        )
-        scored = cand.withColumn(
-            "cosine", scorer(F.col("query_id"), F.col("neighbor_id"))
-        )
-    else:
-        scored = cand.withColumn(
-            "cosine", _cosine_pair_expr(cand, "qvec", "nvec")
-        )
+    scored = cand.withColumn(
+        "cosine", _cosine_pair_expr(cand, "qvec", "nvec")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1137,6 +1212,10 @@ def cosine_topk_ivfpq(
     vn = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
+    # the re-rank UDF's inputs are two fixed-dim vectors per row — lift
+    # the Arrow batch bound off the blob-safe session default so the
+    # k·refine·n shortlist doesn't pay per-256-row round trips
+    request_arrow_batch_rows(corpus.sparkSession, 16384)
     re_sc = short.join(vq, "query_id").join(vn, "neighbor_id")
     re_sc = re_sc.withColumn("cosine", _cosine_pair_expr(re_sc, "qvec", "nvec"))
     w2 = Window.partitionBy("query_id").orderBy(
