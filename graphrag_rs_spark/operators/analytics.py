@@ -262,12 +262,99 @@ def centrality_scores(edges: DataFrame, *, max_nodes: int = CENTRALITY_MAX_NODES
     )
 
 
+def _sampled_centrality_local(
+    spark, sym_rows, k, seed, max_hops, id_type
+) -> DataFrame:
+    """Driver replay of the distributed k-pivot estimator, bit-identical:
+    same xxhash64 pivot pick (one LocalRelation mini-job — xxhash64 has
+    no Python twin), same (dist, path) lexicographic relaxation with the
+    subtle frontier rule (a same-dist better-path merge updates `best`
+    but does NOT re-enter the frontier — the distributed `improved`
+    filter compares dist only), same betweenness/closeness formulas."""
+    from pyspark.sql.types import StructField, StructType
+
+    adj: dict = {}
+    for r in sym_rows:
+        adj.setdefault(r["src"], []).append((r["dst"], float(r["weight"])))
+    nodes = sorted(adj)
+    n = len(nodes)
+    ndf = spark.createDataFrame(
+        [(v,) for v in nodes], StructType([StructField("src", id_type)])
+    )
+    pivots = [
+        r[0]
+        for r in ndf.orderBy(F.xxhash64("src", F.lit(seed)), F.col("src"))
+        .limit(k)
+        .collect()
+    ]
+    best: dict = {(p, p): (0.0, (p,)) for p in pivots}
+    frontier = dict(best)
+    for _ in range(max_hops):
+        relax: dict = {}
+        for (p, u), (d, path) in frontier.items():
+            for dst, w in adj.get(u, ()):
+                if dst in path:
+                    continue
+                cand = (d + w, path + (dst,))
+                key = (p, dst)
+                cur = relax.get(key)
+                if cur is None or cand < cur:
+                    relax[key] = cand
+        improved: dict = {}
+        for key, cand in relax.items():
+            cur = best.get(key)
+            if cur is None:
+                best[key] = cand
+                improved[key] = cand
+            elif cand < cur:
+                best[key] = cand
+                if cand[0] < cur[0]:
+                    improved[key] = cand
+        if not improved:
+            break
+        frontier = improved
+
+    k_eff = len(pivots)
+    norm = (n - 1) * (n - 2) / 2 if n > 2 else 1.0
+    bet_cnt: dict = {}
+    clo_cnt: dict = {}
+    clo_sum: dict = {}
+    for (p, v), (d, path) in best.items():
+        if v == p:
+            continue
+        for interior in path[1:-1]:
+            bet_cnt[interior] = bet_cnt.get(interior, 0) + 1
+        clo_cnt[v] = clo_cnt.get(v, 0) + 1
+        clo_sum[v] = clo_sum.get(v, 0.0) + d
+    out = []
+    for v in nodes:
+        deg = len(adj[v]) / max(n - 1, 1)
+        bet = (
+            bet_cnt[v] * (float(n) / k_eff) / norm if v in bet_cnt else 0.0
+        )
+        sd = clo_sum.get(v, 0.0)
+        clo = (clo_cnt[v] / sd) if v in clo_cnt and sd > 0 else 0.0
+        out.append((v, float(deg), float(bet), float(clo)))
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("degree", DoubleType()),
+            StructField("betweenness", DoubleType()),
+            StructField("closeness", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def sampled_centrality(
     edges: DataFrame,
     *,
     k: int = 64,
     seed: int = 42,
     max_hops: int = 30,
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """→ (id, degree, betweenness, closeness): the DISTRIBUTED pivot-
     sampled estimator the exact suite's guard points to — k-source
@@ -292,10 +379,21 @@ def sampled_centrality(
     - degree is exact (one distributed aggregation).
 
     Cost: O(k · |V|) state rows, diameter-bounded rounds — linear in the
-    graph, executor-side throughout; no driver collect.
+    graph, executor-side throughout; no driver collect (above the small-
+    graph bound; below it, the identical round recurrence replays
+    driver-side — each distributed round costs ~3 actions of fixed
+    scheduling, ~20 s for a 120-node board graph; parity pinned by
+    tests/test_analytics.py's small-vs-distributed equality).
     """
-    sym = _sym(edges).localCheckpoint(eager=True)
     spark = edges.sparkSession
+    sym_df = _sym(edges)
+    probe_rows = sym_df.limit(collect_threshold + 1).collect()
+    if len(probe_rows) <= collect_threshold:
+        return _sampled_centrality_local(
+            spark, probe_rows, k, seed, max_hops,
+            edges.schema["src"].dataType,
+        )
+    sym = sym_df.localCheckpoint(eager=True)
 
     nodes = sym.select("src").distinct()
     n = nodes.count()
@@ -595,11 +693,12 @@ def hits(
     round re-executes the previous round's plan for every reference;
     same finding as the eigenvector operator).
     """
-    probe = edges.limit(collect_threshold + 1).count()
-    if probe <= collect_threshold:
+    # probe and collect fused into one action
+    probe_rows = edges.select("src", "dst").limit(collect_threshold + 1).collect()
+    if len(probe_rows) <= collect_threshold:
         return _hits_local(
             edges.sparkSession,
-            [(r[0], r[1]) for r in edges.select("src", "dst").collect()],
+            [(r[0], r[1]) for r in probe_rows],
             edges.schema["src"].dataType,
             max_iterations,
         )
@@ -687,13 +786,12 @@ def katz_centrality(
     edge order — the same 6-dp order-robustness argument as
     :func:`_hits_local`.
     """
-    probe = edges.limit(collect_threshold + 1).count()
-    if probe <= collect_threshold:
+    # probe and collect fused into one action
+    probe_rows = edges.select("src", "dst").limit(collect_threshold + 1).collect()
+    if len(probe_rows) <= collect_threshold:
         from pyspark.sql import types as T
 
-        e_rows = sorted(
-            {(r[0], r[1]) for r in edges.select("src", "dst").collect()}
-        )
+        e_rows = sorted({(r[0], r[1]) for r in probe_rows})
         verts_l = sorted({x for ed in e_rows for x in ed})
         xs = {v: float(beta) for v in verts_l}
         for _ in range(max_iterations):
@@ -924,11 +1022,78 @@ def rich_club(edges: DataFrame, *, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFr
     )
 
 
+def _luby_mis_local(spark, edge_rows, seed, n_rounds, id_type) -> DataFrame:
+    """Driver replay of the distributed Luby rounds for small edge lists
+    — identical priorities (sha-60 of seed␟node), identical strict-local-
+    minimum selection and neighbor removal per round, identical statuses.
+    Python tuple compare (p, node) equals Spark's struct compare (UTF-8
+    byte order == code point order), so the output is bit-identical."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    sym = set()
+    for r in edge_rows:
+        s, d = r[0], r[1]
+        sym.add((s, d))
+        sym.add((d, s))
+    adj: dict = {}
+    for s, d in sym:
+        adj.setdefault(s, []).append(d)
+    nodes = sorted(adj)
+    pri = {
+        v: int(
+            hashlib.sha256(f"{seed}\x1f{v}".encode("utf-8")).hexdigest()[:15],
+            16,
+        )
+        for v in nodes
+    }
+    active = set(nodes)
+    out_rows = []
+    for rnd in range(1, n_rounds + 1):
+        selected = []
+        for v in active:
+            m = None
+            for nb in adj[v]:
+                if nb in active:
+                    t = (pri[nb], nb)
+                    if m is None or t < m:
+                        m = t
+            if m is None or (pri[v], v) < m:
+                selected.append(v)
+        removed = set()
+        for v in selected:
+            for nb in adj[v]:
+                if nb in active:
+                    removed.add(nb)
+        for v in selected:
+            out_rows.append((v, "in_mis", rnd))
+        for v in removed:
+            out_rows.append((v, "removed", rnd))
+        active -= set(selected)
+        active -= removed
+        if not active:
+            break
+    for v in active:
+        out_rows.append((v, "active", None))
+    schema = StructType(
+        [
+            StructField("node", id_type or StringType()),
+            StructField("status", StringType()),
+            StructField("round", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
 def luby_mis(
     edges: DataFrame,
     *,
     n_rounds: int = 12,
     seed: str = "mis-v1",
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """Luby's maximal-independent-set rounds (Luby 1986, the canonical
     O(log n)-round parallel MIS) with DETERMINISTIC priorities →
@@ -957,6 +1122,23 @@ def luby_mis(
     from graphrag_rs_spark.operators.sketches import SEP, _h60
 
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if collect_threshold:
+        # the 12-round distributed form costs ~3 actions/round of fixed
+        # scheduling; small graphs replay the identical rounds driver-side
+        # (probe and collect fused into one action; parity pinned by
+        # tests/test_mis_zorder_scd2.py's small-vs-distributed equality)
+        probe_rows = e0.limit(collect_threshold + 1).collect()
+        if len(probe_rows) <= collect_threshold:
+            # restrict to string/ASCII-safe or numeric ids is unnecessary
+            # here: UTF-8 byte order equals code-point order, and the
+            # formatted numeric image matches concat_ws's cast exactly
+            return _luby_mis_local(
+                edges.sparkSession,
+                probe_rows,
+                seed,
+                n_rounds,
+                edges.schema["src"].dataType,
+            )
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

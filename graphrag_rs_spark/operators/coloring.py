@@ -113,9 +113,10 @@ def jones_plassmann_coloring(
 
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if isinstance(edges.schema["src"].dataType, T.StringType):
-        n_edges = e.limit(collect_threshold + 1).count()
-        if n_edges <= collect_threshold:
-            rows = [(r[0], r[1]) for r in e.collect()]
+        # probe and collect fused into one action
+        probe_rows = e.limit(collect_threshold + 1).collect()
+        if len(probe_rows) <= collect_threshold:
+            rows = [(r[0], r[1]) for r in probe_rows]
             if all(
                 v is not None and all(ord(ch) < 128 for ch in v)
                 for rr in rows

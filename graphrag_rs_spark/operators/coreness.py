@@ -99,11 +99,12 @@ def core_decomposition(
     which dominates board-scale graphs whose whole peel is microseconds
     of arithmetic."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    n_edges = e.limit(collect_threshold + 1).count()
-    if n_edges <= collect_threshold:
+    # probe and collect fused into one action
+    probe_rows = e.limit(collect_threshold + 1).collect()
+    if len(probe_rows) <= collect_threshold:
         return _core_decomposition_local(
             edges.sparkSession,
-            [(r[0], r[1]) for r in e.collect()],
+            [(r[0], r[1]) for r in probe_rows],
             edges.schema["src"].dataType,
             max_k,
             max_inner,

@@ -76,11 +76,12 @@ def eigenvector_centrality(
     join + max broadcast + parquet cut of pure scheduling at board
     scale."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    n_edges = e.limit(collect_threshold + 1).count()
-    if n_edges <= collect_threshold:
+    # probe and collect fused into one action
+    probe_rows = e.limit(collect_threshold + 1).collect()
+    if len(probe_rows) <= collect_threshold:
         return _eigenvector_local(
             edges.sparkSession,
-            [(r[0], r[1]) for r in e.collect()],
+            [(r[0], r[1]) for r in probe_rows],
             edges.schema["src"].dataType,
             iterations,
         )

@@ -91,12 +91,15 @@ def greedy_k_center(
         )
         .distinct()
     )
-    n_edges = sym.limit(collect_threshold + 1).count()
+    # probe and collect fused into one action (the separate count re-ran
+    # the edge derivation once more before collecting)
+    sym_rows = sym.limit(collect_threshold + 1).collect()
+    n_edges = len(sym_rows)
     if n_edges == 0:
         return spark.createDataFrame([], out_schema)
     if n_edges <= collect_threshold:
         adj: dict = {}
-        for r in sym.collect():
+        for r in sym_rows:
             adj.setdefault(r["src"], []).append(r["dst"])
         rows = _greedy_local(adj, k)
         return spark.createDataFrame(rows, out_schema)

@@ -78,9 +78,10 @@ def label_propagation(
         id_dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     )
     if numeric_id or isinstance(id_dt, T.StringType):
-        n_edges = e.limit(collect_threshold + 1).count()
-        if n_edges <= collect_threshold:
-            rows = [(r[0], r[1]) for r in e.collect()]
+        # probe and collect fused into one action
+        probe_rows = e.limit(collect_threshold + 1).collect()
+        if len(probe_rows) <= collect_threshold:
+            rows = [(r[0], r[1]) for r in probe_rows]
             ascii_ok = numeric_id or all(
                 v is not None and all(ord(ch) < 128 for ch in v)
                 for rr in rows

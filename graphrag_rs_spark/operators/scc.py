@@ -579,9 +579,10 @@ def transitive_reduction(
     # bound the work product, and an un-bounded closure over a chain-like
     # 500k-edge DAG would build ~V² reach entries in driver dicts)
     local_cap = min(collect_threshold, 5_000)
-    n_edges = e.limit(local_cap + 1).count()
-    if n_edges <= local_cap:
-        rows = [(r[0], r[1]) for r in e.collect()]
+    # probe and collect fused into one action
+    probe_rows = e.limit(local_cap + 1).collect()
+    if len(probe_rows) <= local_cap:
+        rows = [(r[0], r[1]) for r in probe_rows]
         adj: dict = {}
         for u, v in rows:
             adj.setdefault(u, []).append(v)

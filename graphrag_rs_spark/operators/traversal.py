@@ -285,18 +285,24 @@ def _multi_bfs(
     BFS pays ~30 s for microseconds of arithmetic. Path-equality is
     pinned by tests/test_traversal_small_path.py."""
     e = edges.select("src", "dst")
-    n_edges = e.limit(collect_threshold + 1).count()
+    # probe and collect fused (one action each side): limit(T+1).collect()
+    # both answers "is it small?" and already holds the rows — separate
+    # count() probes re-ran the whole edge/source derivation (often a
+    # regex-extraction pipeline) once more per probe
+    e_rows = e.limit(collect_threshold + 1).collect()
+    n_edges = len(e_rows)
     if n_edges <= collect_threshold:
         # probe sources up to the budget the product bound implies —
         # a probe capped at collect_threshold+1 would let an arbitrarily
         # large source table through whenever the edge set is tiny
         src_cap = 5_000_000 // max(1, n_edges) + 1
-        n_src = sources.limit(src_cap + 1).count()
+        src_rows = sources.select("id").limit(src_cap + 1).collect()
+        n_src = len(src_rows)
         if n_src <= src_cap and n_src * max(1, n_edges) <= 5_000_000:
             return _multi_bfs_local(
                 edges.sparkSession,
-                [(r[0], r[1]) for r in e.collect()],
-                [r[0] for r in sources.select("id").collect()],
+                [(r[0], r[1]) for r in e_rows],
+                [r[0] for r in src_rows],
                 edges.schema["src"].dataType,
                 directed,
                 max_iter,
@@ -502,7 +508,9 @@ def weighted_sssp(
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
     e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
-    n_edges = e.limit(collect_threshold + 1).count()
+    # probe and collect fused — see _multi_bfs
+    e_rows = e.limit(collect_threshold + 1).collect()
+    n_edges = len(e_rows)
     if n_edges <= collect_threshold:
         # Python relaxation is O(n_rounds·n_src·E); bound the product so
         # the driver path never exceeds ~1 s of driver arithmetic. The
@@ -510,15 +518,16 @@ def weighted_sssp(
         # capped at the edge threshold would admit an arbitrarily large
         # source table whenever n_edges·n_rounds is small.
         src_cap = 20_000_000 // max(1, n_edges * max(1, n_rounds)) + 1
-        n_src = sources.limit(src_cap + 1).count()
+        src_rows = sources.select("id").limit(src_cap + 1).collect()
+        n_src = len(src_rows)
         if (
             n_src <= src_cap
             and n_src * max(1, n_edges) * max(1, n_rounds) <= 20_000_000
         ):
             return _weighted_sssp_local(
                 edges.sparkSession,
-                [(r[0], r[1], r[2]) for r in e.collect()],
-                [r[0] for r in sources.select("id").collect()],
+                [(r[0], r[1], r[2]) for r in e_rows],
+                [r[0] for r in src_rows],
                 edges.schema["src"].dataType,
                 n_rounds,
                 directed,

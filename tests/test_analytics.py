@@ -136,6 +136,27 @@ def test_sampled_centrality_equals_exact_at_full_k(spark):
         assert est[v]["closeness"] == pytest.approx(exact[v]["closeness"]), v
 
 
+def test_sampled_centrality_small_path_equals_distributed(spark):
+    """The driver small path must replay the distributed rounds
+    bit-identically (same pivots, relaxation tie-breaks and formulas)."""
+    from graphrag_rs_spark.operators.analytics import sampled_centrality
+
+    rows = [("hub", f"s{i}", 1.0) for i in range(8)]
+    rows += [(f"s{i}", f"t{i}", float(1 + i % 3)) for i in range(8)]
+    rows += [(f"t{i}", f"t{(i + 1) % 8}", 2.0) for i in range(8)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    small = sorted(map(tuple, sampled_centrality(edges, k=9, seed=3).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            sampled_centrality(
+                edges, k=9, seed=3, collect_threshold=0
+            ).collect(),
+        )
+    )
+    assert small == dist
+
+
 def test_sampled_centrality_partial_k_tracks_exact(spark):
     """k < n: rankings stay useful — the top-betweenness node of the
     exact suite is in the estimator's top ranks, and closeness errors

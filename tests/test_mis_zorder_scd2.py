@@ -53,6 +53,18 @@ def test_luby_mis_deterministic_across_runs(spark):
     assert not any(s in mis and d in mis for s, d in sym)
 
 
+def test_luby_mis_small_path_equals_distributed(spark):
+    # the driver small path must replay the distributed rounds
+    # bit-identically (same priorities, same per-round statuses)
+    from graphrag_rs_spark.operators.analytics import luby_mis
+
+    rows = [(f"n{i}", f"n{(i * 11 + 5) % 37}") for i in range(70)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    small = sorted(map(tuple, luby_mis(e).collect()))
+    dist = sorted(map(tuple, luby_mis(e, collect_threshold=0).collect()))
+    assert small == dist
+
+
 # ------------------------------------------------------------------ zorder
 def test_zorder_key_known_values_and_ordering(spark):
     from graphrag_rs_spark.operators.layout import zorder_key
