@@ -466,11 +466,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production default caps context lists at 128 for scale
         cfg = PipelineConfig(max_context_chunks=1_000_000)
         t = extract_triples(mentions, chunks, cfg)
-        return t.select(
+        out = t.select(
             "subj", "pred", "obj",
             F.round("confidence", 4).alias("confidence"),
             F.size("context_chunk_ids").alias("n_context"),
         )
+        # eagerly materialized: ~10 downstream graph queries build their
+        # edge lists from this tiny frame and then run multi-action
+        # operators (probes + iterative rounds) — without the checkpoint
+        # each action re-runs the whole extraction pipeline
+        return out.localCheckpoint(eager=True)
 
     q["kg_cooccurrence_triples"] = kg_cooccurrence_triples
 
@@ -3729,7 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = ed.select(
             F.concat_ws("@", "src_repo", "src_path").alias("src"),
             F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
-        )
+        ).localCheckpoint(eager=True)  # probe + BFS read ids, not regexes
         srcs = (
             _code_corpus(spark, sf)
             .withColumn(
@@ -3757,7 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = ed.select(
             F.concat_ws("@", "src_repo", "src_path").alias("src"),
             F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
-        )
+        ).localCheckpoint(eager=True)  # probe + BFS + n-count read ids
         srcs = (
             _code_corpus(spark, sf)
             .withColumn(
@@ -4086,7 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = ed.select(
             F.concat_ws("@", "src_repo", "src_path").alias("src"),
             F.concat_ws("@", "dst_repo", "dst_path").alias("dst"),
-        )
+        ).localCheckpoint(eager=True)  # probe + rounds read ids, not regexes
         return luby_mis(e, n_rounds=12)
 
     q["kg_mis"] = kg_mis

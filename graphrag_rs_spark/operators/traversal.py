@@ -13,6 +13,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bfs_local(
+    spark, edge_rows, src_occurrences, id_type,
+    max_depth, max_paths_per_source,
+) -> DataFrame:
+    """Driver replay of the distributed bfs rounds — identical first-visit
+    depths, identical min-path parent dedupe (Python tuple compare equals
+    Spark's array<string> lexicographic compare under UTF-8), identical
+    (depth, path) truncation order."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    sym = set()
+    for r in edge_rows:
+        s, d = r[0], r[1]
+        sym.add((s, d))
+        sym.add((d, s))
+    adj: dict = {}
+    for s, d in sym:
+        adj.setdefault(s, []).append(d)
+    per_source_rows: dict = {}
+    # depth-0 rows once per source OCCURRENCE (the distributed frontier
+    # keeps duplicate source rows; deeper rows collapse in the groupBy)
+    for s in src_occurrences:
+        per_source_rows.setdefault(s, []).append((0, (s,), s))
+    for s in set(src_occurrences):
+        visited = {s}
+        frontier = {s: (s,)}
+        for depth in range(1, max_depth + 1):
+            nxt: dict = {}
+            for node, path in frontier.items():
+                for nb in adj.get(node, ()):
+                    if nb in visited:
+                        continue
+                    cand = path + (nb,)
+                    cur = nxt.get(nb)
+                    if cur is None or cand < cur:
+                        nxt[nb] = cand
+            if not nxt:
+                break
+            for nb, path in nxt.items():
+                visited.add(nb)
+                per_source_rows[s].append((depth, path, nb))
+            frontier = nxt
+    out_rows = []
+    for s, rows in per_source_rows.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for depth, path, node in rows[:max_paths_per_source]:
+            out_rows.append((s, node, depth, list(path)))
+    schema = StructType(
+        [
+            StructField("source", id_type),
+            StructField("node", id_type),
+            StructField("depth", IntegerType()),
+            StructField("path", ArrayType(id_type)),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
 def bfs(
     edges: DataFrame,
     sources: DataFrame,
@@ -20,6 +80,7 @@ def bfs(
     max_depth: int = 3,
     min_strength: float = 0.5,
     max_paths_per_source: int = 100,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst, weight) + sources(id) →
     (source, node, depth, path: array<string>).
@@ -27,8 +88,28 @@ def bfs(
     Undirected expansion; a node is visited at its FIRST (minimal) depth
     per source. Paths beyond ``max_paths_per_source`` per source are
     truncated deterministically (smallest path array first).
+
+    Small graphs (edge/source product bounded like _multi_bfs) replay the
+    identical rounds driver-side — the distributed form pays ~3 fixed-cost
+    actions per hop; parity pinned by tests/test_traversal_small_path.py.
     """
     e = edges.where(F.col("weight") >= min_strength).select("src", "dst")
+    if collect_threshold:
+        e_rows = e.limit(collect_threshold + 1).collect()
+        n_edges = len(e_rows)
+        if n_edges <= collect_threshold:
+            src_cap = 5_000_000 // max(1, n_edges) + 1
+            src_rows = sources.select("id").limit(src_cap + 1).collect()
+            n_src = len(src_rows)
+            if n_src <= src_cap and n_src * max(1, n_edges) <= 5_000_000:
+                return _bfs_local(
+                    edges.sparkSession,
+                    e_rows,
+                    [r[0] for r in src_rows],
+                    sources.schema["id"].dataType,
+                    max_depth,
+                    max_paths_per_source,
+                )
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

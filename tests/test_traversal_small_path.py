@@ -119,3 +119,27 @@ def test_multi_bfs_empty_sources(spark):
     e = _graph(spark)
     s = _srcs(spark, [])
     assert _rows(_multi_bfs(e, s, directed=False, max_iter=4, op_name="t")) == []
+
+
+def test_bfs_small_path_equals_distributed(spark):
+    # bfs's driver small path must be row-identical to the distributed
+    # rounds: same first-visit depths, min-path parent dedupe and
+    # (depth, path) truncation
+    from graphrag_rs_spark.operators.traversal import bfs
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 0.9), ("a", "c", 0.6),
+            ("c", "d", 0.8), ("d", "e", 0.4),  # below min_strength
+            ("x", "y", 1.0),
+        ],
+        "src string, dst string, weight double",
+    )
+    s = _srcs(spark, ["a", "x"])
+    for kwargs in (
+        {"max_depth": 3, "min_strength": 0.5},
+        {"max_depth": 2, "min_strength": 0.5, "max_paths_per_source": 3},
+    ):
+        small = _rows(bfs(e, s, **kwargs))
+        dist = _rows(bfs(e, s, collect_threshold=0, **kwargs))
+        assert small == dist and small
