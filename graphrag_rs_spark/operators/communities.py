@@ -196,10 +196,13 @@ def modularity_local_moving(
     below is the scale path.
     """
     sym = edges if materialized else edges.localCheckpoint(eager=True)
-    if small_graph_edges and sym.count() <= small_graph_edges:
+    # probe and collect fused into one action (count + collect was two)
+    rows = (
+        sym.limit(small_graph_edges + 1).collect() if small_graph_edges else None
+    )
+    if small_graph_edges and len(rows) <= small_graph_edges:
         from graphrag_rs_spark.kernel.communities import modularity_sequential
 
-        rows = sym.collect()
         labels = modularity_sequential(
             [(r["src"], r["dst"], float(r["weight"])) for r in rows],
             _collect_inner_hashes(sym),

@@ -54,21 +54,37 @@ def relationship_edges(
     rels = _with_rel_ids(triples)
     has_temporal = "valid_from" in rels.columns and "valid_to" in rels.columns
 
-    keyed = None
-    for prefix, col in (("p", "pred"), ("s", "subj"), ("o", "obj")):
-        k = rels.select(
-            "rel_id", F.concat(F.lit(prefix + ":"), F.col(col)).alias("key")
-        )
-        keyed = k if keyed is None else keyed.unionByName(k)
+    # all three key families ride ONE explode (the 3-way union scanned
+    # rels three times per consumer)
+    keyed = rels.select(
+        "rel_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(prefix + ":"), F.col(col))
+                    for prefix, col in (("p", "pred"), ("s", "subj"), ("o", "obj"))
+                ]
+            )
+        ).alias("key"),
+    )
 
     # salt oversized blocks: n_salt = ceil(block/max); pairs form within
-    # (key, salt) only — bounded fan-out, deterministic
+    # (key, salt) only — bounded fan-out, deterministic. Only OVERSIZED
+    # keys need their count (≤ rows/max_block_size of them by
+    # construction — broadcast-safe at any scale, where broadcasting all
+    # distinct keys is not); everyone else gets salt 0 via the coalesce
+    # (ceil(bn/max) == 1 for bn ≤ max, so values are identical to the
+    # previous full-sizes shuffle join).
     sizes = keyed.groupBy("key").agg(F.count("*").alias("bn"))
-    keyed = keyed.join(sizes, "key").withColumn(
+    hot = sizes.where(F.col("bn") > max_block_size)
+    keyed = keyed.join(F.broadcast(hot), "key", "left").withColumn(
         "salt",
         F.pmod(
             F.xxhash64("rel_id"),
-            F.greatest(F.ceil(F.col("bn") / F.lit(max_block_size)), F.lit(1)),
+            F.greatest(
+                F.ceil(F.coalesce(F.col("bn"), F.lit(1)) / F.lit(max_block_size)),
+                F.lit(1),
+            ),
         ),
     )
 
@@ -141,7 +157,8 @@ def cluster_relationships(
     levels: list[DataFrame] = []
     for lvl, res in enumerate(resolutions):
         labels = modularity_local_moving(
-            sym, resolution=res, max_iterations=max_iterations
+            sym, resolution=res, max_iterations=max_iterations,
+            materialized=True,  # sym is checkpointed above — skip the copy
         )
         # isolated relationships (no similarity edges) are their own cluster
         labels = labels.unionByName(
