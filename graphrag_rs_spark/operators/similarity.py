@@ -1155,8 +1155,13 @@ def cosine_topk_ivfpq(
             out[f"qt{s}"] = pd.Series(res_qts[s])
         return pd.DataFrame(out)
 
+    # asNondeterministic: the optimizer otherwise duplicates the encode
+    # UDF below the pushed join-key null filter (two ArrowEvalPython
+    # nodes on the members side — guide §4.4's pattern); the function is
+    # in fact deterministic, the marker only pins a single evaluation
+    encode_once = _encode.asNondeterministic()
     enc = corpus.select(
-        F.col(id_col).alias("id"), _encode(F.col(vec_col)).alias("e")
+        F.col(id_col).alias("id"), encode_once(F.col(vec_col)).alias("e")
     )
     members = enc.select(
         F.col("id").alias("neighbor_id"),
