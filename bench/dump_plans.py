@@ -3,8 +3,10 @@
 Usage:
     python bench/dump_plans.py --tag r06 --suffix before --only ann_pq_topk,...
 
-Writes plans/<tag>/<name>_<suffix>.txt for each query. Pure plan capture —
-no query execution (explain only), so it is cheap and safe to run anytime.
+Writes plans/<tag>/<name>_<suffix>.txt for each query. NB: building a
+query's DataFrame can itself run Spark jobs (several query constructors
+eagerly checkpoint small derived frames), so this is plan capture, not a
+zero-cost operation. --only is required.
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in args.only.split(",") if n]
+    if not names:
+        ap.error("--only is required (comma-separated query names)")
     q = entry.queries()
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

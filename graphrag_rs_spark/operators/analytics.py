@@ -387,12 +387,21 @@ def sampled_centrality(
     """
     spark = edges.sparkSession
     sym_df = _sym(edges)
-    probe_rows = sym_df.limit(collect_threshold + 1).collect()
-    if len(probe_rows) <= collect_threshold:
-        return _sampled_centrality_local(
-            spark, probe_rows, k, seed, max_hops,
-            edges.schema["src"].dataType,
-        )
+    if collect_threshold:
+        probe_rows = sym_df.limit(collect_threshold + 1).collect()
+        n_edges = len(probe_rows)
+        # work bound like the sibling small paths (_multi_bfs 5M,
+        # weighted_sssp 20M): the Python replay is O(k·E·rounds) with
+        # per-(pivot, node) path tuples — an edge count alone would admit
+        # hours of driver arithmetic on a large-but-collectable graph
+        if (
+            n_edges <= collect_threshold
+            and k * max(1, n_edges) * max(1, max_hops) <= 20_000_000
+        ):
+            return _sampled_centrality_local(
+                spark, probe_rows, k, seed, max_hops,
+                edges.schema["src"].dataType,
+            )
     sym = sym_df.localCheckpoint(eager=True)
 
     nodes = sym.select("src").distinct()

@@ -149,26 +149,31 @@ def _lmcd_clusters(entities: DataFrame, confidence_threshold: float) -> DataFram
         .where((F.col("sim") > 0.9) & (F.col("name_a") != F.col("name_b")))
         .select("name_a", "name_b")
     )
-    n_pairs = pairs.limit(LMCD_MAX_NAME_PAIRS + 1).count()
-    if n_pairs > LMCD_MAX_NAME_PAIRS:
-        raise ValueError(
-            f"lmcd: >{LMCD_MAX_NAME_PAIRS} >0.9-similar name pairs - the "
-            "name-level greedy cannot be resolved driver-side; dedupe "
-            "names first (dedup/minhash) or use strategy='fuzzy'"
-        )
     # the driver sees ONLY pair-adjacent names (their first-seen order
     # rides the collected pair rows): a name with no >0.9 neighbor can
     # never be diverted, so it is a key by definition and stays
     # distributed — the previous shape collected EVERY distinct name,
     # which is unbounded at corpus scale while the pair set is guarded.
-    # Driver bound: ≤ 2 × LMCD_MAX_NAME_PAIRS names.
+    # Driver bound: ≤ 2 × LMCD_MAX_NAME_PAIRS names. Guard probe and
+    # collect are ONE action (limit+collect; the inner joins on `names`
+    # preserve pair count exactly, so len() is the pair count).
     fid_a = names.select(
         F.col("name").alias("name_a"), F.col("first_id").alias("fid_a")
     )
     fid_b = names.select(
         F.col("name").alias("name_b"), F.col("first_id").alias("fid_b")
     )
-    pair_rows = pairs.join(fid_a, "name_a").join(fid_b, "name_b").collect()
+    pair_rows = (
+        pairs.join(fid_a, "name_a").join(fid_b, "name_b")
+        .limit(LMCD_MAX_NAME_PAIRS + 1)
+        .collect()
+    )
+    if len(pair_rows) > LMCD_MAX_NAME_PAIRS:
+        raise ValueError(
+            f"lmcd: >{LMCD_MAX_NAME_PAIRS} >0.9-similar name pairs - the "
+            "name-level greedy cannot be resolved driver-side; dedupe "
+            "names first (dedup/minhash) or use strategy='fuzzy'"
+        )
     order: dict[str, str] = {}
     adj: dict[str, list[str]] = {}
     for r in pair_rows:

@@ -589,7 +589,9 @@ def cosine_topk_ivf(
         .limit(broadcast_rows + 1)
         .collect()
     )
-    small = len(head) <= broadcast_rows
+    # empty corpora route to the (trivially empty) distributed plan — the
+    # numpy replay below would index a 0-d matrix
+    small = 0 < len(head) <= broadcast_rows
 
     if small:
         # corpora under the broadcast bound run the whole bucket search
@@ -620,6 +622,12 @@ def cosine_topk_ivf(
         for i in range(mdim):
             norm += M2[:, i]
         norm = np.sqrt(norm)
+        small = bool(np.isfinite(M).all() and (norm > 0.0).all())
+    if small:
+        # degenerate inputs (zero/non-finite vectors → NaN cosines) stay
+        # on the distributed plan: Spark's window ranks NaN as the
+        # largest double while numpy sorts it last — the replay would
+        # diverge from the distributed result exactly there
         index = {v: j for j, v in enumerate(ids)}
         cen = np.asarray(centroids, dtype=np.int64)
         ivec = np.floor(M.astype(np.float64) * 1_000_000.0).astype(np.int64)
@@ -1097,7 +1105,11 @@ def cosine_topk_ivfpq(
         ArrayType, IntegerType, LongType, StructField, StructType,
     )
 
-    request_arrow_batch_rows(corpus.sparkSession, 65536)
+    # dim-length float vectors per input row — the 16384 bound every
+    # other vector-input UDF in this file uses (NB session conf is
+    # last-writer-wins at action time, so this single call also governs
+    # the refine branch's pair-cosine UDF below)
+    request_arrow_batch_rows(corpus.sparkSession, 16384)
     coarse_np = np.asarray(coarse, dtype=np.int64)
     books_np = [np.asarray(b, dtype=np.int64) for b in books]
     m = n_subspaces
@@ -1217,10 +1229,8 @@ def cosine_topk_ivfpq(
     vn = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
-    # the re-rank UDF's inputs are two fixed-dim vectors per row — lift
-    # the Arrow batch bound off the blob-safe session default so the
-    # k·refine·n shortlist doesn't pay per-256-row round trips
-    request_arrow_batch_rows(corpus.sparkSession, 16384)
+    # (Arrow batch bound for the re-rank UDF set once with the encode
+    # UDF's request above — both are vector-width inputs at 16384)
     re_sc = short.join(vq, "query_id").join(vn, "neighbor_id")
     re_sc = re_sc.withColumn("cosine", _cosine_pair_expr(re_sc, "qvec", "nvec"))
     w2 = Window.partitionBy("query_id").orderBy(

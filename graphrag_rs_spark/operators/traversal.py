@@ -101,7 +101,17 @@ def bfs(
             src_cap = 5_000_000 // max(1, n_edges) + 1
             src_rows = sources.select("id").limit(src_cap + 1).collect()
             n_src = len(src_rows)
-            if n_src <= src_cap and n_src * max(1, n_edges) <= 5_000_000:
+            # NULL endpoints/sources keep the distributed plan: the local
+            # replay's Python path-tuple comparisons cannot reproduce
+            # Spark's null ordering inside array<string> mins
+            has_null = any(
+                r[0] is None or r[1] is None for r in e_rows
+            ) or any(r[0] is None for r in src_rows)
+            if (
+                not has_null
+                and n_src <= src_cap
+                and n_src * max(1, n_edges) <= 5_000_000
+            ):
                 return _bfs_local(
                     edges.sparkSession,
                     e_rows,

@@ -492,3 +492,51 @@ def test_acronym_candidates(spark):
         ("UN", "United Nations"),
         # "J" blocked by min_words; "WHAT"/"World" match no initials
     }
+
+
+def test_linking_cc_hub_key_bounded_skew(spark):
+    """North-rule skew validation (r05 VERDICT item 8): a celebrity name
+    shared by thousands of entities must not melt the candidate join or
+    the CC that follows. The hot-block guard drops indiscriminate keys,
+    so pair fan-out stays near-linear and per-partition work (the task-
+    time proxy observable without a listener) stays balanced."""
+    from pyspark.sql import functions as F
+
+    from graphrag_rs_spark.operators.cc import connected_components
+    from graphrag_rs_spark.operators.linking import candidate_pairs, score_pairs
+
+    n, hub = 20_000, 4_000
+    ents = spark.range(n).select(
+        F.concat(F.lit("E"), F.col("id")).alias("entity_id"),
+        F.when(F.col("id") < hub, F.lit("Celebrity Hubperson"))
+        .otherwise(F.concat(F.lit("Unique Name"), F.col("id").cast("string")))
+        .alias("name"),
+        F.lit("PERSON").alias("entity_type"),
+        F.lit(0.9).alias("confidence"),
+    )
+    pairs = candidate_pairs(ents).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    # the celebrity block alone would be ~8M pairs; the guard caps blocks
+    # at 100 members, so total pair fan-out stays near-linear in n
+    assert n_pairs < 20 * n, n_pairs
+
+    by_part = (
+        pairs.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    sizes = sorted(r["count"] for r in by_part)
+    if len(sizes) >= 4 and sizes[len(sizes) // 2] > 0:
+        ratio = sizes[-1] / sizes[len(sizes) // 2]
+        # bounded max/median partition work — no single hot task
+        assert ratio < 10, (ratio, sizes[-5:])
+
+    edges = (
+        score_pairs(pairs)
+        .where(F.col("similarity") >= 0.85)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(
+        edges, vertices=ents.select(F.col("entity_id").alias("id"))
+    )
+    # completes without a straggler explosion and covers every entity
+    assert comp.count() == n

@@ -97,3 +97,27 @@ def test_recall_floor_vs_brute_force(emb):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError):
         train_pq_codebooks(emb, dim=64, n_subspaces=5)
+
+
+def test_ivf_small_path_empty_and_degenerate_inputs(spark):
+    """Review regressions: an empty corpus must return an empty frame (the
+    numpy replay would index a 0-d matrix), and zero vectors (NaN cosines)
+    must route to the distributed plan so NaN ordering matches it."""
+    from graphrag_rs_spark.operators.similarity import cosine_topk_ivf
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk_ivf(
+        empty, dim=4, centroids=[[0, 0, 0, 0], [1, 1, 1, 1]]
+    ).count() == 0
+
+    rows = [
+        (i, [float(i % 3), float((i * 7) % 5), 1.0, 0.5]) for i in range(1, 40)
+    ] + [(0, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, k=3, n_centroids=2, n_probe=2, n_iters=1)
+    small = sorted(map(tuple, cosine_topk_ivf(emb, **kw).collect()), key=str)
+    dist = sorted(
+        map(tuple, cosine_topk_ivf(emb, broadcast_rows=0, **kw).collect()),
+        key=str,
+    )
+    assert small == dist and small

@@ -143,3 +143,18 @@ def test_bfs_small_path_equals_distributed(spark):
         small = _rows(bfs(e, s, **kwargs))
         dist = _rows(bfs(e, s, collect_threshold=0, **kwargs))
         assert small == dist and small
+
+
+def test_bfs_null_endpoint_routes_to_distributed(spark):
+    # a NULL endpoint must not crash the small path — it routes to the
+    # distributed plan and both invocations agree row-for-row
+    from graphrag_rs_spark.operators.traversal import bfs
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", None, 1.0), ("b", "c", 0.9)],
+        "src string, dst string, weight double",
+    )
+    s = spark.createDataFrame([("a",)], "id string")
+    loc = sorted(map(tuple, bfs(e, s).collect()), key=str)
+    dist = sorted(map(tuple, bfs(e, s, collect_threshold=0).collect()), key=str)
+    assert loc == dist and len(loc) == 4
