@@ -24,10 +24,58 @@ from pyspark.sql import functions as F
 from graphrag_rs_spark.iterutil import cut_lineage
 
 
+def _boruvka_local(spark, e_rows, max_rounds, id_type) -> DataFrame:
+    """Driver replay of the distributed Borůvka rounds — identical
+    (weight, a, b, c_dst) struct minima (Python tuple compare), identical
+    min-label contraction (the CC kernel), identical convergence error."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from graphrag_rs_spark.kernel.communities import union_find_components
+
+    e = {(r["src"], r["dst"], r["weight"]) for r in e_rows}
+    sym = list(e) + [(d, s, w) for s, d, w in e]
+    comp = {}
+    for s, d, _w in sym:
+        comp[s] = s
+    chosen: set = set()
+    for _ in range(max_rounds):
+        picks: dict = {}
+        for s, d, w in sym:
+            cs, cd = comp[s], comp[d]
+            if cs == cd:
+                continue
+            a, b = (s, d) if s < d else (d, s)
+            t = (w, a, b, cd)
+            cur = picks.get(cs)
+            if cur is None or t < cur:
+                picks[cs] = t
+        if not picks:
+            break
+        for w, a, b, _cd in picks.values():
+            chosen.add((a, b, w))
+        merged = union_find_components(
+            [(cs, t[3]) for cs, t in picks.items()], []
+        )
+        comp = {v: merged.get(c, c) for v, c in comp.items()}
+    else:
+        raise RuntimeError(
+            f"boruvka_msf did not converge in {max_rounds} rounds"
+        )
+    schema = StructType(
+        [
+            StructField("src", id_type),
+            StructField("dst", id_type),
+            StructField("weight", LongType()),
+        ]
+    )
+    return spark.createDataFrame(sorted(chosen), schema)
+
+
 def boruvka_msf(
     edges: DataFrame,
     *,
     max_rounds: int = 20,
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(src, dst, weight) → the minimum spanning forest
     (src, dst, weight), one row per tree edge, endpoints in the input's
@@ -36,6 +84,11 @@ def boruvka_msf(
     Undirected semantics: each input row is one undirected edge; both
     directions are considered for "outgoing".  Ties are broken by the
     total order (weight, src, dst), making the forest unique.
+
+    Small edge lists replay the identical rounds driver-side (each
+    distributed round costs ~4 actions incl. a CC pass; parity pinned in
+    tests/test_mst.py); NULL endpoints/weights keep the distributed plan
+    (Python tuples cannot mirror Spark's null struct ordering).
     """
     from graphrag_rs_spark.operators.cc import connected_components
 
@@ -46,6 +99,16 @@ def boruvka_msf(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if collect_threshold:
+        e_rows = e.limit(collect_threshold + 1).collect()
+        if len(e_rows) <= collect_threshold and not any(
+            r["src"] is None or r["dst"] is None or r["weight"] is None
+            for r in e_rows
+        ):
+            return _boruvka_local(
+                edges.sparkSession, e_rows, max_rounds,
+                edges.schema["src"].dataType,
+            )
     # canonical undirected id for output / dedupe of per-component picks
     sym = e.unionByName(
         e.select(

@@ -486,6 +486,7 @@ def dag_path_counts(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 200,
+    collect_threshold: int = 500_000,
 ) -> DataFrame:
     """(id, n_paths): distinct source→id path counts in a DAG — the
     build-fanout / provenance-multiplicity measure ("through how many
@@ -510,6 +511,44 @@ def dag_path_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if collect_threshold:
+        # driver small path: the wave loop below costs ~2 fixed-cost
+        # actions per topological layer; small DAGs run the identical DP
+        # locally. Cycle/max_iterations semantics are delegated to
+        # topological_layers (its own guarded path — raises exactly as
+        # the distributed pipeline would), and per-node sums wrap to
+        # signed 64-bit like Spark's non-ANSI long sum, so counts are
+        # bit-identical even at combinatorial overflow. Parity pinned in
+        # tests/test_conductance_paths_dead.py.
+        probe_rows = e.limit(collect_threshold + 1).collect()
+        if len(probe_rows) <= collect_threshold:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            lay = {
+                r["id"]: r["layer"]
+                for r in topological_layers(
+                    e, max_iterations=max_iterations
+                ).collect()
+            }
+            preds: dict = {}
+            for r in probe_rows:
+                preds.setdefault(r["dst"], []).append(r["src"])
+            counts = {v: 1 for v, l in lay.items() if l == 0}
+            for v in sorted(lay, key=lambda x: lay[x]):
+                if lay[v] == 0:
+                    continue
+                s = sum(counts[u] for u in preds.get(v, ()) if u in counts)
+                counts[v] = ((s + 2**63) % 2**64) - 2**63  # Java long wrap
+            id_type = e.schema["src"].dataType
+            schema = StructType(
+                [
+                    StructField("id", id_type),
+                    StructField("n_paths", LongType()),
+                ]
+            )
+            return e.sparkSession.createDataFrame(
+                sorted(counts.items(), key=lambda kv: str(kv[0])), schema
+            )
     layers = topological_layers(e, max_iterations=max_iterations)
     depth_row = layers.agg(F.max("layer").alias("d")).collect()[0]
     depth = depth_row["d"] if depth_row["d"] is not None else 0

@@ -23,12 +23,69 @@ from pyspark.sql import functions as F
 from graphrag_rs_spark.iterutil import cut_lineage
 
 
+def _temporal_reachability_local(
+    spark, edge_rows, src_list, start_time, max_rounds, id_type
+) -> DataFrame:
+    """Driver replay of the distributed rounds — identical (arrival,
+    hops) struct minima (Python tuple compare) and the same
+    non-convergence error after ``max_rounds``."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    adj: dict = {}
+    for r in edge_rows:
+        if r["t"] is None:
+            continue  # the distributed t >= arrival predicate drops NULLs
+        adj.setdefault(r["src"], []).append((r["dst"], int(r["t"])))
+    best: dict = {
+        (s, s): (int(start_time), 0) for s in src_list
+    }
+    frontier = dict(best)
+    for _ in range(max_rounds):
+        relax: dict = {}
+        for (s, u), (arr, hp) in frontier.items():
+            for v, t in adj.get(u, ()):
+                if t >= arr:
+                    cand = (t, hp + 1)
+                    key = (s, v)
+                    cur = relax.get(key)
+                    if cur is None or cand < cur:
+                        relax[key] = cand
+        improved: dict = {}
+        for key, cand in relax.items():
+            cur = best.get(key)
+            if cur is None or cand < cur:
+                best[key] = cand
+                improved[key] = cand
+        if not improved:
+            break
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"temporal_reachability did not converge in {max_rounds} rounds"
+        )
+    schema = StructType(
+        [
+            StructField("source", id_type),
+            StructField("id", id_type),
+            StructField("arrival", LongType()),
+            StructField("hops", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, v, a, h) for (s, v), (a, h) in sorted(best.items(), key=str)],
+        schema,
+    )
+
+
 def temporal_reachability(
     edges: DataFrame,
     sources: DataFrame,
     *,
     start_time: int = 0,
     max_rounds: int = 40,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst, t long) + sources(id) →
     (source, id, arrival long, hops int): the earliest arrival time at
@@ -36,10 +93,35 @@ def temporal_reachability(
     ``start_time``, 0 hops), taking each edge at its timestamp with
     departure ≥ current arrival.  ``hops`` is the hop count of THE
     earliest-arrival path, ties broken toward fewer hops.
+
+    Small inputs (edge/source/round product bounded like weighted_sssp)
+    replay the identical rounds driver-side — the distributed form pays
+    ~3 fixed-cost actions per round; parity pinned in
+    tests/test_temporal_reach.py.
     """
     e = edges.select(
         "src", "dst", F.col("t").cast("long").alias("t")
     ).where(F.col("src") != F.col("dst"))
+    if collect_threshold:
+        e_rows = e.limit(collect_threshold + 1).collect()
+        n_edges = len(e_rows)
+        if n_edges <= collect_threshold:
+            src_cap = 20_000_000 // max(1, n_edges * max(1, max_rounds)) + 1
+            src_rows = sources.select("id").limit(src_cap + 1).collect()
+            n_src = len(src_rows)
+            if (
+                n_src <= src_cap
+                and n_src * max(1, n_edges) * max(1, max_rounds)
+                <= 20_000_000
+            ):
+                return _temporal_reachability_local(
+                    edges.sparkSession,
+                    e_rows,
+                    [r[0] for r in src_rows],
+                    start_time,
+                    max_rounds,
+                    sources.schema["id"].dataType,
+                )
     best = sources.select(
         F.col("id").alias("source"),
         F.col("id").alias("id"),

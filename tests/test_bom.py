@@ -52,3 +52,22 @@ def test_bom_cycle_raises(spark):
     costs = spark.createDataFrame([("a", 1), ("b", 1)], "id string, cost int")
     with pytest.raises(RuntimeError, match="converge"):
         bom_rollup(edges, costs, max_depth=5)
+
+
+def test_bom_small_path_equals_distributed(spark):
+    """The driver small path must replay the value iteration
+    bit-identically (same wrap arithmetic, same rows)."""
+    from graphrag_rs_spark.operators.bom import bom_rollup
+
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "d", 3), ("c", "d", 1),
+         ("x", "y", 5)],
+        "parent string, child string, qty int",
+    )
+    costs = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("c", 7), ("d", 2), ("y", 4)],
+        "id string, cost int",
+    )
+    small = sorted(map(tuple, bom_rollup(e, costs).collect()))
+    dist = sorted(map(tuple, bom_rollup(e, costs, collect_threshold=0).collect()))
+    assert small == dist and small

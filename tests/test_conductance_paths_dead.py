@@ -151,3 +151,15 @@ class TestDeadExports:
         )
         dead = dead_exports(files).collect()
         assert dead == []
+
+
+def test_dag_path_counts_small_path_equals_distributed(spark):
+    """The driver small path must replay the wave DP bit-identically
+    (same layers, same summed counts)."""
+    pairs = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+    pairs += [(f"n{i}", f"n{i + 2}") for i in range(7)]
+    pairs += [("r0", "n0"), ("r1", "n0")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    small = sorted(map(tuple, dag_path_counts(e).collect()))
+    dist = sorted(map(tuple, dag_path_counts(e, collect_threshold=0).collect()))
+    assert small == dist and small

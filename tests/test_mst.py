@@ -101,3 +101,17 @@ def test_nonconvergence_raises(spark):
             _edges(spark, [("a", "b", 1), ("b", "c", 2), ("c", "d", 3)]),
             max_rounds=1,
         )
+
+
+def test_boruvka_small_path_equals_distributed(spark):
+    """The driver small path must replay the Borůvka rounds
+    bit-identically (same picks, ties and contraction labels)."""
+    from graphrag_rs_spark.operators.mst import boruvka_msf
+
+    rows = [("a", "b", 4), ("b", "c", 1), ("a", "c", 4), ("c", "d", 7),
+            ("d", "e", 2), ("b", "e", 9), ("x", "y", 3), ("y", "z", 3),
+            ("x", "z", 3)]
+    e = spark.createDataFrame(rows, "src string, dst string, weight long")
+    small = sorted(map(tuple, boruvka_msf(e).collect()))
+    dist = sorted(map(tuple, boruvka_msf(e, collect_threshold=0).collect()))
+    assert small == dist and small

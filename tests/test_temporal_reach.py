@@ -70,3 +70,18 @@ def test_nonconvergence_raises(spark):
             ["a"],
             max_rounds=1,
         )
+
+
+def test_temporal_reach_small_path_equals_distributed(spark):
+    """The driver small path must replay the distributed rounds
+    bit-identically (same (arrival, hops) minima and tie-breaks)."""
+    from graphrag_rs_spark.operators.temporal_reach import temporal_reachability
+
+    rows = [("a", "b", 3), ("b", "c", 5), ("a", "c", 9), ("c", "d", 6),
+            ("a", "d", 1), ("d", "b", 2), ("x", "y", 4)]
+    e = spark.createDataFrame(rows, "src string, dst string, t long")
+    s = spark.createDataFrame([("a",), ("x",)], "id string")
+    small = sorted(map(tuple, temporal_reachability(e, s, start_time=0).collect()))
+    dist = sorted(map(tuple, temporal_reachability(
+        e, s, start_time=0, collect_threshold=0).collect()))
+    assert small == dist and small
