@@ -390,38 +390,74 @@ def ngram_jaccard_pairs(
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
         "id", _shingles(F.col(text_col), shingle_size).alias("sh")
     ).where(F.size("sh") > 0)
-    # read by the explode and twice by the verify join; DISK_ONLY for the
+    # read by the explode and the per-doc profile; DISK_ONLY for the
     # same heap-safety reason as the minhash base above
     base = base.persist(StorageLevel.DISK_ONLY)
-    exploded = base.select("id", F.explode("sh").alias("g"))
-    hot = exploded.groupBy("g").count().where(F.col("count") > max_block_size).select("g")
-    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
-
-    # ids-only through the blocking join (same rework as minhash: the
-    # shingle arrays would otherwise be shuffled once per shared shingle)
-    a = pruned.select("g", F.col("id").alias("id_a"))
-    b = pruned.select("g", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    jac = _shingle_overlap(base, max_block_size).select(
+        "id_a", "id_b",
+        (F.col("inter") / F.col("union")).alias("jaccard"),
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
-    out = (
-        verified.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    out = jac.where(F.col("jaccard") >= threshold)
     # eager-materialize the small pair set, then release the shingle cache
     # (see minhash_lsh_duplicates — same repeated-invocation leak)
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def _shingle_overlap(base: DataFrame, max_block_size: int) -> DataFrame:
+    """(id, sh: distinct shingle set) → (id_a, id_b, inter, union) doubles
+    for every pair sharing ≥ 1 non-hot shingle.
+
+    Overlap counts come from the postings join itself: ``sh`` is distinct
+    per doc, so the join on a shingle yields exactly one row per shared
+    shingle and |A∩B| is a partial-aggregated COUNT — the pair shuffle
+    carries two ids and a long instead of the two full shingle arrays the
+    old verify join shipped (and re-shuffled through a dropDuplicates).
+    Hot shingles (> max_block_size docs) stay out of the blocking join
+    (the skew guard), but still count toward the overlap: each doc keeps
+    its (rare) hot shingles as a small side array and the pair join adds
+    |hotA ∩ hotB|. |A∪B| = |A| + |B| − |A∩B| (sets). All counts are the
+    same integers the old array_intersect/array_union produced, so every
+    downstream ratio is bit-identical."""
+    exploded = base.select("id", F.explode("sh").alias("g"))
+    hot = exploded.groupBy("g").count().where(F.col("count") > max_block_size).select("g")
+    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
+
+    a = pruned.select("g", F.col("id").alias("id_a"))
+    b = pruned.select("g", F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    hot_doc = exploded.join(F.broadcast(hot), "g").groupBy("id").agg(
+        F.collect_set("g").alias("hsh")
+    )
+    prof = base.select("id", F.size("sh").alias("n")).join(hot_doc, "id", "left")
+    pa = prof.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("hsh").alias("hsh_a")
+    )
+    pb = prof.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("hsh").alias("hsh_b")
+    )
+    hot_inter = F.when(
+        F.col("hsh_a").isNotNull() & F.col("hsh_b").isNotNull(),
+        F.size(F.array_intersect("hsh_a", "hsh_b")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    inter = F.col("n_shared") + hot_inter
+    return (
+        shared.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a", "id_b",
+            inter.cast("double").alias("inter"),
+            (F.col("n_a") + F.col("n_b") - inter).cast("double").alias("union"),
+            F.col("n_a").cast("double").alias("n_a"),
+            F.col("n_b").cast("double").alias("n_b"),
+        )
+    )
 
 
 def select_representatives(
@@ -643,8 +679,8 @@ def ngram_containment_pairs(
     containment_ab = 1.0 — the quote/subset/boilerplate-inclusion case
     (Broder's containment, the C of shingling's (r, C) pair).  Same
     scale shape as ngram_jaccard_pairs: shared-shingle blocking with
-    the hot-shingle skew guard, ids-only candidate join, exact verify
-    on the two shingle arrays.
+    the hot-shingle skew guard, ids-only candidate join, exact overlap
+    counts aggregated from the postings join (_shingle_overlap).
     """
     base = _spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
@@ -652,33 +688,13 @@ def ngram_containment_pairs(
         "id", _shingles(F.col(text_col), shingle_size).alias("sh")
     ).where(F.size("sh") > 0)
     base = base.persist(StorageLevel.DISK_ONLY)
-    exploded = base.select("id", F.explode("sh").alias("g"))
-    hot = (
-        exploded.groupBy("g").count()
-        .where(F.col("count") > max_block_size)
-        .select("g")
-    )
-    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
-    a = pruned.select("g", F.col("id").alias("id_a"))
-    b = pruned.select("g", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     out = (
-        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        _shingle_overlap(base, max_block_size)
         .select(
             "id_a", "id_b",
-            (inter / F.size("sh_a").cast("double")).alias("containment_ab"),
-            (inter / F.size("sh_b").cast("double")).alias("containment_ba"),
-            (
-                inter
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-            ).alias("jaccard"),
+            (F.col("inter") / F.col("n_a")).alias("containment_ab"),
+            (F.col("inter") / F.col("n_b")).alias("containment_ba"),
+            (F.col("inter") / F.col("union")).alias("jaccard"),
         )
         .where(
             F.greatest("containment_ab", "containment_ba") >= threshold

@@ -665,3 +665,52 @@ def test_ngram_containment_pairs(spark):
     assert c_ab == 1.0      # the small doc is fully contained
     assert c_ba < 1.0       # the container is not contained in the small
     assert jac < 0.9        # jaccard alone would have missed this pair
+
+
+def test_shingle_overlap_hot_leg_matches_array_verify(spark):
+    """_shingle_overlap counts hot shingles through the per-doc side
+    array (they are pruned from the blocking join by the skew guard);
+    values must equal the old full-array intersect/union verify for
+    pairs that share at least one NON-hot shingle."""
+    from graphrag_rs_spark.operators.dedup import (
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+
+    # shingle "h1 h2 h3" appears in all 4 docs -> hot at max_block_size=2;
+    # the run "a{i+1} b{i+1} c{i+1}" is a non-hot shingle shared by docs
+    # i and i+1 only, so consecutive docs are candidates
+    texts = [
+        f"h1 h2 h3 a{i} b{i} c{i} a{i + 1} b{i + 1} c{i + 1}"
+        for i in range(4)
+    ]
+    df = _docs(spark, texts)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.0, max_block_size=2
+        ).collect()
+    }
+    assert got, "fixture must produce pairs through non-hot shingles"
+
+    # brute-force the OLD algebra: candidate pairs share >=1 non-hot
+    # shingle; values from full distinct-set intersection/union
+    sh = {
+        r["id"]: set(r["sh"])
+        for r in df.select(
+            F.col("doc_id").alias("id"), _shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    from collections import Counter
+
+    freq = Counter(g for s in sh.values() for g in s)
+    hot = {g for g, n in freq.items() if n > 2}
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = sh[a] & sh[b]
+            if not (inter - hot):
+                continue  # blocked only by hot shingles -> no candidate
+            expect[(a, b)] = len(inter) / len(sh[a] | sh[b])
+    assert got == expect  # exact float equality: same integer ratios
