@@ -146,8 +146,22 @@ def cluster_relationships(
     one row per relationship per hierarchy level (level 0 = finest,
     resolution order per HierarchicalClusterer :211)."""
     e = relationship_edges(triples, max_block_size=max_block_size)
+    # symmetrize with ONE explode instead of a self-union — the union
+    # evaluated the whole salted pair-join pipeline twice in this single
+    # action (same fix as pagerank_from_triples; identical row multiset)
     sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p"),
+            "weight",
+        )
+        .select("p.src", "p.dst", "weight")
         .groupBy("src", "dst")
         .agg(F.max("weight").alias("weight"))
         .localCheckpoint(eager=True)
