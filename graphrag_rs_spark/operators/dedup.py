@@ -422,7 +422,10 @@ def _shingle_overlap(base: DataFrame, max_block_size: int) -> DataFrame:
     downstream ratio is bit-identical."""
     exploded = base.select("id", F.explode("sh").alias("g"))
     hot = exploded.groupBy("g").count().where(F.col("count") > max_block_size).select("g")
-    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
+    marked = exploded.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(1))), "g", "left"
+    )
+    pruned = marked.where(F.col("_hot").isNull()).select("id", "g")
 
     a = pruned.select("g", F.col("id").alias("id_a"))
     b = pruned.select("g", F.col("id").alias("id_b"))
@@ -432,20 +435,20 @@ def _shingle_overlap(base: DataFrame, max_block_size: int) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    hot_doc = exploded.join(F.broadcast(hot), "g").groupBy("id").agg(
-        F.collect_set("g").alias("hsh")
+    # per-doc profile in ONE pass over the marked postings: count(*) is
+    # |A| (sh is distinct) and the conditional collect_list keeps just
+    # the (rare) hot shingles — collect_list drops the nulls
+    prof = marked.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.collect_list(F.when(F.col("_hot") == 1, F.col("g"))).alias("hsh"),
     )
-    prof = base.select("id", F.size("sh").alias("n")).join(hot_doc, "id", "left")
     pa = prof.select(
         F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("hsh").alias("hsh_a")
     )
     pb = prof.select(
         F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("hsh").alias("hsh_b")
     )
-    hot_inter = F.when(
-        F.col("hsh_a").isNotNull() & F.col("hsh_b").isNotNull(),
-        F.size(F.array_intersect("hsh_a", "hsh_b")).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+    hot_inter = F.size(F.array_intersect("hsh_a", "hsh_b")).cast("long")
     inter = F.col("n_shared") + hot_inter
     return (
         shared.join(pa, "id_a")
