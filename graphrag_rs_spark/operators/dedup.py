@@ -361,16 +361,20 @@ def simhash_duplicates(
 
     a = blocks.select("block", "key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = blocks.select("block", "key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # verify BEFORE the pair dedup: hamming is a function of the pair, so
+    # every duplicate of a pair passes or fails together and the distinct
+    # set is unchanged — but the dedup Exchange now carries only the
+    # passing pairs (ids + a small int) instead of every block collision
+    # with both 8-byte sigs (measured 232k candidate rows -> 1.1k at
+    # sf0.1 for max_hamming=3)
+    return (
         a.join(b, ["block", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
