@@ -42,3 +42,26 @@ def cut_lineage(df: DataFrame, tag: str = "iter") -> DataFrame:
     )
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def both_dirs(e: DataFrame, *extra: str) -> DataFrame:
+    """(src, dst, *extra) → both edge directions from ONE evaluation of
+    the upstream.
+
+    ``e.union(e.reversed)`` re-plans the whole upstream pipeline in both
+    union branches of a single action; exchange reuse recovers only the
+    suffix that happens to end in an identical Exchange. The explode
+    emits the identical row multiset from one scan, so every downstream
+    ``distinct``/``groupBy`` result is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("p"),
+        *extra,
+    ).select("p.src", "p.dst", *extra)

@@ -39,12 +39,15 @@ from pyspark.sql import functions as F
 from graphrag_rs_spark.iterutil import cut_lineage
 
 
+from graphrag_rs_spark.iterutil import both_dirs as _both_dirs
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight")).where(
         F.col("src") != F.col("dst")
     )
     return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        _both_dirs(e, "weight")
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
     )
@@ -532,9 +535,7 @@ def _sym_unweighted(edges: DataFrame) -> DataFrame:
     """Distinct symmetric (src, dst) pairs, self-loops dropped. Accepts
     edge frames with or without a weight column."""
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    return e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    return _both_dirs(e).distinct()
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -898,9 +899,7 @@ def _triangles_once(canon: DataFrame) -> DataFrame:
     """canon(a, b) with a < b, distinct, no self-loops → one row (u, v, w)
     per triangle, via the same degree-ordered orientation as
     triangle_counts (out-degree bounded by O(√m), no hub knob needed)."""
-    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    sym = _both_dirs(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
     with_keys = (
         sym.join(deg.select(F.col("id").alias("src"), F.col("_deg").alias("_ks")), "src")
@@ -1148,10 +1147,7 @@ def luby_mis(
                 n_rounds,
                 edges.schema["src"].dataType,
             )
-    sym = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
+    sym = _both_dirs(e0).distinct()
     pri = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1240,11 +1236,7 @@ def wl_labels(
     from graphrag_rs_spark.operators.sketches import SEP, _h60
 
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _both_dirs(e0).distinct().localCheckpoint(eager=True)
     if init_label != "deg":
         raise ValueError("only init_label='deg' is defined")
     labels = (

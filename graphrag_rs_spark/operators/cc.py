@@ -140,10 +140,12 @@ def connected_components(
             out = out.localCheckpoint(eager=True)
         return out
 
-    # undirected: both directions (distributed supersteps only)
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    # undirected: both directions (distributed supersteps only) — one
+    # explode instead of a self-union so the upstream edge derivation is
+    # evaluated once in this action (identical row multiset)
+    from graphrag_rs_spark.iterutil import both_dirs
+
+    sym = both_dirs(e).distinct().localCheckpoint(eager=True)
 
     for it in range(max_iterations):
         # neighbor minimum: join labels onto edge sources, aggregate at dst

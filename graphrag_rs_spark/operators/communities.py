@@ -58,8 +58,12 @@ def triples_to_edges(triples: DataFrame) -> DataFrame:
         F.col("obj").alias("dst"),
         F.col("confidence").cast("double").alias("weight"),
     ).where(F.col("src") != F.col("dst"))
+    # both directions from ONE evaluation of the upstream (a self-union
+    # scans the triples pipeline twice per action; identical row multiset)
+    from graphrag_rs_spark.iterutil import both_dirs
+
     return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        both_dirs(e, "weight")
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
     )

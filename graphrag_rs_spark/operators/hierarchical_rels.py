@@ -149,19 +149,10 @@ def cluster_relationships(
     # symmetrize with ONE explode instead of a self-union — the union
     # evaluated the whole salted pair-join pipeline twice in this single
     # action (same fix as pagerank_from_triples; identical row multiset)
+    from graphrag_rs_spark.iterutil import both_dirs
+
     sym = (
-        e.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    ),
-                )
-            ).alias("p"),
-            "weight",
-        )
-        .select("p.src", "p.dst", "weight")
+        both_dirs(e, "weight")
         .groupBy("src", "dst")
         .agg(F.max("weight").alias("weight"))
         .localCheckpoint(eager=True)

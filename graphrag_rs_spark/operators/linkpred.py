@@ -49,11 +49,11 @@ def link_prediction_scores(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # one explode instead of a self-union: the upstream edge derivation
+    # is evaluated once in this action (identical row multiset)
+    from graphrag_rs_spark.iterutil import both_dirs
+
+    sym = both_dirs(e).distinct().localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("degree")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphrag_rs_spark.iterutil import cut_lineage
+from graphrag_rs_spark.iterutil import both_dirs, cut_lineage
 
 
 def _label_propagation_local(
@@ -91,11 +91,7 @@ def label_propagation(
                 return _label_propagation_local(
                     edges.sparkSession, rows, id_dt, n_rounds
                 )
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = both_dirs(e).distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -185,11 +181,7 @@ def seeded_label_propagation(
     lineage cut per round.
     """
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = (
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = both_dirs(e0).distinct().localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
 
     labeled = seeds.select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphrag_rs_spark.iterutil import both_dirs
+
 
 def _bfs_local(
     spark, edge_rows, src_occurrences, id_type,
@@ -120,11 +122,7 @@ def bfs(
                     max_depth,
                     max_paths_per_source,
                 )
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = both_dirs(e).distinct().localCheckpoint(eager=True)
 
     frontier = sources.select(
         F.col("id").alias("source"),
@@ -230,11 +228,7 @@ def find_all_paths(
     max_depth (default 3) bounds the frontier like the reference.
     """
     e = edges.where(F.col("weight") >= min_strength).select("src", "dst")
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = both_dirs(e).distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
     frontier = spark.createDataFrame(
         [([source],)], "path array<string>"
@@ -400,7 +394,7 @@ def _multi_bfs(
                 op_name,
             )
     if not directed:
-        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = both_dirs(e)
     e = e.distinct().localCheckpoint(eager=True)
 
     frontier = sources.select(
