@@ -362,12 +362,18 @@ def cosine_topk_lsh(
 
     a = buckets.select("table", "bucket", F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
     b = buckets.select("table", "bucket", F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"))
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+    cand = a.join(b, ["table", "bucket"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # score BEFORE the pair dedup: cosine is a function of the pair, so
+    # every multi-table copy scores identically and the distinct set is
+    # unchanged — the dedup Exchange then carries (ids, cosine) instead
+    # of both dim-length vectors
+    scored = (
+        cand.withColumn("cosine", _cosine_pair_expr(cand, "qvec", "nvec"))
+        .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", _cosine_pair_expr(cand, "qvec", "nvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
