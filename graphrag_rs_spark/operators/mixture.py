@@ -501,9 +501,13 @@ def ngram_novelty(
     stopping collection; per-source novelty ranks sources by marginal
     value.
 
-    Shape: one explode of per-doc distinct grams, one groupBy gram for
-    min(doc_id), one join back, one per-doc count — two shuffles, both
-    on bounded keys (hot grams are min-agg'd, never grouped wide).
+    Shape: one explode of per-doc distinct grams, one window-min over
+    the gram for first_doc, one per-doc count — two shuffles, ONE scan
+    of the corpus. (The previous groupBy-gram + join-back formulation
+    evaluated the tokenize/explode subtree twice per action — no
+    reusable Exchange between the two branches — and its join side
+    already gathered every posting of a gram into one partition, so the
+    window has the identical skew profile with one scan fewer.)
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
@@ -512,9 +516,9 @@ def ngram_novelty(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(ngrams_col(toks, n)).alias("grams"),
     ).select("doc_id", F.explode("grams").alias("g"))
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    wg = Window.partitionBy("g")
     per_doc = (
-        grams.join(first, "g")
+        grams.withColumn("first_doc", F.min("doc_id").over(wg))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
