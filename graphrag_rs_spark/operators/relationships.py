@@ -314,9 +314,12 @@ def pmi_edges(
     against per-entity document frequencies; N rides along as a 1-row
     broadcast aggregate, so there is no driver action.
     """
+    # materialize the (doc, entity) membership once: the N aggregate,
+    # the per-entity frequencies and both pairing sides otherwise re-run
+    # the upstream mention derivation once each (4 evaluations per call)
     m = doc_entity.select(
         F.col(doc_col).alias("doc"), F.col(entity_col).alias("eid")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nd = m.agg(F.count_distinct("doc").cast("double").alias("_n"))
     df_e = m.groupBy("eid").agg(F.count("*").cast("double").alias("df"))
     a = m.select("doc", F.col("eid").alias("subj"))
