@@ -151,11 +151,77 @@ def lpa_round_ctes(
     return ",\n".join(parts)
 
 
+def _seeded_local(
+    spark, edge_rows: list, seed_rows: list, id_type, label_type, n_rounds: int
+):
+    """Driver-exact replica of the seeded freeze-once rounds; returns
+    None (→ caller falls back to the distributed plan) on shapes the
+    dict cannot mirror: NULL seed ids/labels, duplicate seed ids (their
+    rows multiply both the vote count and the output join), or
+    non-ASCII strings (the tie-break and output sort compare strings —
+    the JP-coloring ordering-guard class)."""
+    from pyspark.sql import types as T
+
+    def _ascii_ok(v):
+        return not isinstance(v, str) or all(ord(ch) < 128 for ch in v)
+
+    seeds_map: dict = {}
+    for i, l in seed_rows:
+        if i is None or l is None or i in seeds_map:
+            return None
+        if not (_ascii_ok(i) and _ascii_ok(l)):
+            return None
+        seeds_map[i] = l
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in edge_rows:
+        if not (_ascii_ok(s) and _ascii_ok(d)):
+            return None
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        nodes.add(s)
+        nodes.add(d)
+
+    labeled = {i: (l, 0) for i, l in seeds_map.items()}
+    frontier = dict(seeds_map)
+    for rnd in range(1, n_rounds + 1):
+        votes: dict = {}
+        for fnode, flabel in frontier.items():
+            for nbr in adj.get(fnode, ()):
+                if nbr in labeled:
+                    continue
+                counts = votes.setdefault(nbr, {})
+                counts[flabel] = counts.get(flabel, 0) + 1
+        if not votes:
+            break
+        adopted = {
+            node: min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for node, counts in votes.items()
+        }
+        for node, lab in adopted.items():
+            labeled[node] = (lab, rnd)
+        frontier = adopted
+
+    rows = [
+        (v, labeled[v][0], labeled[v][1]) if v in labeled else (v, None, None)
+        for v in sorted(nodes)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type),
+            T.StructField("label", label_type),
+            T.StructField("round", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def seeded_label_propagation(
     edges: DataFrame,
     seeds: DataFrame,
     *,
     n_rounds: int = 5,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Semi-supervised label spreading (the seeded LPA of Zhu &
     Ghahramani 2002's hard-clamp family): propagate KNOWN labels from
@@ -178,9 +244,43 @@ def seeded_label_propagation(
     Scale shape per round: one equi-join of the last frontier against
     the edge list, one partial-agg count per (node, label), one
     max_by-style min(struct) to pick the winner — ids and counts only,
-    lineage cut per round.
+    lineage cut per round. Below ``collect_threshold`` directed edges
+    (and seeds) with order-safe ids/labels the identical rounds run on
+    the driver (each distributed round is several fixed-cost jobs of
+    pure scheduling at board scale); NULL/duplicate seeds and
+    non-ASCII strings route to the distributed plan.
     """
+    from pyspark.sql import types as T
+
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    id_dt = edges.schema["src"].dataType
+    label_dt = seeds.schema["label"].dataType
+    _num = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if (
+        collect_threshold
+        and isinstance(id_dt, _num + (T.StringType,))
+        and isinstance(label_dt, _num + (T.StringType,))
+    ):
+        # probe and collect fused into one action (sibling pattern)
+        probe_rows = e0.distinct().limit(collect_threshold + 1).collect()
+        if (
+            len(probe_rows) <= collect_threshold
+            and n_rounds * max(len(probe_rows), 1) <= 20_000_000
+        ):
+            seed_rows = seeds.select("id", "label").limit(
+                collect_threshold + 1
+            ).collect()
+            if len(seed_rows) <= collect_threshold:
+                local = _seeded_local(
+                    edges.sparkSession,
+                    [(r[0], r[1]) for r in probe_rows],
+                    [(r[0], r[1]) for r in seed_rows],
+                    id_dt,
+                    label_dt,
+                    n_rounds,
+                )
+                if local is not None:
+                    return local
     sym = both_dirs(e0).distinct().localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
 

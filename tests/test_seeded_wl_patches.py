@@ -56,6 +56,48 @@ def test_seeded_lpa_seeds_stay_clamped(spark):
     assert out["a"] == ("X", 0) and out["b"] == ("Y", 0)
 
 
+def test_seeded_lpa_small_path_equals_distributed(spark):
+    from graphrag_rs_spark.operators.lpa import seeded_label_propagation
+
+    # multi-seed graph with competition, ties, an unreached island and
+    # an off-graph seed — every semantic corner the replay must mirror
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(40)]
+    pairs += [("n1", "m1"), ("m1", "m2"), ("iso1", "iso2")]
+    e = _edges(spark, [p for p in pairs if p[0] != p[1]])
+    seeds = _seeds(spark, [("n0", "B"), ("n13", "A"), ("m2", "A"),
+                           ("ghost", "Z")])
+    small = {(r["node"], r["label"], r["round"])
+             for r in seeded_label_propagation(e, seeds, n_rounds=4).collect()}
+    dist = {(r["node"], r["label"], r["round"])
+            for r in seeded_label_propagation(
+                e, seeds, n_rounds=4, collect_threshold=0).collect()}
+    assert small == dist
+
+
+def test_seeded_lpa_null_and_duplicate_seeds_route_distributed(spark):
+    from graphrag_rs_spark.operators.lpa import seeded_label_propagation
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    # duplicate seed id: rows multiply votes and the output join — the
+    # driver dict cannot mirror that, so both paths must agree (i.e. the
+    # guard must fall back to the distributed plan)
+    dup = spark.createDataFrame([("a", "X"), ("a", "Y")], "id string, label string")
+    small = sorted((r["node"], r["label"], r["round"])
+                   for r in seeded_label_propagation(e, dup, n_rounds=2).collect())
+    dist = sorted((r["node"], r["label"], r["round"])
+                  for r in seeded_label_propagation(
+                      e, dup, n_rounds=2, collect_threshold=0).collect())
+    assert small == dist
+    # NULL label routes too
+    nul = spark.createDataFrame([("a", None)], "id string, label string")
+    s2 = sorted((r["node"], r["label"], r["round"])
+                for r in seeded_label_propagation(e, nul, n_rounds=2).collect())
+    d2 = sorted((r["node"], r["label"], r["round"])
+                for r in seeded_label_propagation(
+                    e, nul, n_rounds=2, collect_threshold=0).collect())
+    assert s2 == d2
+
+
 # ---------------------------------------------------------------------- WL
 def test_wl_colors_reflect_structural_roles(spark):
     from graphrag_rs_spark.operators.analytics import wl_labels
