@@ -1275,11 +1275,62 @@ def wl_labels(
     )
 
 
+def _matching_local(spark, canon_rows: list, id_type, n_rounds: int):
+    """Driver-exact replay of the handshake rounds; the sha-60 edge
+    priorities ride the collected canon rows (computed by Spark, no
+    Python hash twin). Returns None → distributed fallback when a
+    string id is non-ASCII (the struct tie-break compares ids — the
+    ordering-guard class)."""
+    from pyspark.sql import types as T
+
+    for a, b, ek in canon_rows:
+        if isinstance(a, str) and not all(ord(ch) < 128 for ch in a):
+            return None
+        if isinstance(b, str) and not all(ord(ch) < 128 for ch in b):
+            return None
+
+    active = list(canon_rows)
+    matched: list = []
+    for rnd in range(1, n_rounds + 1):
+        best: dict = {}
+        for a, b, ek in active:
+            key = (ek, a, b)
+            for node in (a, b):
+                cur = best.get(node)
+                if cur is None or key < cur:
+                    best[node] = key
+        won = [
+            (a, b)
+            for a, b, ek in active
+            if best[a] == (ek, a, b) and best[b] == (ek, a, b)
+        ]
+        if not won:
+            break
+        matched.extend((a, b, rnd) for a, b in won)
+        gone = {n for pair in won for n in pair}
+        active = [t for t in active if t[0] not in gone and t[1] not in gone]
+        if not active:
+            break
+
+    if not matched:
+        # mirror the distributed empty-case schema exactly
+        return spark.createDataFrame([], "a string, b string, round int")
+    schema = T.StructType(
+        [
+            T.StructField("a", id_type),
+            T.StructField("b", id_type),
+            T.StructField("round", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(matched, schema)
+
+
 def maximal_matching(
     edges: DataFrame,
     *,
     n_rounds: int = 12,
     seed: str = "match-v1",
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Deterministic parallel maximal matching (the handshake/proposal
     rounds of Israeli-Itai 1986, derandomized with portable sha edge
@@ -1318,6 +1369,29 @@ def maximal_matching(
         )
         .localCheckpoint(eager=True)
     )
+
+    # driver replay under the collect threshold: each distributed round
+    # is ~4 fixed-cost jobs (min-agg, handshake, two anti-joins + cut)
+    # of pure scheduling at board scale; canon is already materialized
+    # so the bounded collect is one cheap ship
+    from pyspark.sql import types as T
+
+    id_dt = edges.schema["src"].dataType
+    _num = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if collect_threshold and isinstance(id_dt, _num + (T.StringType,)):
+        rows = canon.limit(collect_threshold + 1).collect()
+        if (
+            len(rows) <= collect_threshold
+            and n_rounds * max(len(rows), 1) <= 20_000_000
+        ):
+            local = _matching_local(
+                canon.sparkSession,
+                [(r["a"], r["b"], r["ek"]) for r in rows],
+                id_dt,
+                n_rounds,
+            )
+            if local is not None:
+                return local
 
     matched = None
     active = canon

@@ -53,3 +53,19 @@ def test_matching_deterministic_and_single_edge(spark):
     o1 = sorted(map(tuple, maximal_matching(e).collect()))
     o2 = sorted(map(tuple, maximal_matching(e).collect()))
     assert o1 == o2 == [("x", "y", 1)]
+
+
+def test_matching_small_path_equals_distributed(spark):
+    from graphrag_rs_spark.operators.analytics import maximal_matching
+
+    # expander-ish graph with odd cycles and a pendant chain: several
+    # handshake rounds, retirements, and a final unmatched remainder
+    pairs = [(f"v{i}", f"v{(i * 5 + 2) % 23}") for i in range(23)]
+    pairs += [("v0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    e = _edges(spark, [p for p in pairs if p[0] != p[1]])
+    small = {(r["a"], r["b"], r["round"])
+             for r in maximal_matching(e).collect()}
+    dist = {(r["a"], r["b"], r["round"])
+            for r in maximal_matching(e, collect_threshold=0).collect()}
+    assert small == dist
+    assert small  # fixture must actually match something
