@@ -1206,11 +1206,53 @@ def luby_mis(
     return out
 
 
+def _wl_local(spark, edge_rows: list, id_type, n_rounds: int):
+    """Driver-exact replay of the WL rounds. The color hash is the
+    portable sha-60 family over ASCII digit strings (labels and the
+    '|'-joined sorted signature), so hashlib reproduces `_h60`
+    bit-for-bit; node ids never enter a hash or an ordering, so no
+    ASCII guard is needed."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    adj: dict = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def h60(s: str) -> int:
+        return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    labels = {v: len(nbrs) for v, nbrs in adj.items()}
+    for _ in range(n_rounds):
+        labels = {
+            v: h60(
+                str(labels[v])
+                + "\x1f"
+                + "|".join(sorted(str(labels[u]) for u in nbrs))
+            )
+            for v, nbrs in adj.items()
+        }
+    n_colors = len(set(labels.values()))
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type),
+            T.StructField("wl_label", T.LongType()),
+            T.StructField("n_colors", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, l, n_colors) for v, l in labels.items()], schema
+    )
+
+
 def wl_labels(
     edges: DataFrame,
     *,
     n_rounds: int = 3,
     init_label: str = "deg",
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Weisfeiler-Lehman iterative relabeling (the 1-WL color
     refinement behind WL graph kernels and the GIN expressiveness
@@ -1236,9 +1278,24 @@ def wl_labels(
     from graphrag_rs_spark.operators.sketches import SEP, _h60
 
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = _both_dirs(e0).distinct().localCheckpoint(eager=True)
     if init_label != "deg":
         raise ValueError("only init_label='deg' is defined")
+    # driver replay under the collect threshold: each distributed round
+    # is an equi-join + collect_list groupBy + lineage cut of pure
+    # scheduling at board scale, and `_h60` replays exactly in hashlib
+    if collect_threshold:
+        probe_rows = e0.distinct().limit(collect_threshold + 1).collect()
+        if (
+            len(probe_rows) <= collect_threshold
+            and n_rounds * max(len(probe_rows), 1) <= 20_000_000
+        ):
+            return _wl_local(
+                edges.sparkSession,
+                [(r[0], r[1]) for r in probe_rows],
+                edges.schema["src"].dataType,
+                n_rounds,
+            )
+    sym = _both_dirs(e0).distinct().localCheckpoint(eager=True)
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("l"))

@@ -122,6 +122,19 @@ def test_wl_regular_graph_is_monochrome_and_deterministic(spark):
     assert len({l for _, l, _ in o1}) == 1
 
 
+def test_wl_small_path_equals_distributed(spark):
+    from graphrag_rs_spark.operators.analytics import wl_labels
+
+    # irregular graph: varying degrees so the colors actually refine,
+    # plus a disconnected triangle
+    pairs = [(f"w{i}", f"w{(i * 3 + 1) % 17}") for i in range(17)]
+    pairs += [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    e = _edges(spark, [p for p in pairs if p[0] != p[1]])
+    small = sorted(map(tuple, wl_labels(e, n_rounds=3).collect()))
+    dist = sorted(map(tuple, wl_labels(e, n_rounds=3, collect_threshold=0).collect()))
+    assert small == dist  # bit-identical colors AND n_colors
+
+
 # ------------------------------------------------------------------ patches
 def test_image_patches_exact_sums(spark):
     from graphrag_rs_spark.kernel.media import encode_png
