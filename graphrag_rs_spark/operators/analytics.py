@@ -1621,12 +1621,10 @@ def edge_support(
     kept via the final left join.
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-    )
+    # materialize the symmetric edge list once: the hub probe, the canon
+    # side and both wedge-join sides otherwise re-ran the upstream edge
+    # derivation (×2 more through the old self-union) per action
+    sym = _both_dirs(e).distinct().localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     hub = deg.where(F.col("d") > max_degree).limit(1).collect()
     if hub:
