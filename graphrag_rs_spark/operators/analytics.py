@@ -105,7 +105,8 @@ def clustering_coefficients(
     Wedge join is O(k²) per node: nodes above ``max_degree`` are EXCLUDED
     (reported with null coefficient) rather than silently exploding the
     shuffle — raise the knob deliberately for hub-heavy graphs."""
-    sym = _sym(edges).select("src", "dst")
+    # materialized once: deg, adj and the closing join all read it
+    sym = _sym(edges).select("src", "dst").localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("k"))
     ok = deg.where((F.col("k") >= 2) & (F.col("k") <= max_degree))
     adj = sym.join(ok.select(F.col("id").alias("src")), "src")
@@ -510,7 +511,8 @@ def cc_communities_with_modularity(edges: DataFrame) -> DataFrame:
     count."""
     from graphrag_rs_spark.operators.cc import connected_components
 
-    sym = _sym(edges).select("src", "dst")
+    # materialized once: CC and the internal-edge count both read it
+    sym = _sym(edges).select("src", "dst").localCheckpoint(eager=True)
     comp = connected_components(sym)
     n_total = comp.count()
     edge_counts = (
@@ -554,7 +556,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     → (id, triangles) for nodes in ≥1 triangle.
     """
-    sym = _sym_unweighted(edges)
+    # materialized once: deg and the orientation both read sym, and the
+    # oriented frame feeds three join sides (both wedge sides + closing)
+    sym = _sym_unweighted(edges).localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("_deg"))
     with_keys = (
         sym.join(deg.select(F.col("id").alias("src"), F.col("_deg").alias("_ks")), "src")
@@ -562,7 +566,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     oriented = with_keys.where(
         F.struct(F.col("_ks"), F.col("src")) < F.struct(F.col("_kd"), F.col("dst"))
-    ).select("src", "dst", F.struct(F.col("_kd"), F.col("dst")).alias("_key"))
+    ).select(
+        "src", "dst", F.struct(F.col("_kd"), F.col("dst")).alias("_key")
+    ).localCheckpoint(eager=True)
     a = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("_key").alias("_kv"))
     b = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("_key").alias("_kw"))
     wedges = a.join(b, "u").where(F.col("_kv") < F.col("_kw")).select("u", "v", "w")
