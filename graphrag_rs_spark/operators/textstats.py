@@ -316,7 +316,7 @@ def repetition_signals(
         F.length(F.concat_ws(" ", F.col("words"))).cast("long").alias("word_chars"),
         _grams(F.col("words"), 2).alias("g2"),
         _grams(F.col("words"), 3).alias("g3"),
-    )
+    ).localCheckpoint(eager=True)  # four signal legs read it — tokenize once
 
     # dup words: excess occurrences = n_words - distinct words (array ops,
     # no shuffle — O(n) per doc)
