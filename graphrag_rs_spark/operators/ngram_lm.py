@@ -77,12 +77,9 @@ def train_ngram_lm(
             "hist",
             F.expr(r"regexp_replace(gram, ' [^ ]+$', '')"),
         )
-    # materialize the gram table once: hist counts re-aggregate it and
-    # the scoring joins read it twice (gram + hist legs) — left lazy,
-    # the training explode/groupBy re-ran once per downstream reference
     gram_counts = grams.groupBy("gram", "hist").agg(
         F.count("*").alias("c_gram")
-    ).localCheckpoint(eager=True)
+    )
     hist_counts = gram_counts.groupBy("hist").agg(
         F.sum("c_gram").alias("c_hist")
     )
@@ -221,10 +218,6 @@ def perplexity_prune(
             F.expr("s div n_grams").alias("ppl_ub"),
         )
     )
-    # the band filter references per_doc twice (threshold agg +
-    # membership) — materialize the doc-level integers once instead of
-    # running the scoring joins twice
-    per_doc = per_doc.localCheckpoint(eager=True)
     bounds = per_doc.agg(
         F.expr(f"percentile(ppl_ub, {low})").alias("t_low"),
         F.expr(f"percentile(ppl_ub, {high})").alias("t_high"),
